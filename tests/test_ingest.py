@@ -1,0 +1,70 @@
+"""Ingestion contract semantics (golden tests on the data model,
+matching reference load_data.py:23-130 behavior)."""
+
+import pytest
+
+from veritasfi_tpu.ingest.contract import hash_content, load_processed_dir
+
+
+def test_page_range_filter(synth_records):
+    records, _ = synth_records
+    contents = [r.content for r in records]
+    assert "out of range chunk" not in contents
+
+
+def test_dedup_keeps_newest(synth_records):
+    records, _ = synth_records
+    dup = [r for r in records if r.content == "chunk 3 text body about topic 3"]
+    assert len(dup) == 1
+    # b.json (2024-06-01) is newer than a.json (2024-01-01)
+    assert dup[0].filename == "b.json"
+    assert dup[0].date_published == "2024-06-01"
+    # replacement keeps first-occurrence position: the duplicate still sits
+    # between a.json chunks in the deduped order
+    idx = [r.content for r in records].index("chunk 3 text body about topic 3")
+    assert idx == 3
+
+
+def test_global_ids_assigned_pre_dedup(synth_records):
+    records, _ = synth_records
+    # 4 in-range chunks in a.json (gid 0..3), 4 in b.json (gid 4..7).
+    # The duplicate in b.json replaced the a.json entry, carrying gid 5.
+    gids = {r.content: r.global_id for r in records}
+    assert gids["chunk 0 text body about topic 0"] == 0
+    assert gids["chunk 3 text body about topic 3"] == 5  # replaced entry's gid
+    assert gids["chunk 10 text body about topic 3"] == 4
+
+
+def test_prev_next_linking_same_file_only(synth_records):
+    records, _ = synth_records
+    by_content = {r.content: r for r in records}
+    c0 = by_content["chunk 0 text body about topic 0"]
+    c1 = by_content["chunk 1 text body about topic 1"]
+    assert c0.prev_chunk_id == ""
+    assert c0.next_chunk_id == c1.doc_id
+    assert c1.prev_chunk_id == c0.doc_id
+    # boundary between a.json block and the replaced b.json chunk: the
+    # replaced record's filename is b.json, so it does NOT link to the
+    # preceding a.json chunk
+    c2 = by_content["chunk 2 text body about topic 2"]
+    dup = by_content["chunk 3 text body about topic 3"]
+    assert c2.next_chunk_id == ""
+    assert dup.prev_chunk_id == ""
+
+
+def test_title_summaries_sorted_unique(synth_records):
+    _, titles = synth_records
+    assert titles == ["Title A", "Title B"]
+
+
+def test_doc_id_is_sha256(synth_records):
+    records, _ = synth_records
+    for r in records:
+        assert r.doc_id == hash_content(r.content)
+
+
+def test_header_validation(tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text('[{"start": 1}]')
+    with pytest.raises(ValueError, match="header row missing"):
+        load_processed_dir(str(tmp_path), filenames=["bad.json"])

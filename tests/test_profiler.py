@@ -1,0 +1,66 @@
+import json
+import threading
+
+from veritasfi_tpu.utils.profiler import Profiler, _aggregate
+
+
+def test_span_and_decorator():
+    p = Profiler()
+
+    @p.profile_function(name="work")
+    def work():
+        return 42
+
+    assert work() == 42
+    with p.span("manual"):
+        pass
+    res = p.results()
+    assert res["durations"]["work"]["count"] == 1
+    assert res["durations"]["manual"]["count"] == 1
+
+
+def test_metrics_aggregation():
+    p = Profiler()
+    for v in [1, 2, 3, 4, 100]:
+        p.add_metric("retrieved_chunks", v)
+    agg = p.results()["metrics"]["retrieved_chunks"]
+    assert agg["count"] == 5
+    assert agg["min"] == 1 and agg["max"] == 100
+    assert agg["median"] == 3
+    assert agg["p99"] >= agg["p95"] >= agg["median"]
+
+
+def test_aggregate_edge_cases():
+    assert _aggregate([]) == {"count": 0}
+    one = _aggregate([5.0])
+    assert one["min"] == one["max"] == one["p95"] == 5.0
+
+
+def test_thread_safety_and_dump(tmp_path):
+    p = Profiler()
+
+    def worker():
+        for _ in range(50):
+            with p.span("s"):
+                pass
+            p.add_metric("m", 1)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert p.results()["durations"]["s"]["count"] == 200
+    out = str(tmp_path / "prof.json")
+    p.log_profiling_results(out)
+    assert json.load(open(out))["metrics"]["m"]["count"] == 200
+
+
+def test_end_without_start():
+    p = Profiler()
+    assert p.end("nope") == 0.0
+
+
+def test_reset():
+    p = Profiler()
+    p.add_metric("x", 1)
+    p.reset()
+    assert p.results() == {"durations": {}, "metrics": {}}

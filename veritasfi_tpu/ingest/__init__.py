@@ -1,0 +1,10 @@
+from .contract import ChunkRecord, load_processed_dir, parse_processed_json
+from .corpus import CorpusIndex, build_corpus_index
+
+__all__ = [
+    "ChunkRecord",
+    "parse_processed_json",
+    "load_processed_dir",
+    "CorpusIndex",
+    "build_corpus_index",
+]

@@ -1,0 +1,151 @@
+"""Host-side span/metric profiler.
+
+Capability parity with the reference's global Profiler singleton
+(reference: src/utils/profiler.py:7-197): decorator + manual start/end
+timers + named numeric metrics, aggregated to
+count/min/max/mean/median/p95/p99/stddev and dumped to JSON.
+
+TPU additions: optional ``jax.profiler`` trace capture around a span and
+device-memory snapshots (the reference logged ``torch.cuda.max_memory_allocated``
+at load milestones, ragManager.py:53,85).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import threading
+import time
+from contextlib import contextmanager
+from typing import Any, Dict, List, Optional
+
+
+def _aggregate(values: List[float]) -> Dict[str, float]:
+    n = len(values)
+    if n == 0:
+        return {"count": 0}
+    xs = sorted(values)
+    mean = sum(xs) / n
+
+    def pct(p: float) -> float:
+        if n == 1:
+            return xs[0]
+        rank = p / 100.0 * (n - 1)
+        lo = int(math.floor(rank))
+        hi = min(lo + 1, n - 1)
+        frac = rank - lo
+        return xs[lo] * (1 - frac) + xs[hi] * frac
+
+    var = sum((x - mean) ** 2 for x in xs) / n
+    return {
+        "count": n,
+        "min": xs[0],
+        "max": xs[-1],
+        "mean": mean,
+        "median": pct(50),
+        "p95": pct(95),
+        "p99": pct(99),
+        "stddev": math.sqrt(var),
+    }
+
+
+class Profiler:
+    """Thread-safe span timer + metric registry."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._local = threading.local()
+        self._durations: Dict[str, List[float]] = {}
+        self._metrics: Dict[str, List[float]] = {}
+
+    # -- spans ---------------------------------------------------------
+    def start(self, name: str) -> None:
+        starts = getattr(self._local, "starts", None)
+        if starts is None:
+            starts = self._local.starts = {}
+        starts[name] = time.perf_counter()
+
+    def end(self, name: str) -> float:
+        starts = getattr(self._local, "starts", {})
+        t0 = starts.pop(name, None)
+        if t0 is None:
+            return 0.0
+        dt = time.perf_counter() - t0
+        with self._lock:
+            self._durations.setdefault(name, []).append(dt)
+        return dt
+
+    @contextmanager
+    def span(self, name: str):
+        self.start(name)
+        try:
+            yield
+        finally:
+            self.end(name)
+
+    def profile_function(self, name: Optional[str] = None):
+        def deco(fn):
+            span_name = name or fn.__qualname__
+
+            @functools.wraps(fn)
+            def wrapper(*args, **kwargs):
+                with self.span(span_name):
+                    return fn(*args, **kwargs)
+
+            return wrapper
+
+        return deco
+
+    # -- metrics -------------------------------------------------------
+    def add_metric(self, name: str, value: float) -> None:
+        with self._lock:
+            self._metrics.setdefault(name, []).append(float(value))
+
+    # -- reporting -----------------------------------------------------
+    def results(self) -> Dict[str, Any]:
+        with self._lock:
+            return {
+                "durations": {k: _aggregate(v) for k, v in self._durations.items()},
+                "metrics": {k: _aggregate(v) for k, v in self._metrics.items()},
+            }
+
+    def log_profiling_results(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.results(), f, indent=2)
+
+    def reset(self) -> None:
+        with self._lock:
+            self._durations.clear()
+            self._metrics.clear()
+
+    # -- TPU extras ----------------------------------------------------
+    @contextmanager
+    def device_trace(self, log_dir: str):
+        """Capture a jax.profiler trace around a block (TPU timeline)."""
+        import jax
+
+        jax.profiler.start_trace(log_dir)
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()
+
+    def device_memory_stats(self) -> Dict[str, Any]:
+        """Per-device memory snapshot (TPU analogue of CUDA mem logging)."""
+        import jax
+
+        out = {}
+        for d in jax.devices():
+            stats = getattr(d, "memory_stats", lambda: None)()
+            if stats:
+                out[str(d)] = {
+                    "bytes_in_use": stats.get("bytes_in_use"),
+                    "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+                    "bytes_limit": stats.get("bytes_limit"),
+                }
+        return out
+
+
+# Global instance, like the reference's module-level ``profiler``.
+profiler = Profiler()
