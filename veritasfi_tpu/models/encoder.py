@@ -1,0 +1,210 @@
+"""BGE-class text encoder as a Flax module.
+
+TPU-native replacement for the reference's HuggingFaceEmbeddings(BGE-M3)
+PyTorch encoder (reference: src/utils/ragManager.py:50,
+faissRetriever.py:33): a BERT/XLM-R-family bidirectional transformer with
+CLS (or mean) pooling and L2 normalization.
+
+Architecture presets cover the BGE family:
+  * bge-small/base/large-en-v1.5 — BERT encoders, CLS pooling;
+  * bge-m3 — XLM-RoBERTa-large (position offset 2, single token type).
+
+Weights can be converted from a local HuggingFace PyTorch checkpoint with
+``models.hf_loader.load_bert_params``; otherwise the encoder initializes
+randomly (architecture-faithful, used for benchmarking and tests).
+
+Compute: bf16 activations with fp32 layernorm/softmax accumulation;
+sequence lengths bucketed to bound recompiles; whole-batch forwards map to
+the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclass(frozen=True)
+class EncoderArch:
+    vocab_size: int = 30522
+    hidden: int = 384
+    layers: int = 12
+    heads: int = 12
+    intermediate: int = 1536
+    max_positions: int = 512
+    type_vocab: int = 2
+    pad_id: int = 0
+    pos_offset: int = 0           # 2 for (XLM-)RoBERTa position numbering
+    layer_norm_eps: float = 1e-12
+    pooling: str = "cls"          # cls | mean
+
+
+ENCODER_PRESETS: Dict[str, EncoderArch] = {
+    # tiny config for tests
+    "tiny-test": EncoderArch(vocab_size=1024, hidden=64, layers=2, heads=2,
+                             intermediate=128, max_positions=128),
+    # BAAI/bge-small-en-v1.5
+    "bge-small-en": EncoderArch(hidden=384, layers=12, heads=12, intermediate=1536),
+    # BAAI/bge-base-en-v1.5
+    "bge-base-en": EncoderArch(hidden=768, layers=12, heads=12, intermediate=3072),
+    # BAAI/bge-large-en-v1.5
+    "bge-large-en": EncoderArch(hidden=1024, layers=24, heads=16, intermediate=4096),
+    # BAAI/bge-m3 (XLM-RoBERTa-large backbone; dense embedding = CLS)
+    "bge-m3": EncoderArch(vocab_size=250002, hidden=1024, layers=24, heads=16,
+                          intermediate=4096, max_positions=8194, type_vocab=1,
+                          pad_id=1, pos_offset=2, layer_norm_eps=1e-5),
+}
+
+
+class _SelfAttention(nn.Module):
+    arch: EncoderArch
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, mask):
+        a = self.arch
+        head_dim = a.hidden // a.heads
+        dense = lambda name: nn.Dense(a.hidden, dtype=self.dtype, name=name)
+        q = dense("query")(x).reshape(*x.shape[:-1], a.heads, head_dim)
+        k = dense("key")(x).reshape(*x.shape[:-1], a.heads, head_dim)
+        v = dense("value")(x).reshape(*x.shape[:-1], a.heads, head_dim)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(head_dim)
+        neg = jnp.finfo(jnp.float32).min
+        scores = jnp.where(mask[:, None, None, :], scores, neg)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        ctx = ctx.reshape(*x.shape[:-1], a.hidden)
+        return nn.Dense(a.hidden, dtype=self.dtype, name="out")(ctx)
+
+
+class _Layer(nn.Module):
+    arch: EncoderArch
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, mask):
+        a = self.arch
+        attn = _SelfAttention(a, self.dtype, name="attention")(x, mask)
+        x = nn.LayerNorm(epsilon=a.layer_norm_eps, dtype=jnp.float32,
+                         name="attention_ln")(x + attn).astype(self.dtype)
+        h = nn.Dense(a.intermediate, dtype=self.dtype, name="intermediate")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(a.hidden, dtype=self.dtype, name="output")(h)
+        x = nn.LayerNorm(epsilon=a.layer_norm_eps, dtype=jnp.float32,
+                         name="output_ln")(x + h).astype(self.dtype)
+        return x
+
+
+class FlaxEncoder(nn.Module):
+    """BERT-family encoder returning a pooled, L2-normalized embedding."""
+
+    arch: EncoderArch
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask):
+        a = self.arch
+        mask = attention_mask.astype(bool)
+        emb = nn.Embed(a.vocab_size, a.hidden, dtype=self.dtype,
+                       name="word_embeddings")(input_ids)
+        # RoBERTa-style position ids skip pad positions and start at offset.
+        if a.pos_offset:
+            positions = jnp.cumsum(attention_mask, axis=-1) * attention_mask
+            positions = positions + (a.pos_offset - 1) * attention_mask
+        else:
+            positions = jnp.broadcast_to(
+                jnp.arange(input_ids.shape[-1]), input_ids.shape)
+        emb = emb + nn.Embed(a.max_positions, a.hidden, dtype=self.dtype,
+                             name="position_embeddings")(positions)
+        emb = emb + nn.Embed(a.type_vocab, a.hidden, dtype=self.dtype,
+                             name="token_type_embeddings")(
+            jnp.zeros_like(input_ids))
+        x = nn.LayerNorm(epsilon=a.layer_norm_eps, dtype=jnp.float32,
+                         name="embeddings_ln")(emb).astype(self.dtype)
+
+        for i in range(a.layers):
+            x = _Layer(a, self.dtype, name=f"layer_{i}")(x, mask)
+
+        if a.pooling == "mean":
+            denom = jnp.maximum(mask.sum(-1, keepdims=True), 1)
+            pooled = (x * mask[..., None]).sum(axis=-2) / denom
+        else:  # cls
+            pooled = x[..., 0, :]
+        pooled = pooled.astype(jnp.float32)
+        return pooled / jnp.maximum(
+            jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+
+
+def _bucket_length(n: int, max_length: int) -> int:
+    """Round sequence length up to a power-of-two bucket (min 16) to bound
+    the number of compiled shapes."""
+    b = 16
+    while b < min(n, max_length):
+        b *= 2
+    return min(b, max_length)
+
+
+class TextEncoder:
+    """Host-facing wrapper: texts -> L2-normalized np.float32 embeddings.
+
+    Replaces HuggingFaceEmbeddings.embed_query / add_texts in the reference
+    stack; batches all queries of a request (original + HyDE) in one jitted
+    forward.
+    """
+
+    def __init__(
+        self,
+        preset: str = "tiny-test",
+        arch: Optional[EncoderArch] = None,
+        params: Optional[Any] = None,
+        tokenizer: Optional[Callable[[List[str], int], Dict[str, np.ndarray]]] = None,
+        dtype: Any = jnp.float32,
+        max_length: int = 512,
+        seed: int = 0,
+    ) -> None:
+        self.arch = arch or ENCODER_PRESETS[preset]
+        self.max_length = min(max_length, self.arch.max_positions - self.arch.pos_offset)
+        self.module = FlaxEncoder(self.arch, dtype=dtype)
+        if tokenizer is None:
+            from .tokenizer import HashTokenizer
+
+            tokenizer = HashTokenizer(self.arch.vocab_size, pad_id=self.arch.pad_id)
+        self.tokenizer = tokenizer
+        if params is None:
+            ids = jnp.zeros((1, 16), jnp.int32)
+            params = self.module.init(jax.random.PRNGKey(seed), ids, jnp.ones_like(ids))
+        self.params = params
+        self._forward = jax.jit(self.module.apply)
+
+    @property
+    def dim(self) -> int:
+        return self.arch.hidden
+
+    def encode(self, texts: List[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.arch.hidden), np.float32)
+        batch = self.tokenizer(texts, self.max_length)
+        seq = batch["input_ids"].shape[1]
+        bucket = _bucket_length(seq, self.max_length)
+        pad = bucket - seq
+        ids = np.pad(batch["input_ids"], ((0, 0), (0, pad)),
+                     constant_values=self.arch.pad_id)
+        mask = np.pad(batch["attention_mask"], ((0, 0), (0, pad)))
+        out = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(out, dtype=np.float32)
+
+    # reference-compatible aliases (HuggingFaceEmbeddings API)
+    def embed_query(self, text: str) -> List[float]:
+        return self.encode([text])[0].tolist()
+
+    def embed_documents(self, texts: List[str]) -> List[List[float]]:
+        return self.encode(texts).tolist()

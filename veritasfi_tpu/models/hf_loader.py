@@ -1,0 +1,114 @@
+"""Convert HuggingFace BERT/XLM-R checkpoints to FlaxEncoder params.
+
+Lets the framework load real BGE weights from a local checkpoint directory
+(offline; this environment has no network egress). Accepts either a
+state-dict mapping (str -> np.ndarray) or a local HF model directory.
+
+The reference consumes these models through langchain's
+HuggingFaceEmbeddings (reference: src/utils/ragManager.py:50); here the
+weights are converted once into the Flax tree used by the jitted encoder.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+from .encoder import EncoderArch
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def load_bert_params(
+    state: Mapping[str, Any], arch: EncoderArch, prefix: str = ""
+) -> Dict[str, Any]:
+    """Map a (XLM-)BERT HF state dict onto the FlaxEncoder param tree."""
+
+    def get(name: str) -> np.ndarray:
+        for cand in (prefix + name, name, "bert." + name, "roberta." + name):
+            if cand in state:
+                return _np(state[cand])
+        raise KeyError(f"missing weight: {name}")
+
+    def dense(name: str) -> Dict[str, np.ndarray]:
+        return {"kernel": get(f"{name}.weight").T, "bias": get(f"{name}.bias")}
+
+    def ln(name: str) -> Dict[str, np.ndarray]:
+        return {"scale": get(f"{name}.weight"), "bias": get(f"{name}.bias")}
+
+    params: Dict[str, Any] = {
+        "word_embeddings": {"embedding": get("embeddings.word_embeddings.weight")},
+        "position_embeddings": {
+            "embedding": get("embeddings.position_embeddings.weight")
+        },
+        "token_type_embeddings": {
+            "embedding": get("embeddings.token_type_embeddings.weight")
+        },
+        "embeddings_ln": ln("embeddings.LayerNorm"),
+    }
+    for i in range(arch.layers):
+        base = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": dense(f"{base}.attention.self.query"),
+                "key": dense(f"{base}.attention.self.key"),
+                "value": dense(f"{base}.attention.self.value"),
+                "out": dense(f"{base}.attention.output.dense"),
+            },
+            "attention_ln": ln(f"{base}.attention.output.LayerNorm"),
+            "intermediate": dense(f"{base}.intermediate.dense"),
+            "output": dense(f"{base}.output.dense"),
+            "output_ln": ln(f"{base}.output.LayerNorm"),
+        }
+    return {"params": params}
+
+
+def load_encoder_from_dir(path: str, arch: Optional[EncoderArch] = None):
+    """Build a TextEncoder from a local HF checkpoint directory."""
+    import json
+    import os
+
+    from .encoder import TextEncoder
+    from .tokenizer import load_hf_tokenizer
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = json.load(f)
+    if arch is None:
+        arch = EncoderArch(
+            vocab_size=cfg["vocab_size"],
+            hidden=cfg["hidden_size"],
+            layers=cfg["num_hidden_layers"],
+            heads=cfg["num_attention_heads"],
+            intermediate=cfg["intermediate_size"],
+            max_positions=cfg["max_position_embeddings"],
+            type_vocab=cfg.get("type_vocab_size", 2),
+            pad_id=cfg.get("pad_token_id", 0),
+            pos_offset=2 if cfg.get("model_type") in ("roberta", "xlm-roberta") else 0,
+            layer_norm_eps=cfg.get("layer_norm_eps", 1e-12),
+        )
+    state = _load_state_dict(path)
+    params = load_bert_params(state, arch)
+    tokenizer = load_hf_tokenizer(path)
+    return TextEncoder(arch=arch, params=params, tokenizer=tokenizer)
+
+
+def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import os
+
+    st_path = os.path.join(path, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        return load_file(st_path)
+    bin_path = os.path.join(path, "pytorch_model.bin")
+    if os.path.exists(bin_path):
+        import torch
+
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+        return {k: _np(v) for k, v in sd.items()}
+    raise FileNotFoundError(f"no model weights found under {path}")

@@ -1,0 +1,180 @@
+"""Dense MIPS / cosine top-k retrieval ops (XLA baseline).
+
+This is the TPU-native replacement for FAISS ``IndexFlatIP`` exact search
+(reference: src/utils/faissRetriever.py:18-37 — L2-normalized inner product,
+searched at depth 2048 from ensembleRetriever.py:66).
+
+Design notes (TPU-first):
+
+* Embeddings are L2-normalized so cosine == inner product; the score matrix
+  is one MXU matmul with fp32 accumulation (bf16 storage optional).
+* ``lax.top_k`` over the matmul output is the XLA baseline; a fused Pallas
+  matmul+top-k kernel (ops/pallas_mips.py) avoids materializing [Q, N]
+  scores in HBM for large corpora.
+* The reference materializes a depth-2048 id->score table per query only to
+  look up neighbor-chunk scores and apply the depth cutoff
+  (ensembleRetriever.py:66-68,93,102). We replace that with two exact,
+  scalable primitives: ``scores_at`` (gather + dot for the neighbors we
+  actually probe) and ``rank_of`` (a counting reduction giving each
+  candidate's rank in the full corpus ordering, so the "is it within depth
+  2048" cutoff is exact without a 2048-wide sort).
+* Stable ordering: ties are broken toward the lower corpus index, matching
+  FAISS, by biasing scores with a -index epsilon before top_k.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# Exact-parity matmul precision. On TPU, HIGHEST runs the MXU in fp32
+# (multi-pass); retrieval matrices are small enough that this is cheap, and
+# recall parity with fp32 FAISS requires it (SURVEY.md §7.3 numerics note).
+# Benchmark paths may pass precision=DEFAULT for bf16 speed.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _tie_break(scores: Array) -> Array:
+    """Bias scores so equal scores order by ascending corpus index (FAISS
+    returns the lower index first for exact ties), keeping distributed and
+    single-shard runs bit-identical."""
+    n = scores.shape[-1]
+    iota = jnp.arange(n, dtype=scores.dtype)
+    return scores - iota * jnp.asarray(1e-12, scores.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact"))
+def dense_topk(
+    corpus: Array, queries: Array, k: int, exact: bool = True
+) -> Tuple[Array, Array]:
+    """Exact top-k inner-product search.
+
+    Args:
+      corpus: [N, D] L2-normalized embedding matrix (HBM-resident).
+      queries: [Q, D] L2-normalized query batch (original + HyDE rewrites
+        batched in one launch, vs the reference's per-query FAISS calls).
+      k: neighbors to return (clamped to N).
+      exact: use ``lax.top_k`` (bit-exact ordering). When False, uses
+        ``lax.approx_max_k``, the TPU-optimized approximate top-k.
+
+    Returns:
+      (scores [Q, k], indices [Q, k]) sorted descending by score.
+    """
+    n = corpus.shape[0]
+    k = min(k, n)
+    scores = jnp.matmul(
+        queries, corpus.T, precision=_PRECISION,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32)
+    if exact:
+        top_scores, top_idx = jax.lax.top_k(_tie_break(scores), k)
+    else:
+        top_scores, top_idx = jax.lax.approx_max_k(scores, k)
+    # Return true (un-biased) scores at the selected indices.
+    true_scores = jnp.take_along_axis(scores, top_idx, axis=-1)
+    return true_scores, top_idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def dense_topk_chunked(
+    corpus: Array, queries: Array, k: int, block: int = 65536
+) -> Tuple[Array, Array]:
+    """Top-k without materializing the full [Q, N] score matrix.
+
+    Scans corpus blocks with ``lax.scan``, merging a running top-k buffer —
+    O(Q*k) live memory regardless of N. HBM traffic is exactly one pass over
+    the corpus (the bandwidth-optimal schedule for exact search).
+    """
+    n, d = corpus.shape
+    q = queries.shape[0]
+    k = min(k, n)
+    num_blocks = -(-n // block)
+    pad = num_blocks * block - n
+    if pad:
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+    blocks = corpus.reshape(num_blocks, block, d)
+
+    neg = jnp.float32(-jnp.inf)
+    init_scores = jnp.full((q, k), neg, jnp.float32)
+    init_idx = jnp.full((q, k), n, jnp.int32)
+
+    def step(carry, inputs):
+        best_s, best_i = carry
+        blk, blk_start = inputs
+        s = jnp.matmul(queries, blk.T, precision=_PRECISION,
+                       preferred_element_type=jnp.float32)
+        idx = blk_start + jnp.arange(block, dtype=jnp.int32)
+        valid = idx < n
+        s = jnp.where(valid[None, :], s, neg)
+        # merge: concat running buffer with this block, re-select top-k
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(idx, (q, block))], axis=1)
+        biased = cat_s - cat_i.astype(jnp.float32) * 1e-12
+        _, sel = jax.lax.top_k(biased, k)
+        return (
+            jnp.take_along_axis(cat_s, sel, axis=1),
+            jnp.take_along_axis(cat_i, sel, axis=1),
+        ), None
+
+    starts = jnp.arange(num_blocks, dtype=jnp.int32) * block
+    (best_s, best_i), _ = jax.lax.scan(step, (init_scores, init_idx), (blocks, starts))
+    return best_s, best_i
+
+
+@jax.jit
+def scores_at(corpus: Array, queries: Array, idx: Array) -> Array:
+    """Exact scores of specific corpus rows: [Q, C] for idx [Q, C].
+
+    Replaces the reference's ``effective_ids`` dict lookups for neighbor
+    expansion (ensembleRetriever.py:68,93,102) with a gather + batched dot.
+    """
+    gathered = corpus[idx]              # [Q, C, D]
+    return jnp.einsum(
+        "qd,qcd->qc", queries, gathered, precision=_PRECISION,
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def rank_of(
+    corpus: Array,
+    queries: Array,
+    cand_scores: Array,
+    block: int = 65536,
+    tol: float = 1e-6,
+) -> Array:
+    """Rank (0-based) each candidate score would hold in the full corpus
+    ordering for its query: rank = #{j : score_j > s + tol}.
+
+    Gives an exact "within depth-2048" test (reference semantics: a neighbor
+    outside the search depth contributes score 0, ensembleRetriever.py:68)
+    without materializing a 2048-wide sorted list. One streaming pass over
+    the corpus; O(Q*C) live memory. ``tol`` absorbs last-ulp differences
+    between the candidate scores (computed by scores_at's einsum) and this
+    kernel's matmul — cosine scores live in [-1, 1] so an absolute 1e-6 is
+    far below any meaningful score gap.
+    """
+    n, d = corpus.shape
+    num_blocks = -(-n // block)
+    pad = num_blocks * block - n
+    padded = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
+    blocks = padded.reshape(num_blocks, block, d)
+
+    def step(carry, inputs):
+        blk, blk_start = inputs
+        s = jnp.matmul(queries, blk.T, precision=_PRECISION,
+                       preferred_element_type=jnp.float32)
+        idx = blk_start + jnp.arange(block, dtype=jnp.int32)
+        valid = (idx < n)[None, :, None]
+        gt = (s[:, :, None] > cand_scores[:, None, :] + tol) & valid
+        return carry + gt.sum(axis=1).astype(jnp.int32), None
+
+    starts = jnp.arange(num_blocks, dtype=jnp.int32) * block
+    init = jnp.zeros(cand_scores.shape, jnp.int32)
+    ranks, _ = jax.lax.scan(step, init, (blocks, starts))
+    return ranks
