@@ -17,8 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import json
 import random
 
+import jax
 import numpy as np
 import pytest
+
+# XLA-CPU's oneDNN matmul path trades precision for speed (~1e-3 rel error),
+# which breaks fp32 parity assertions; force true fp32 math in tests.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 from veritasfi_tpu.ingest.contract import load_processed_dir
 

@@ -1,0 +1,98 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from veritasfi_tpu.models.reranker import (
+    DECODER_PRESETS,
+    CrossEncoderReranker,
+    DecoderArch,
+    FlaxDecoderLM,
+    yes_logit_score,
+)
+
+
+@pytest.fixture(scope="module")
+def rr():
+    return CrossEncoderReranker(preset="tiny-test", seed=0)
+
+
+def test_compute_score_api(rr):
+    pairs = [["what is revenue", "revenue was 300M"],
+             ["what is revenue", "the cat sat"]]
+    scores = rr.compute_score(pairs, batch_size=8)
+    assert len(scores) == 2
+    assert all(isinstance(s, float) for s in scores)
+    # deterministic
+    assert scores == rr.compute_score(pairs, batch_size=1)
+
+
+def test_padding_invariance(rr):
+    """Yes-logit must not depend on right padding (true-last-position gather)."""
+    row = rr.encode_pair("q", "short passage")
+    alone = rr.score_tokens([row])
+    long_row = rr.encode_pair("q", "much longer passage " * 30)
+    together = rr.score_tokens([row, long_row])
+    np.testing.assert_allclose(alone[0], together[0], atol=1e-4)
+
+
+def test_pair_truncation(rr):
+    long_passage = "tok " * 5000
+    row = rr.encode_pair("q", long_passage)
+    assert len(row) <= (rr.passage_max_length
+                        + len(rr._sep_ids) + len(rr._prompt_ids) + 4)
+
+
+def test_empty_pairs(rr):
+    assert rr.compute_score([], batch_size=8) == []
+
+
+def test_gqa_repeat_shapes():
+    arch = DecoderArch(vocab_size=128, hidden=32, layers=1, heads=4,
+                       kv_heads=2, head_dim=8, intermediate=64)
+    import jax
+
+    m = FlaxDecoderLM(arch)
+    ids = jnp.zeros((2, 8), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))
+    out = m.apply(params, ids, jnp.ones_like(ids))
+    assert out.shape == (2, 8, 128)
+
+
+@pytest.mark.slow
+def test_parity_with_hf_gemma():
+    """FlaxDecoderLM must reproduce HF GemmaForCausalLM logits (weight
+    conversion + RoPE/RMSNorm/GeGLU/MQA correctness)."""
+    torch = pytest.importorskip("torch")
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    from veritasfi_tpu.models.hf_loader import load_gemma_params
+
+    cfg = GemmaConfig(
+        vocab_size=96, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=1, head_dim=8,
+        intermediate_size=64, max_position_embeddings=64,
+        attn_implementation="eager", hidden_activation="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(0)
+    model = GemmaForCausalLM(cfg).eval()
+
+    arch = DecoderArch(vocab_size=96, hidden=32, layers=2, heads=4,
+                       kv_heads=1, head_dim=8, intermediate=64)
+    params = load_gemma_params(model.state_dict(), arch)
+
+    ids = np.array([[2, 5, 9, 11, 17, 23]], np.int32)
+    mask = np.ones_like(ids)
+    with torch.no_grad():
+        hf_logits = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+        ).logits.float().numpy()
+
+    ours = FlaxDecoderLM(arch).apply(params, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(ours), hf_logits, atol=3e-4)
+
+    # yes-logit extraction matches logits[:, -1, yes]
+    yes_id = 42
+    s = yes_logit_score(FlaxDecoderLM(arch), params, jnp.asarray(ids),
+                        jnp.asarray(mask), yes_id)
+    np.testing.assert_allclose(np.asarray(s), hf_logits[:, -1, yes_id], atol=3e-4)

@@ -112,3 +112,41 @@ def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
         sd = torch.load(bin_path, map_location="cpu", weights_only=True)
         return {k: _np(v) for k, v in sd.items()}
     raise FileNotFoundError(f"no model weights found under {path}")
+
+
+def load_gemma_params(state: Mapping[str, Any], arch) -> Dict[str, Any]:
+    """Map a HF Gemma(-family) causal-LM state dict onto FlaxDecoderLM.
+
+    Covers bge-reranker-v2-gemma (google/gemma-2b backbone); the LM head is
+    tied to the embedding, as in Gemma."""
+
+    def get(name: str) -> np.ndarray:
+        for cand in (name, "model." + name):
+            if cand in state:
+                return _np(state[cand])
+        raise KeyError(f"missing weight: {name}")
+
+    def lin(name: str) -> Dict[str, np.ndarray]:
+        return {"kernel": get(f"{name}.weight").T}
+
+    params: Dict[str, Any] = {
+        "embed_tokens": {"embedding": get("embed_tokens.weight")},
+        # our RMSNorm stores w with effective scale (1 + w), matching Gemma
+        "final_ln": {"weight": get("norm.weight")},
+    }
+    for i in range(arch.layers):
+        base = f"layers.{i}"
+        params[f"layer_{i}"] = {
+            "attn": {
+                "q_proj": lin(f"{base}.self_attn.q_proj"),
+                "k_proj": lin(f"{base}.self_attn.k_proj"),
+                "v_proj": lin(f"{base}.self_attn.v_proj"),
+                "o_proj": lin(f"{base}.self_attn.o_proj"),
+            },
+            "input_ln": {"weight": get(f"{base}.input_layernorm.weight")},
+            "post_ln": {"weight": get(f"{base}.post_attention_layernorm.weight")},
+            "gate_proj": lin(f"{base}.mlp.gate_proj"),
+            "up_proj": lin(f"{base}.mlp.up_proj"),
+            "down_proj": lin(f"{base}.mlp.down_proj"),
+        }
+    return {"params": params}

@@ -1,0 +1,271 @@
+"""LLM cross-encoder reranker (bge-reranker-v2-gemma class) in Flax.
+
+TPU-native replacement for FlagEmbedding's FlagLLMReranker
+(reference: src/utils/vllmChatService.py:90, used under a global lock at
+vllmManager.py:450-452). The scoring mechanism is visible in the reference's
+stress harness (experiments/profile/stress_test.py:97-146,219-226):
+
+    input  = [bos] "A: {query}" "\\n" "B: {passage}" "\\n" {instruction}
+    score  = logits[last_token, yes_token_id]
+
+Here the decoder is a Gemma-family causal LM (RMSNorm, RoPE, GQA/MQA,
+GeGLU, tied LM head) scored in batched jitted forwards with fp32 logits at
+each sequence's true last position (so right-padding is fine), replacing the
+lock with a continuous-batching queue (rerank/batcher.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclass(frozen=True)
+class DecoderArch:
+    vocab_size: int = 256_000
+    hidden: int = 2048
+    layers: int = 18
+    heads: int = 8
+    kv_heads: int = 1
+    head_dim: int = 256
+    intermediate: int = 16_384
+    rope_theta: float = 10_000.0
+    rms_eps: float = 1e-6
+    pad_id: int = 0
+    bos_id: int = 2
+    # Gemma scales embeddings by sqrt(hidden) and uses (1+w) RMSNorm.
+    embed_scale: bool = True
+    rms_plus_one: bool = True
+    # Gemma divides q by sqrt(head_dim); some variants use hidden/heads.
+    query_scale: Optional[float] = None
+
+
+DECODER_PRESETS: Dict[str, DecoderArch] = {
+    "tiny-test": DecoderArch(vocab_size=512, hidden=64, layers=2, heads=4,
+                             kv_heads=2, head_dim=16, intermediate=128),
+    # bge-reranker-v2-gemma backbone (google/gemma-2b)
+    "gemma-2b": DecoderArch(),
+    # bge-reranker-v2-minicpm-layerwise-class sizes could be added similarly.
+}
+
+
+class RMSNorm(nn.Module):
+    eps: float
+    plus_one: bool
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        x = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(var + self.eps)
+        w = self.param("weight", nn.initializers.zeros, (x.shape[-1],))
+        scale = (1.0 + w) if self.plus_one else w
+        return (x * scale).astype(dtype)
+
+
+def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary position embedding over the last dim ([B, T, H, D])."""
+    d = x.shape[-1]
+    half = d // 2
+    freq = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[..., None].astype(jnp.float32) * freq  # [B, T, half]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+class _Attention(nn.Module):
+    arch: DecoderArch
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, mask, positions):
+        a = self.arch
+        b, t, _ = x.shape
+        q = nn.Dense(a.heads * a.head_dim, use_bias=False, dtype=self.dtype,
+                     name="q_proj")(x).reshape(b, t, a.heads, a.head_dim)
+        k = nn.Dense(a.kv_heads * a.head_dim, use_bias=False, dtype=self.dtype,
+                     name="k_proj")(x).reshape(b, t, a.kv_heads, a.head_dim)
+        v = nn.Dense(a.kv_heads * a.head_dim, use_bias=False, dtype=self.dtype,
+                     name="v_proj")(x).reshape(b, t, a.kv_heads, a.head_dim)
+
+        q = rope(q, positions, a.rope_theta)
+        k = rope(k, positions, a.rope_theta)
+
+        rep = a.heads // a.kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+        scale = a.query_scale or (a.head_dim ** -0.5)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        full_mask = causal[None, None] & mask[:, None, None, :]
+        scores = jnp.where(full_mask, scores, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, -1)
+        return nn.Dense(a.hidden, use_bias=False, dtype=self.dtype,
+                        name="o_proj")(ctx)
+
+
+class _Block(nn.Module):
+    arch: DecoderArch
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, mask, positions):
+        a = self.arch
+        h = RMSNorm(a.rms_eps, a.rms_plus_one, name="input_ln")(x)
+        x = x + _Attention(a, self.dtype, name="attn")(h, mask, positions)
+        h = RMSNorm(a.rms_eps, a.rms_plus_one, name="post_ln")(x)
+        gate = nn.Dense(a.intermediate, use_bias=False, dtype=self.dtype,
+                        name="gate_proj")(h)
+        up = nn.Dense(a.intermediate, use_bias=False, dtype=self.dtype,
+                      name="up_proj")(h)
+        h = nn.gelu(gate, approximate=True) * up
+        h = nn.Dense(a.hidden, use_bias=False, dtype=self.dtype,
+                     name="down_proj")(h)
+        return x + h
+
+
+class FlaxDecoderLM(nn.Module):
+    """Causal LM returning fp32 logits for selected vocabulary columns."""
+
+    arch: DecoderArch
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, logit_ids=None):
+        a = self.arch
+        mask = attention_mask.astype(bool)
+        embed = nn.Embed(a.vocab_size, a.hidden, dtype=self.dtype,
+                         name="embed_tokens")
+        x = embed(input_ids)
+        if a.embed_scale:
+            x = x * jnp.asarray(math.sqrt(a.hidden), self.dtype)
+        positions = jnp.cumsum(attention_mask, axis=-1) - 1
+        positions = jnp.maximum(positions, 0)
+        for i in range(a.layers):
+            x = _Block(a, self.dtype, name=f"layer_{i}")(x, mask, positions)
+        x = RMSNorm(a.rms_eps, a.rms_plus_one, name="final_ln")(x)
+        x = x.astype(jnp.float32)
+        table = embed.embedding.astype(jnp.float32)
+        if logit_ids is not None:
+            table = table[jnp.asarray(logit_ids)]
+        return jnp.einsum("btd,vd->btv", x, table)
+
+
+def yes_logit_score(module, params, input_ids, attention_mask, yes_id):
+    """score[i] = logits[i, last_real_token_i, yes_id] (fp32).
+
+    Computing at the true last position makes right-padding safe (the
+    reference relies on tokenizer left-padding + logits[:, -1],
+    stress_test.py:226)."""
+    logits = module.apply(params, input_ids, attention_mask,
+                          logit_ids=jnp.asarray([yes_id]))
+    last = jnp.maximum(attention_mask.sum(axis=-1) - 1, 0)
+    return logits[jnp.arange(logits.shape[0]), last, 0]
+
+
+_RERANK_PROMPT = ("Given a query A and a passage B, determine whether the "
+                  "passage contains an answer to the query by providing a "
+                  "prediction of either 'Yes' or 'No'.")
+
+
+class CrossEncoderReranker:
+    """Batched (query, passage) scorer with the FlagLLMReranker API.
+
+    ``compute_score(pairs, batch_size=8)`` matches the reference call site
+    (vllmManager.py:450-452). Sequences are length-bucketed to bound
+    recompilation; logits are computed only for the yes-token column.
+    """
+
+    def __init__(
+        self,
+        preset: str = "tiny-test",
+        arch: Optional[DecoderArch] = None,
+        params: Optional[Any] = None,
+        tokenizer=None,
+        dtype: Any = jnp.float32,
+        query_max_length: int = 512,
+        passage_max_length: int = 1024,
+        seed: int = 0,
+    ) -> None:
+        self.arch = arch or DECODER_PRESETS[preset]
+        self.module = FlaxDecoderLM(self.arch, dtype=dtype)
+        self.query_max_length = query_max_length
+        self.passage_max_length = passage_max_length
+        if tokenizer is None:
+            from .tokenizer import HashTokenizer
+
+            tokenizer = HashTokenizer(self.arch.vocab_size,
+                                      pad_id=self.arch.pad_id)
+        self.tokenizer = tokenizer
+        self.yes_id = self._token_id("Yes")
+        self._prompt_ids = self._encode_raw(_RERANK_PROMPT)
+        self._sep_ids = self._encode_raw("\n")
+        if params is None:
+            ids = jnp.zeros((1, 16), jnp.int32)
+            params = self.module.init(jax.random.PRNGKey(seed), ids,
+                                      jnp.ones_like(ids))
+        self.params = params
+        self._score = jax.jit(
+            lambda p, ids, mask: yes_logit_score(
+                self.module, p, ids, mask, self.yes_id))
+
+    # -- tokenization helpers -------------------------------------------
+    def _token_id(self, text: str) -> int:
+        hf = getattr(self.tokenizer, "hf", None)
+        if hf is not None:
+            return hf(text, add_special_tokens=False)["input_ids"][0]
+        return self.tokenizer.token_id(text)
+
+    def _encode_raw(self, text: str) -> List[int]:
+        hf = getattr(self.tokenizer, "hf", None)
+        if hf is not None:
+            return hf(text, add_special_tokens=False)["input_ids"]
+        from .tokenizer import basic_tokens
+
+        return [self.tokenizer.token_id(t) for t in basic_tokens(text)]
+
+    def encode_pair(self, query: str, passage: str) -> List[int]:
+        """[bos] 'A: {q}' \\n 'B: {p}' \\n {instruction}
+        (format: stress_test.py:97-131; lengths: train_bge_rr.sh:20-21)."""
+        q_ids = self._encode_raw(f"A: {query}")[: self.passage_max_length * 3 // 4]
+        p_ids = self._encode_raw(f"B: {passage}")
+        budget = self.passage_max_length - len(q_ids) - 1 - len(self._sep_ids)
+        p_ids = p_ids[: max(budget, 0)]
+        return ([self.arch.bos_id] + q_ids + self._sep_ids + p_ids
+                + self._sep_ids + self._prompt_ids)
+
+    # -- scoring ---------------------------------------------------------
+    def score_tokens(self, rows: List[List[int]]) -> np.ndarray:
+        if not rows:
+            return np.zeros((0,), np.float32)
+        seq = max(len(r) for r in rows)
+        bucket = 1 << max(4, (seq - 1).bit_length())
+        ids = np.full((len(rows), bucket), self.arch.pad_id, np.int32)
+        mask = np.zeros((len(rows), bucket), np.int32)
+        for i, r in enumerate(rows):
+            ids[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+        out = self._score(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(out, np.float32)
+
+    def compute_score(self, pairs: List[List[str]], batch_size: int = 8) -> List[float]:
+        rows = [self.encode_pair(q, p) for q, p in pairs]
+        scores: List[float] = []
+        for i in range(0, len(rows), batch_size):
+            scores.extend(self.score_tokens(rows[i: i + batch_size]).tolist())
+        return scores
