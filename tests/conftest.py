@@ -7,12 +7,9 @@ Must run before jax is imported anywhere.
 
 import os
 
+# Platform forcing (CPU, 8 virtual devices) happens in pytest_force_cpu.py,
+# loaded via pytest.ini addopts BEFORE output capture starts.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import json
 import random
@@ -24,6 +21,9 @@ import pytest
 # XLA-CPU's oneDNN matmul path trades precision for speed (~1e-3 rel error),
 # which breaks fp32 parity assertions; force true fp32 math in tests.
 jax.config.update("jax_default_matmul_precision", "highest")
+if jax.default_backend() == "cpu" and len(jax.devices()) < 8:
+    # ensure the 8-device virtual CPU mesh even if XLA_FLAGS was ignored
+    jax.config.update("jax_num_cpu_devices", 8)
 
 from veritasfi_tpu.ingest.contract import load_processed_dir
 

@@ -129,6 +129,12 @@ def load_gemma_params(state: Mapping[str, Any], arch) -> Dict[str, Any]:
     def lin(name: str) -> Dict[str, np.ndarray]:
         return {"kernel": get(f"{name}.weight").T}
 
+    def attn_lin(name: str) -> Dict[str, Any]:
+        # with LoRA enabled, the frozen base kernel nests under "base"
+        if getattr(arch, "lora_rank", 0) > 0:
+            return {"base": lin(name)}
+        return lin(name)
+
     params: Dict[str, Any] = {
         "embed_tokens": {"embedding": get("embed_tokens.weight")},
         # our RMSNorm stores w with effective scale (1 + w), matching Gemma
@@ -138,10 +144,10 @@ def load_gemma_params(state: Mapping[str, Any], arch) -> Dict[str, Any]:
         base = f"layers.{i}"
         params[f"layer_{i}"] = {
             "attn": {
-                "q_proj": lin(f"{base}.self_attn.q_proj"),
-                "k_proj": lin(f"{base}.self_attn.k_proj"),
-                "v_proj": lin(f"{base}.self_attn.v_proj"),
-                "o_proj": lin(f"{base}.self_attn.o_proj"),
+                "q_proj": attn_lin(f"{base}.self_attn.q_proj"),
+                "k_proj": attn_lin(f"{base}.self_attn.k_proj"),
+                "v_proj": attn_lin(f"{base}.self_attn.v_proj"),
+                "o_proj": attn_lin(f"{base}.self_attn.o_proj"),
             },
             "input_ln": {"weight": get(f"{base}.input_layernorm.weight")},
             "post_ln": {"weight": get(f"{base}.post_attention_layernorm.weight")},

@@ -44,6 +44,10 @@ class DecoderArch:
     rms_plus_one: bool = True
     # Gemma divides q by sqrt(head_dim); some variants use hidden/heads.
     query_scale: Optional[float] = None
+    # LoRA on q/k/v/o projections (reference training recipe: r=32 alpha=64
+    # on q,k,v,o_proj — train_bge_rr.sh:10-17). 0 disables.
+    lora_rank: int = 0
+    lora_alpha: float = 64.0
 
 
 DECODER_PRESETS: Dict[str, DecoderArch] = {
@@ -85,6 +89,31 @@ def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
     return out.astype(x.dtype)
 
 
+class LoRADense(nn.Module):
+    """Dense with an optional low-rank adapter: y = xW + (x A) B * alpha/r.
+
+    A ~ N(0, 0.02), B = 0 at init, so training starts from the base model.
+    """
+
+    features: int
+    rank: int
+    alpha: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                     name="base")(x)
+        if self.rank > 0:
+            a = self.param("lora_a", nn.initializers.normal(0.02),
+                           (x.shape[-1], self.rank))
+            b = self.param("lora_b", nn.initializers.zeros,
+                           (self.rank, self.features))
+            scale = self.alpha / self.rank
+            y = y + (x @ a.astype(self.dtype)) @ b.astype(self.dtype) * scale
+        return y
+
+
 class _Attention(nn.Module):
     arch: DecoderArch
     dtype: Any
@@ -93,12 +122,20 @@ class _Attention(nn.Module):
     def __call__(self, x, mask, positions):
         a = self.arch
         b, t, _ = x.shape
-        q = nn.Dense(a.heads * a.head_dim, use_bias=False, dtype=self.dtype,
-                     name="q_proj")(x).reshape(b, t, a.heads, a.head_dim)
-        k = nn.Dense(a.kv_heads * a.head_dim, use_bias=False, dtype=self.dtype,
-                     name="k_proj")(x).reshape(b, t, a.kv_heads, a.head_dim)
-        v = nn.Dense(a.kv_heads * a.head_dim, use_bias=False, dtype=self.dtype,
-                     name="v_proj")(x).reshape(b, t, a.kv_heads, a.head_dim)
+
+        def proj(features, name):
+            if a.lora_rank > 0:
+                return LoRADense(features, a.lora_rank, a.lora_alpha,
+                                 self.dtype, name=name)
+            return nn.Dense(features, use_bias=False, dtype=self.dtype,
+                            name=name)
+
+        q = proj(a.heads * a.head_dim, "q_proj")(x).reshape(
+            b, t, a.heads, a.head_dim)
+        k = proj(a.kv_heads * a.head_dim, "k_proj")(x).reshape(
+            b, t, a.kv_heads, a.head_dim)
+        v = proj(a.kv_heads * a.head_dim, "v_proj")(x).reshape(
+            b, t, a.kv_heads, a.head_dim)
 
         q = rope(q, positions, a.rope_theta)
         k = rope(k, positions, a.rope_theta)
@@ -115,8 +152,7 @@ class _Attention(nn.Module):
         scores = jnp.where(full_mask, scores, jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, -1)
-        return nn.Dense(a.hidden, use_bias=False, dtype=self.dtype,
-                        name="o_proj")(ctx)
+        return proj(a.hidden, "o_proj")(ctx)
 
 
 class _Block(nn.Module):

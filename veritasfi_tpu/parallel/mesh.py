@@ -1,0 +1,121 @@
+"""Device mesh construction and ICI-sharded retrieval collectives.
+
+The reference has no first-party distributed layer at all — its only
+multi-device constructs are per-GPU process pools (reference:
+experiments/retriever/step3_mul.py:406-431) and torchrun with one process
+(train_bge_rr.sh:7). This module is the TPU-native first-class equivalent
+(SURVEY.md §5.8): a mesh over ICI (intra-slice) / DCN (multi-slice), the
+corpus embedding matrix sharded over a 'corpus' axis, and a distributed
+exact top-k whose results are bit-identical to the single-shard kernel.
+
+Collective design: per-shard matmul + local top-k (each shard streams only
+its rows from HBM), then one small all_gather of [shards, Q, k] candidates
+over ICI and a lexicographic (score desc, index asc) merge — the all_gather
+payload is k candidates per shard, not corpus rows, so ICI traffic is
+O(shards * Q * k), independent of corpus size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axis_sizes: Sequence[Tuple[str, int]],
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a Mesh from ordered (axis, size) pairs; sizes must multiply to
+    the device count (use -1 once for 'remaining devices')."""
+    devices = list(devices if devices is not None else jax.devices())
+    names = [a for a, _ in axis_sizes]
+    sizes = [s for _, s in axis_sizes]
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = len(devices) // known
+    if int(np.prod(sizes)) != len(devices):
+        raise ValueError(f"mesh {dict(zip(names, sizes))} != {len(devices)} devices")
+    mesh_devices = np.asarray(devices).reshape(sizes)
+    return Mesh(mesh_devices, tuple(names))
+
+
+def corpus_sharding(mesh: Mesh, axis: str = "corpus") -> NamedSharding:
+    return NamedSharding(mesh, P(axis, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_corpus(embeddings: np.ndarray, mesh: Mesh,
+                 axis: str = "corpus") -> Tuple[jax.Array, int]:
+    """Pad the corpus to a multiple of the axis size and place shards across
+    devices. Returns (sharded array, original row count). Pad rows are
+    zero vectors — score 0 against any normalized query, and the merge
+    masks them out by index."""
+    shards = mesh.shape[axis]
+    n = embeddings.shape[0]
+    padded_n = -(-n // shards) * shards
+    if padded_n != n:
+        embeddings = np.concatenate(
+            [embeddings,
+             np.zeros((padded_n - n, embeddings.shape[1]), embeddings.dtype)],
+            axis=0)
+    arr = jax.device_put(embeddings, corpus_sharding(mesh, axis))
+    return arr, n
+
+
+def _lex_topk(scores: jax.Array, idx: jax.Array, k: int
+              ) -> Tuple[jax.Array, jax.Array]:
+    """Top-k by (score desc, index asc) — exact tie-break via lexicographic
+    lax.sort, so distributed merges are bit-identical to single-shard
+    ordering (SURVEY.md §7.3 'stable ordering' requirement)."""
+    neg = -scores
+    sorted_neg, sorted_idx = jax.lax.sort((neg, idx), num_keys=2)
+    return -sorted_neg[..., :k], sorted_idx[..., :k]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "axis", "mesh", "valid_n"))
+def _distributed_topk_impl(corpus, queries, k, mesh, axis, valid_n):
+    shards = mesh.shape[axis]
+    per_shard = corpus.shape[0] // shards
+    local_k = min(k, per_shard)   # a shard can hold fewer rows than k
+
+    def local(corpus_shard, q):
+        s = jnp.matmul(q, corpus_shard.T,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+        offset = jax.lax.axis_index(axis) * per_shard
+        local_idx = jnp.arange(per_shard, dtype=jnp.int32) + offset
+        # mask pad rows (global index >= valid_n)
+        s = jnp.where(local_idx[None, :] < valid_n, s, -jnp.inf)
+        ls, li = _lex_topk(s, jnp.broadcast_to(local_idx, s.shape), local_k)
+        # gather all shards' candidates: [shards, Q, local_k]
+        all_s = jax.lax.all_gather(ls, axis)
+        all_i = jax.lax.all_gather(li, axis)
+        q_n = q.shape[0]
+        cat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(q_n, shards * local_k)
+        cat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(q_n, shards * local_k)
+        return _lex_topk(cat_s, cat_i, k)
+
+    # outputs are replicated by construction (identical all_gather + merge on
+    # every shard) but VMA inference can't prove it, hence check_vma=False
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(corpus, queries)
+
+
+def distributed_topk(corpus_sharded: jax.Array, queries: jax.Array, k: int,
+                     mesh: Mesh, valid_n: int, axis: str = "corpus"
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over an ICI-sharded corpus; ordering bit-identical to the
+    single-device kernel (score desc, index asc)."""
+    k = min(k, valid_n)
+    return _distributed_topk_impl(corpus_sharded, queries, k, mesh, axis,
+                                  valid_n)
