@@ -1,0 +1,151 @@
+"""End-to-end retrieve+rerank latency benchmark (single chip).
+
+Measures the designated hot path on real hardware: query+HyDE encoding ->
+batched dense top-k (depth 2048) over a 10k-chunk corpus -> title-summary
+path -> host BM25 -> fusion -> cross-encoder rerank (bge-reranker-base
+shape, top candidates) -> similarity dedup + bundle-capped selection.
+
+Reference baseline: 4.0 s retrieve+rerank per sub-query on one GPU behind a
+global reranker lock (BASELINE.md, stress_theory.js:5). Target: <50 ms p50
+on one v5e chip (BASELINE.json north star).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import statistics
+import time
+
+import numpy as np
+
+REFERENCE_RETRIEVE_RERANK_MS = 4000.0
+
+
+def make_synth_corpus(n, rng):
+    """Synthetic processed-corpus records (finance-flavored text)."""
+    from veritasfi_tpu.ingest.contract import ChunkRecord, hash_content
+
+    words = ["revenue", "margin", "delivery", "vehicles", "stores", "europe",
+             "china", "quarter", "growth", "cash", "flow", "battery",
+             "premium", "segment", "guidance", "capex"] + [
+        f"tok{i}" for i in range(500)]
+    records = []
+    for i in range(n):
+        body = " ".join(rng.choice(words, size=160))
+        content = f"chunk {i}: {body}"
+        records.append(ChunkRecord(
+            content=content, filename=f"f{i % 40}.json",
+            page_number=i % 300 + 1,
+            date_published=f"202{i % 4}-0{i % 9 + 1}-15",
+            doc_id=hash_content(content), global_id=i,
+            bundle_id=f"b{i // 4}" if i % 16 < 4 else None,
+            title_summary=f"Topic {i % 512}" if i % 2 == 0 else None,
+        ))
+    titles = sorted({r.title_summary for r in records if r.title_summary})
+    return records, titles
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--corpus-size", type=int, default=10_000)
+    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--rerank-pairs", type=int, default=50,
+                        help="cap on reranked candidates (BASELINE config #3:"
+                             " bge-reranker-base scoring top-50 per query);"
+                             " 0 = rerank everything retrieval returns")
+    parser.add_argument("--seq", type=int, default=256)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from veritasfi_tpu.ingest.corpus import build_corpus_index, normalize_rows
+    from veritasfi_tpu.models.encoder import TextEncoder
+    from veritasfi_tpu.models.encoder_reranker import EncoderReranker
+    from veritasfi_tpu.rerank.fusion import (chunk_time_scores, rank_chunk,
+                                             select_content)
+    from veritasfi_tpu.retrieval.bm25 import BM25Index
+    from veritasfi_tpu.retrieval.ensemble import EnsembleRetriever
+
+    rng = np.random.default_rng(0)
+    records, titles = make_synth_corpus(args.corpus_size, rng)
+
+    # corpus embeddings: random normalized rows (the bulk-embed ingest job is
+    # offline; query-time latency is what we measure)
+    dim = 384  # bge-small embedding dim (BASELINE config #1)
+    index = build_corpus_index(records, titles, embed_fn=None)
+    index.embeddings = normalize_rows(
+        rng.normal(size=(index.num_chunks, dim)).astype(np.float32))
+    index.ts_embeddings = normalize_rows(
+        rng.normal(size=(len(titles), dim)).astype(np.float32))
+    bm25 = BM25Index.build(index.texts, index.doc_ids)
+
+    encoder = TextEncoder(preset="bge-small-en", dtype=jnp.bfloat16,
+                          max_length=256)
+    engine = EnsembleRetriever(index, encoder.encode, bm25=bm25, k=10,
+                               enable_expand=True, depth=2048,
+                               encoder=encoder)
+    reranker = EncoderReranker(preset="bge-reranker-base",
+                               dtype=jnp.bfloat16,
+                               passage_max_length=args.seq)
+
+    query = "What was the quarterly revenue growth and delivery guidance?"
+    hyde = [
+        "Revenue grew strongly in the quarter driven by premium segment "
+        "deliveries across china and europe with improved margin guidance.",
+        "[Table Level] Table Title: quarterly revenue. Row 1: Q1 revenue "
+        "growth. Row 2: delivery volumes by region and segment.",
+        "Cash flow and capex guidance improved with battery cost declines "
+        "and store expansion across europe markets.",
+    ]
+
+    # pre-tokenize corpus passages (static text; done once at index load)
+    for text in index.texts:
+        reranker.tokenize_passage(text)
+
+    def one_query(q, hy):
+        chunks = engine.invoke(q, hy)
+        if args.rerank_pairs:
+            chunks = chunks[: args.rerank_pairs]
+        rows = reranker.encode_pairs_cached(
+            q, [c["page_content"] for c in chunks])
+        emb = index.embeddings[[c["_row"] for c in chunks]]
+        scores, sim = reranker.score_and_sim(rows, emb)
+        tscores = chunk_time_scores(chunks, "2024-06-01")
+        sel = rank_chunk(chunks, scores, tscores, sim, chunk_topk=5)
+        content, times, selected = select_content(chunks, sel)
+        return len(chunks), len(selected)
+
+    # warmup (compiles)
+    for _ in range(args.warmup):
+        n_chunks, n_sel = one_query(query, hyde)
+
+    latencies = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        one_query(query, hyde)
+        latencies.append((time.perf_counter() - t0) * 1000.0)
+
+    p50 = statistics.median(latencies)
+    result = {
+        "metric": "retrieve_rerank_p50",
+        "value": round(p50, 3),
+        "unit": "ms",
+        "vs_baseline": round(REFERENCE_RETRIEVE_RERANK_MS / p50, 2),
+        "detail": {
+            "corpus_size": args.corpus_size,
+            "device": str(jax.devices()[0]),
+            "p90_ms": round(sorted(latencies)[int(0.9 * len(latencies))], 3),
+            "mean_ms": round(statistics.mean(latencies), 3),
+            "candidates": n_chunks,
+            "selected": n_sel,
+            "queries_per_batch": 1 + len(hyde),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""RAGEngine — index/collection management facade (L2).
+
+Capability parity with the reference RAGManager singleton
+(reference: src/utils/ragManager.py): owns the embedding model, creates
+per-collection index pairs (content + title-summary), exposes a retriever
+factory and document access, and supports eager ``collections={name: k}``
+initialization populating ``_retrievers``.
+
+TPU-native storage: a collection is a CorpusIndex directory (embedding
+matrix shards + metadata arrays + text store) plus a BM25 directory — not a
+Chroma database. Ingestion is a bulk batched encoder job; rebuilds are
+explicit (the reference rm -rf's the persist dir, load_data.py:143-144).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .config import Config
+from .ingest.contract import load_processed_dir
+from .ingest.corpus import CorpusIndex, build_corpus_index
+from .retrieval.bm25 import BM25Index
+from .retrieval.ensemble import EnsembleRetriever
+from .utils.profiler import profiler
+
+logger = logging.getLogger(__name__)
+
+
+class RAGEngine:
+    def __init__(self, config: Optional[Config] = None, embed_fn=None,
+                 collections: Optional[Dict[str, int]] = None) -> None:
+        self.config = config or Config()
+        if embed_fn is None:
+            embed_fn = self._load_encoder()
+        self.embed_fn = embed_fn
+        self._collections: Dict[str, CorpusIndex] = {}
+        self._bm25: Dict[str, BM25Index] = {}
+        self._retrievers: List[EnsembleRetriever] = []
+        if collections:
+            for name, top_k in collections.items():
+                self.load_collection(name)
+                self._retrievers.append(self.create_retriever(top_k, name))
+
+    # ------------------------------------------------------------------
+    def _load_encoder(self):
+        """Encoder selection: local HF checkpoint dir > named preset with
+        random init > lexical hash embedder."""
+        name = self.config.encoder.model_name
+        if os.path.isdir(name):
+            from .models.hf_loader import load_encoder_from_dir
+
+            return load_encoder_from_dir(name).encode
+        from .models.encoder import ENCODER_PRESETS, TextEncoder
+
+        if name in ENCODER_PRESETS:
+            import jax.numpy as jnp
+
+            dtype = (jnp.bfloat16 if self.config.encoder.dtype == "bfloat16"
+                     else jnp.float32)
+            enc = TextEncoder(preset=name, dtype=dtype,
+                              max_length=self.config.encoder.max_length)
+            logger.warning(
+                "encoder '%s' initialized with random weights (no local "
+                "checkpoint found) — retrieval quality is lexical-only", name)
+            return enc.encode
+        from .models.hash_embedder import HashEmbedder
+
+        logger.warning("unknown encoder '%s'; using HashEmbedder", name)
+        return HashEmbedder(dim=256).encode
+
+    # -- paths -----------------------------------------------------------
+    def _collection_dir(self, name: str) -> str:
+        return os.path.join(self.config.persist_directory, "collections", name)
+
+    def _bm25_dir(self, name: str) -> str:
+        return os.path.join(self.config.persist_directory, "bm25_index", name)
+
+    # -- ingestion ---------------------------------------------------------
+    @profiler.profile_function(name="ingest")
+    def create_collection(self, name: str, source_dir: str,
+                          ignore_range: bool = False,
+                          reset: bool = True) -> CorpusIndex:
+        """Ingest a processed-PDF JSON dir into a persisted collection
+        (ingest -> dedup/link -> bulk embed -> BM25 index; reference call
+        stack: load_data.py:132-169)."""
+        if reset:
+            for d in (self._collection_dir(name), self._bm25_dir(name)):
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+        records, titles = load_processed_dir(source_dir,
+                                             ignore_range=ignore_range)
+        index = build_corpus_index(
+            records, titles, embed_fn=self.embed_fn,
+            batch_size=self.config.encoder.batch_size)
+        index.save(self._collection_dir(name))
+        bm25 = BM25Index.build(index.texts, index.doc_ids)
+        bm25.save(self._bm25_dir(name))
+        self._collections[name] = index
+        self._bm25[name] = bm25
+        logger.info("collection %s: %d chunks, %d titles, %d bundles",
+                    name, index.num_chunks, len(index.title_texts),
+                    len(index.bundle_names))
+        return index
+
+    def load_collection(self, name: str) -> CorpusIndex:
+        if name not in self._collections:
+            self._collections[name] = CorpusIndex.load(
+                self._collection_dir(name))
+            self._bm25[name] = BM25Index.load(self._bm25_dir(name))
+        return self._collections[name]
+
+    def register_collection(self, name: str, index: CorpusIndex,
+                            bm25: Optional[BM25Index] = None) -> None:
+        """Register an in-memory collection (tests, synthetic benches)."""
+        self._collections[name] = index
+        if bm25 is not None:
+            self._bm25[name] = bm25
+
+    # -- access (reference: ragManager.py:87-114) ---------------------------
+    def get_collection(self, name: str) -> CorpusIndex:
+        return self._collections[name]
+
+    def get_collection_documents(self, name: str,
+                                 ids: Optional[List[str]] = None):
+        index = self._collections[name]
+        if ids is None:
+            rows = range(index.num_chunks)
+        else:
+            doc_index = index.doc_index()
+            rows = [doc_index[d] for d in ids]
+        return [{"page_content": index.texts[r], "metadata": index.metadata(r)}
+                for r in rows]
+
+    def create_retriever(self, k: int, name: str,
+                         retriever_type: str = "ensemble",
+                         **kwargs) -> EnsembleRetriever:
+        index = self._collections[name]
+        r = self.config.retrieval
+        return EnsembleRetriever(
+            index, self.embed_fn, bm25=self._bm25.get(name), k=k,
+            faiss_k=kwargs.get("faiss_k", r.faiss_k),
+            bm25_k=kwargs.get("bm25_k", r.bm25_k),
+            faiss_ts_k=kwargs.get("faiss_ts_k", r.faiss_ts_k),
+            enable_expand=kwargs.get("enable_expand", r.enable_expand),
+            depth=r.depth,
+            expand_trigger=r.expand_trigger,
+            expand_accept=r.expand_accept,
+            expand_max_chunks=r.expand_max_chunks,
+        )

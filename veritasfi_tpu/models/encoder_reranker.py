@@ -1,0 +1,228 @@
+"""Encoder-class cross-encoder reranker (bge-reranker-base/large family).
+
+The reference's production reranker is the LLM-based bge-reranker-v2-gemma
+(models/reranker.py), but the BGE reranker family also ships encoder-class
+cross-encoders (XLM-RoBERTa + 1-logit classification head) that are ~10x
+cheaper per pair — BASELINE config #3 benchmarks exactly this
+("bge-reranker-base scoring top-50 candidates per query, continuous
+batching"). Same ``compute_score(pairs, batch_size)`` surface as
+FlagReranker, so it is a drop-in scorer for the serving stack.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .encoder import ENCODER_PRESETS, EncoderArch, _Layer
+
+
+RERANKER_ENCODER_PRESETS: Dict[str, EncoderArch] = {
+    "tiny-test": ENCODER_PRESETS["tiny-test"],
+    # BAAI/bge-reranker-base (XLM-RoBERTa base)
+    "bge-reranker-base": EncoderArch(
+        vocab_size=250002, hidden=768, layers=12, heads=12,
+        intermediate=3072, max_positions=514, type_vocab=1, pad_id=1,
+        pos_offset=2, layer_norm_eps=1e-5),
+    # BAAI/bge-reranker-large (XLM-RoBERTa large)
+    "bge-reranker-large": EncoderArch(
+        vocab_size=250002, hidden=1024, layers=24, heads=16,
+        intermediate=4096, max_positions=514, type_vocab=1, pad_id=1,
+        pos_offset=2, layer_norm_eps=1e-5),
+}
+
+
+class FlaxCrossEncoderClassifier(nn.Module):
+    """Encoder backbone + XLM-R classification head -> one relevance logit.
+
+    Head layout matches XLMRobertaForSequenceClassification(num_labels=1):
+    dense(hidden) -> tanh -> out_proj(1) on the CLS state.
+    """
+
+    arch: EncoderArch
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask):
+        a = self.arch
+        mask = attention_mask.astype(bool)
+        emb = nn.Embed(a.vocab_size, a.hidden, dtype=self.dtype,
+                       name="word_embeddings")(input_ids)
+        if a.pos_offset:
+            positions = jnp.cumsum(attention_mask, axis=-1) * attention_mask
+            positions = positions + (a.pos_offset - 1) * attention_mask
+        else:
+            positions = jnp.broadcast_to(
+                jnp.arange(input_ids.shape[-1]), input_ids.shape)
+        emb = emb + nn.Embed(a.max_positions, a.hidden, dtype=self.dtype,
+                             name="position_embeddings")(positions)
+        emb = emb + nn.Embed(a.type_vocab, a.hidden, dtype=self.dtype,
+                             name="token_type_embeddings")(
+            jnp.zeros_like(input_ids))
+        x = nn.LayerNorm(epsilon=a.layer_norm_eps, dtype=jnp.float32,
+                         name="embeddings_ln")(emb).astype(self.dtype)
+        for i in range(a.layers):
+            x = _Layer(a, self.dtype, name=f"layer_{i}")(x, mask)
+        cls = x[..., 0, :].astype(jnp.float32)
+        h = nn.Dense(a.hidden, dtype=jnp.float32, name="head_dense")(cls)
+        h = jnp.tanh(h)
+        return nn.Dense(1, dtype=jnp.float32, name="head_out")(h)[..., 0]
+
+
+class EncoderReranker:
+    """FlagReranker-compatible scorer on the encoder cross-encoder."""
+
+    def __init__(
+        self,
+        preset: str = "tiny-test",
+        arch: Optional[EncoderArch] = None,
+        params: Optional[Any] = None,
+        tokenizer=None,
+        dtype: Any = jnp.float32,
+        query_max_length: int = 512,
+        passage_max_length: int = 1024,
+        seed: int = 0,
+    ) -> None:
+        self.arch = arch or RERANKER_ENCODER_PRESETS[preset]
+        self.module = FlaxCrossEncoderClassifier(self.arch, dtype=dtype)
+        self.query_max_length = query_max_length
+        self.passage_max_length = passage_max_length
+        if tokenizer is None:
+            from .tokenizer import HashTokenizer
+
+            tokenizer = HashTokenizer(self.arch.vocab_size,
+                                      pad_id=self.arch.pad_id)
+        self.tokenizer = tokenizer
+        if params is None:
+            ids = jnp.zeros((1, 16), jnp.int32)
+            params = self.module.init(jax.random.PRNGKey(seed), ids,
+                                      jnp.ones_like(ids))
+        self.params = params
+        self._forward = jax.jit(self.module.apply)
+
+        def _fwd_sim(params, ids, mask, emb):
+            logits = self.module.apply(params, ids, mask)
+            e = emb.astype(jnp.float32)
+            e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True),
+                                1e-12)
+            sim = jnp.matmul(e, e.T, precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+            return logits, sim
+
+        self._forward_sim = jax.jit(_fwd_sim)
+        self._passage_cache: Dict[str, List[int]] = {}
+
+    # -- tokenization -----------------------------------------------------
+    def tokenize_passage(self, passage: str) -> List[int]:
+        """Cached passage-side tokens (corpus texts are static; the host
+        tokenizer is the only per-pair Python work in the hot path)."""
+        ids = self._passage_cache.get(passage)
+        if ids is None:
+            hf = getattr(self.tokenizer, "hf", None)
+            if hf is not None:
+                ids = hf(passage, add_special_tokens=False,
+                         truncation=True,
+                         max_length=self.passage_max_length)["input_ids"]
+            else:
+                from .tokenizer import basic_tokens
+
+                ids = [self.tokenizer.token_id(t)
+                       for t in basic_tokens(passage)]
+                ids = ids[: self.passage_max_length]
+            self._passage_cache[passage] = ids
+        return ids
+
+    def encode_pairs_cached(self, query: str,
+                            passages: List[str]) -> List[List[int]]:
+        """Pair rows with passage tokens served from the cache."""
+        hf = getattr(self.tokenizer, "hf", None)
+        if hf is not None:
+            q_ids = hf(query, add_special_tokens=False, truncation=True,
+                       max_length=self.query_max_length)["input_ids"]
+            cls_id = hf.cls_token_id if hf.cls_token_id is not None else 0
+            sep_id = hf.sep_token_id if hf.sep_token_id is not None else 2
+        else:
+            from .tokenizer import basic_tokens
+
+            q_ids = [self.tokenizer.token_id(t)
+                     for t in basic_tokens(query)][: self.query_max_length]
+            cls_id, sep_id = self.tokenizer.cls_id, self.tokenizer.sep_id
+        budget = self.passage_max_length - len(q_ids) - 3
+        rows = []
+        for p in passages:
+            p_ids = self.tokenize_passage(p)[: max(budget, 0)]
+            rows.append([cls_id] + q_ids + [sep_id] + p_ids + [sep_id])
+        return rows
+
+    # -- fused scoring + similarity ----------------------------------------
+    def score_and_sim(self, rows: List[List[int]], embeddings: np.ndarray
+                      ) -> "tuple[np.ndarray, np.ndarray]":
+        """One device call returning (relevance logits, pairwise cosine of
+        the candidates' retrieval embeddings) — the two inputs of rerank
+        fusion (vllmManager.py:450-462) without separate dispatches."""
+        seq = max(len(r) for r in rows)
+        bucket = 1 << max(4, (seq - 1).bit_length())
+        ids = np.full((len(rows), bucket), self.arch.pad_id, np.int32)
+        mask = np.zeros((len(rows), bucket), np.int32)
+        for i, r in enumerate(rows):
+            ids[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+        logits, sim = self._forward_sim(self.params, jnp.asarray(ids),
+                                        jnp.asarray(mask),
+                                        jnp.asarray(embeddings))
+        logits, sim = jax.device_get((logits, sim))
+        return np.asarray(logits, np.float32), np.asarray(sim, np.float32)
+
+    def encode_pair(self, query: str, passage: str) -> List[int]:
+        hf = getattr(self.tokenizer, "hf", None)
+        if hf is not None:
+            out = hf(query, passage, truncation=True,
+                     max_length=self.passage_max_length)
+            return out["input_ids"]
+        return self.tokenizer.pair(query, passage, self.query_max_length,
+                                   self.passage_max_length
+                                   - self.query_max_length)
+
+    def score_tokens(self, rows: List[List[int]]) -> np.ndarray:
+        if not rows:
+            return np.zeros((0,), np.float32)
+        seq = max(len(r) for r in rows)
+        bucket = 1 << max(4, (seq - 1).bit_length())
+        ids = np.full((len(rows), bucket), self.arch.pad_id, np.int32)
+        mask = np.zeros((len(rows), bucket), np.int32)
+        for i, r in enumerate(rows):
+            ids[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+        out = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(out, np.float32)
+
+    def compute_score(self, pairs: List[List[str]],
+                      batch_size: int = 8) -> List[float]:
+        rows = [self.encode_pair(q, p) for q, p in pairs]
+        scores: List[float] = []
+        for i in range(0, len(rows), batch_size):
+            scores.extend(self.score_tokens(rows[i: i + batch_size]).tolist())
+        return scores
+
+
+def load_encoder_reranker_params(state: Mapping[str, Any],
+                                 arch: EncoderArch) -> Dict[str, Any]:
+    """Map an XLMRobertaForSequenceClassification state dict onto
+    FlaxCrossEncoderClassifier."""
+    from .hf_loader import _np, load_bert_params
+
+    body = load_bert_params(state, arch)["params"]
+
+    def get(name: str) -> np.ndarray:
+        return _np(state[name])
+
+    body["head_dense"] = {"kernel": get("classifier.dense.weight").T,
+                          "bias": get("classifier.dense.bias")}
+    body["head_out"] = {"kernel": get("classifier.out_proj.weight").T,
+                        "bias": get("classifier.out_proj.bias")}
+    return {"params": body}

@@ -30,16 +30,68 @@ TPU-first differences (same observable outputs):
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ingest.corpus import CorpusIndex, normalize_rows
 from ..ops.similarity import cosine_similarity_matrix
+from ..ops.topk import _tie_break
 from ..utils.profiler import profiler
 from .bm25 import BM25Index
 from .dense import DenseRetriever
+
+
+def _search_body(corpus, ts_emb, q_emb, prev_idx, next_idx,
+                 k, ts_k, steps, depth, expand):
+    """One-dispatch multi-path search: dense top-k for every query, title
+    top-k for the original query, and (when expanding) every prev/next-chain
+    neighbor's exact score + depth-cutoff flag — the [Q, N] score matrix is
+    computed once and reused for the rank test, so the whole request is a
+    single device round-trip (the reference makes 2 FAISS calls, an extra
+    query embed, and per-neighbor dict lookups against a 2048-wide list,
+    ensembleRetriever.py:66-109,139)."""
+    scores = jnp.matmul(q_emb, corpus.T,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    top_s, top_i = jax.lax.top_k(_tie_break(scores), k)
+    top_s = jnp.take_along_axis(scores, top_i, axis=-1)
+
+    ts_s, ts_i = jax.lax.top_k(
+        _tie_break(jnp.matmul(q_emb[:1], ts_emb.T,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)), ts_k)
+
+    if not expand:
+        zero_i = jnp.zeros((q_emb.shape[0], 0), jnp.int32)
+        zero_s = jnp.zeros((q_emb.shape[0], 0), jnp.float32)
+        return top_s, top_i, ts_s[0], ts_i[0], zero_i, zero_s
+
+    # neighbor chains of every hit, walked on-device via gathers
+    def walk(table):
+        outs = []
+        cur = top_i
+        for _ in range(steps):
+            nxt = table[jnp.maximum(cur, 0)]
+            cur = jnp.where(cur >= 0, nxt, -1)
+            outs.append(cur)
+        return jnp.concatenate(outs, axis=-1)           # [Q, k*steps]
+
+    cand = jnp.concatenate([walk(prev_idx), walk(next_idx)], axis=-1)
+    safe = jnp.maximum(cand, 0)
+    cand_s = jnp.take_along_axis(scores, safe, axis=-1)  # exact scores
+    # depth cutoff: rank = #{scores > s} computed from the same matrix
+    rank = (scores[:, :, None] > cand_s[:, None, :] + 1e-6).sum(axis=1)
+    eff = jnp.where((cand >= 0) & (rank < depth), cand_s, 0.0)
+    return top_s, top_i, ts_s[0], ts_i[0], cand, eff
+
+
+_fused_search = jax.jit(
+    _search_body,
+    static_argnames=("k", "ts_k", "steps", "depth", "expand"))
 
 
 class EnsembleRetriever:
@@ -57,7 +109,12 @@ class EnsembleRetriever:
         expand_trigger: float = 0.72,
         expand_accept: float = 0.66,
         expand_max_chunks: int = 4,
+        encoder=None,
     ) -> None:
+        """``encoder``: optional models.encoder.TextEncoder. When provided,
+        query embedding runs INSIDE the fused search jit (one device
+        dispatch for embed + dense + title + neighbor paths); otherwise
+        ``embed_fn`` is called on the host first."""
         self.corpus = corpus
         self.embed_fn = embed_fn
         self.faiss_k = faiss_k if faiss_k is not None else k
@@ -78,6 +135,22 @@ class EnsembleRetriever:
         self.bm25 = bm25
         self.num_chunk = corpus.num_chunks
 
+        self.encoder = encoder
+        if encoder is not None:
+            module, max_length = encoder.module, encoder.max_length
+
+            def embed_search_body(params, ids, mask, corpus_emb, ts_emb,
+                                  prev_idx, next_idx, k, ts_k, steps, depth,
+                                  expand):
+                q_emb = module.apply(params, ids, mask)
+                return _search_body(corpus_emb, ts_emb,
+                                    q_emb.astype(jnp.float32), prev_idx,
+                                    next_idx, k, ts_k, steps, depth, expand)
+
+            self._embed_search = jax.jit(
+                embed_search_body,
+                static_argnames=("k", "ts_k", "steps", "depth", "expand"))
+
     # ------------------------------------------------------------------
     @profiler.profile_function(name="retrieve")
     def invoke(self, input: str, hyde_chunks: List[str]) -> List[Dict]:
@@ -86,16 +159,31 @@ class EnsembleRetriever:
         chunk_list: List[Dict] = []
         bundle_cnt = 0
 
-        if self.faiss_k > 0 and self.num_chunk:
+        run_dense = self.faiss_k > 0 and self.num_chunk > 0
+        run_ts = self.faiss_ts_k > 0 and self.ts_dense is not None
+        search = None
+        if run_dense or run_ts:
+            inputs = [input] + list(hyde_chunks)
+            if self.encoder is not None:
+                with profiler.span("fused_search"):
+                    search = self._search_tokens(inputs)
+            else:
+                with profiler.span("embed_queries"):
+                    q_emb = normalize_rows(
+                        np.asarray(self.embed_fn(inputs), np.float32))
+                with profiler.span("fused_search"):
+                    search = self._search(q_emb)
+
+        if run_dense:
             with profiler.span("retrieve_faiss"):
                 bundle_cnt = self._dense_path(
-                    input, hyde_chunks, seen_ids, chunk_list, bundle_cnt
+                    len(inputs), search, seen_ids, chunk_list, bundle_cnt
                 )
 
-        if self.faiss_ts_k > 0 and self.ts_dense is not None:
+        if run_ts:
             with profiler.span("retrieve_faiss_ts"):
                 bundle_cnt = self._title_path(
-                    input, seen_ids, chunk_list, bundle_cnt
+                    search, seen_ids, chunk_list, bundle_cnt
                 )
 
         if self.bm25_k > 0 and self.bm25 is not None:
@@ -106,6 +194,60 @@ class EnsembleRetriever:
 
         profiler.add_metric("retrieved_chunks", len(chunk_list))
         return chunk_list
+
+    # ------------------------------------------------------------------
+    def _search_args(self):
+        k = min(self.faiss_k, self.num_chunk) if self.faiss_k > 0 else 1
+        ts_emb = (self.ts_dense.corpus if self.ts_dense is not None
+                  else self.dense.corpus[:1])
+        ts_k = (min(self.faiss_ts_k, ts_emb.shape[0])
+                if self.faiss_ts_k > 0 else 1)
+        if not hasattr(self, "_prev_dev"):
+            self._prev_dev = jnp.asarray(self.corpus.prev_idx)
+            self._next_dev = jnp.asarray(self.corpus.next_idx)
+        return ts_emb, self._prev_dev, self._next_dev, k, ts_k
+
+    def _post_search(self, out, num_q: int) -> Dict[str, np.ndarray]:
+        top_s, top_i, ts_s, ts_i, cand, eff = jax.device_get(out)
+        tables: List[Dict[int, float]] = []
+        if self.enable_expand:
+            for qi in range(num_q):
+                tables.append({
+                    int(c): float(s)
+                    for c, s in zip(cand[qi], eff[qi]) if c >= 0 and s != 0.0
+                })
+        return {"top_s": top_s, "top_i": top_i, "ts_s": ts_s, "ts_i": ts_i,
+                "neighbor_tables": tables}
+
+    def _search(self, q_emb: np.ndarray) -> Dict[str, np.ndarray]:
+        """One fused device call for all dense paths of this request."""
+        ts_emb, prev_dev, next_dev, k, ts_k = self._search_args()
+        out = _fused_search(
+            self.dense.corpus, ts_emb, jnp.asarray(q_emb), prev_dev, next_dev,
+            k, ts_k, self.expand_max_chunks - 1, self.depth,
+            self.enable_expand)
+        return self._post_search(out, q_emb.shape[0])
+
+    def _search_tokens(self, inputs: List[str]) -> Dict[str, np.ndarray]:
+        """Fused embed+search: tokenize on host, everything else in one
+        device dispatch."""
+        from ..models.encoder import _bucket_length
+
+        enc = self.encoder
+        batch = enc.tokenizer(inputs, enc.max_length)
+        seq = batch["input_ids"].shape[1]
+        bucket = _bucket_length(seq, enc.max_length)
+        pad = bucket - seq
+        ids = np.pad(batch["input_ids"], ((0, 0), (0, pad)),
+                     constant_values=enc.arch.pad_id)
+        mask = np.pad(batch["attention_mask"], ((0, 0), (0, pad)))
+        ts_emb, prev_dev, next_dev, k, ts_k = self._search_args()
+        out = self._embed_search(
+            enc.params, jnp.asarray(ids), jnp.asarray(mask),
+            self.dense.corpus, ts_emb, prev_dev, next_dev,
+            k, ts_k, self.expand_max_chunks - 1, self.depth,
+            self.enable_expand)
+        return self._post_search(out, len(inputs))
 
     # ------------------------------------------------------------------
     def _emit(
@@ -143,24 +285,16 @@ class EnsembleRetriever:
     # ------------------------------------------------------------------
     def _dense_path(
         self,
-        input: str,
-        hyde_chunks: List[str],
+        num_queries: int,
+        search: Dict[str, np.ndarray],
         seen_ids: set,
         chunk_list: List[Dict],
         bundle_cnt: int,
     ) -> int:
-        inputs = [input] + list(hyde_chunks)
-        q_emb = normalize_rows(np.asarray(self.embed_fn(inputs), np.float32))
-        k = min(self.faiss_k, self.num_chunk)
-        scores, idxs = self.dense.search(jnp.asarray(q_emb), k)
-        scores = np.asarray(scores)
-        idxs = np.asarray(idxs)
+        scores, idxs = search["top_s"], search["top_i"]
+        neighbor_score = search["neighbor_tables"] or None
 
-        neighbor_score = None
-        if self.enable_expand:
-            neighbor_score = self._neighbor_score_table(q_emb, idxs)
-
-        for qi in range(len(inputs)):
+        for qi in range(num_queries):
             for idx, score in zip(idxs[qi], scores[qi]):
                 idx = int(idx)
                 if idx in seen_ids:
@@ -211,63 +345,12 @@ class EnsembleRetriever:
             if not flag:
                 break
 
-    def _neighbor_score_table(
-        self, q_emb: np.ndarray, top_idx: np.ndarray
-    ) -> List[Dict[int, float]]:
-        """Exact scores of every prev/next-chain neighbor of every top hit,
-        with the depth cutoff applied — one batched scores_at + rank_of
-        launch replacing the reference's depth-2048 score dict
-        (ensembleRetriever.py:66-68)."""
-        q, k = top_idx.shape
-        steps = self.expand_max_chunks - 1
-        cand: List[List[int]] = []
-        for qi in range(q):
-            rows: List[int] = []
-            for idx in top_idx[qi]:
-                p = int(self.corpus.prev_idx[int(idx)])
-                for _ in range(steps):
-                    if p < 0:
-                        break
-                    rows.append(p)
-                    p = int(self.corpus.prev_idx[p])
-                nx = int(self.corpus.next_idx[int(idx)])
-                for _ in range(steps):
-                    if nx < 0:
-                        break
-                    rows.append(nx)
-                    nx = int(self.corpus.next_idx[nx])
-            cand.append(sorted(set(rows)))
-
-        width = max((len(c) for c in cand), default=0)
-        if width == 0:
-            return [dict() for _ in range(q)]
-        padded = np.zeros((q, width), np.int32)
-        for qi, c in enumerate(cand):
-            if c:
-                padded[qi, : len(c)] = c
-        qj = jnp.asarray(q_emb)
-        ij = jnp.asarray(padded)
-        s = np.asarray(self.dense.scores_at(qj, ij))
-        r = np.asarray(self.dense.rank_of(qj, jnp.asarray(s)))
-        tables: List[Dict[int, float]] = []
-        for qi, c in enumerate(cand):
-            tables.append(
-                {
-                    row: float(s[qi, j])
-                    for j, row in enumerate(c)
-                    if r[qi, j] < self.depth
-                }
-            )
-        return tables
-
     # ------------------------------------------------------------------
     def _title_path(
-        self, input: str, seen_ids: set, chunk_list: List[Dict], bundle_cnt: int
+        self, search: Dict[str, np.ndarray], seen_ids: set,
+        chunk_list: List[Dict], bundle_cnt: int
     ) -> int:
-        q_emb = normalize_rows(np.asarray(self.embed_fn([input]), np.float32))
-        k = min(self.faiss_ts_k, len(self.corpus.title_texts))
-        scores, idxs = self.ts_dense.search(jnp.asarray(q_emb), k)
-        for t_idx, score in zip(np.asarray(idxs)[0], np.asarray(scores)[0]):
+        for t_idx, score in zip(search["ts_i"], search["ts_s"]):
             for idx in self.corpus.title_rows(int(t_idx)):
                 idx = int(idx)
                 if idx in seen_ids:
