@@ -1,0 +1,198 @@
+"""Retrieval-quality evaluation pipeline (offline, 4 stages).
+
+Capability parity with the reference pipeline (SURVEY.md §3.5):
+  1. query rewrite over a dataset (reference:
+     experiments/retriever/query_rewrite.py:59-206 — adds
+     rewritten/query_time/need_rag columns);
+  2. HyDE generation with perplexity = exp(-mean(logprob))
+     (experiments/retriever/step1.py:86-88) and incremental checkpointing
+     (step1.py:126);
+  3. recall collection — EnsembleRetriever dump of chunks/retriever
+     tags/scores per rewritten question (step2_mod.py:52-106);
+  4. hit-rate judging — rank chunks against each evidence by embedding
+     cosine, judge a hit by similarity >= 0.9 / string containment / LLM
+     majority vote (step3_mul.py:111-131,291-353), then aggregate
+     avg_hit_rate / avg_chunk statistics (step3_mul.py:355-378).
+
+TPU-native difference: the reference fans out a multiprocessing pool with
+per-worker GPUs (step3_mul.py:406-431); here evidence/chunk embeddings are
+batched through the jitted encoder on one (or a mesh of) chip(s).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import asdict, dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class RewriteRecord:
+    question: str
+    rewrittens: List[str] = field(default_factory=list)
+    query_time: str = ""
+    need_rag: bool = False
+    hyde: List[str] = field(default_factory=list)
+    perplexity: List[float] = field(default_factory=list)
+    evidences: List[str] = field(default_factory=list)
+    chunks: List[Dict] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: query rewrite
+# ---------------------------------------------------------------------------
+def rewrite_dataset(samples: Sequence[Dict], chat_manager,
+                    checkpoint_path: Optional[str] = None
+                    ) -> List[RewriteRecord]:
+    """Adds rewrittens/query_time/need_rag via the 3-line protocol."""
+    out: List[RewriteRecord] = []
+    for sample in samples:
+        rec = RewriteRecord(question=sample["question"],
+                            evidences=list(sample.get("evidences", [])))
+        rec.rewrittens = chat_manager.if_query_rag(rec.question, "")
+        rec.query_time = chat_manager.query_time.strftime("%Y-%m-%d")
+        rec.need_rag = chat_manager.need_rag
+        out.append(rec)
+        if checkpoint_path:
+            _save_records(out, checkpoint_path)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: HyDE + perplexity
+# ---------------------------------------------------------------------------
+def calculate_perplexity(logprobs: Sequence[float]) -> float:
+    """exp(-mean(logprob)) (reference step1.py:86-88)."""
+    if not logprobs:
+        return float("inf")
+    return float(np.exp(-np.mean(logprobs)))
+
+
+def hyde_with_perplexity(records: List[RewriteRecord], chat_manager,
+                         logprob_fn: Optional[Callable[[str], List[float]]] = None,
+                         checkpoint_path: Optional[str] = None
+                         ) -> List[RewriteRecord]:
+    """Generates HyDE texts per rewritten question; perplexity from
+    ``logprob_fn`` when the serving endpoint returns logprobs."""
+    for rec in records:
+        for rewritten in rec.rewrittens:
+            chunks = chat_manager.generate_hypo_chunks(rewritten)
+            rec.hyde.extend(chunks)
+            if logprob_fn is not None:
+                for c in chunks:
+                    rec.perplexity.append(calculate_perplexity(logprob_fn(c)))
+        if checkpoint_path:
+            _save_records(records, checkpoint_path)
+    return records
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: recall collection
+# ---------------------------------------------------------------------------
+def collect_recall(records: List[RewriteRecord], retriever,
+                   use_hyde: bool = True) -> List[RewriteRecord]:
+    """Runs the ensemble per rewritten question, recording chunk
+    text/retriever tag/score (reference defaults faiss_k=40, bm25_k=10,
+    faiss_ts_k=10 — step2_mod.py:120-122 — configured on the retriever)."""
+    for rec in records:
+        for rewritten in rec.rewrittens:
+            hyde = rec.hyde if use_hyde else []
+            for chunk in retriever.invoke(rewritten, hyde):
+                rec.chunks.append({
+                    "content": chunk["page_content"],
+                    "retriever": chunk["retriever"],
+                    "score": chunk["score"],
+                    "doc_id": chunk["metadata"]["doc_id"],
+                })
+    return records
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: hit-rate judging
+# ---------------------------------------------------------------------------
+def judge_hits(
+    evidences: List[str],
+    chunk_texts: List[str],
+    embed_fn,
+    method: str = "cos",
+    sim_threshold: float = 0.9,        # step3_mul.py:390
+    top_chunks: int = 5,
+    llm_vote: Optional[Callable[[str, str], bool]] = None,
+    vote_rounds: int = 3,
+) -> List[bool]:
+    """Per evidence: rank chunks by embedding cosine, judge hit on the top
+    ones by the configured method (cos / string / llm majority vote)."""
+    if not evidences or not chunk_texts:
+        return [False] * len(evidences)
+    emb_e = np.asarray(embed_fn(evidences), np.float32)
+    emb_c = np.asarray(embed_fn(chunk_texts), np.float32)
+    emb_e /= np.maximum(np.linalg.norm(emb_e, axis=1, keepdims=True), 1e-12)
+    emb_c /= np.maximum(np.linalg.norm(emb_c, axis=1, keepdims=True), 1e-12)
+    sims = emb_e @ emb_c.T
+    hits = []
+    for i, evidence in enumerate(evidences):
+        order = np.argsort(-sims[i])[:top_chunks]
+        hit = False
+        for j in order:
+            if method == "cos":
+                hit = sims[i, j] >= sim_threshold
+            elif method == "string":
+                hit = (evidence.strip() and
+                       evidence.strip() in chunk_texts[j])
+            elif method == "llm":
+                votes = sum(
+                    1 for _ in range(vote_rounds)
+                    if llm_vote(evidence, chunk_texts[j]))
+                hit = votes * 2 > vote_rounds
+            else:
+                raise ValueError(f"unknown judge method {method}")
+            if hit:
+                break
+        hits.append(bool(hit))
+    return hits
+
+
+def hit_rate_eval(records: List[RewriteRecord], embed_fn,
+                  method: str = "cos", sim_threshold: float = 0.9,
+                  llm_vote=None) -> List[Dict]:
+    results = []
+    for rec in records:
+        texts = [c["content"] for c in rec.chunks]
+        hits = judge_hits(rec.evidences, texts, embed_fn, method=method,
+                          sim_threshold=sim_threshold, llm_vote=llm_vote)
+        results.append({
+            "question": rec.question,
+            "hit_rate": (sum(hits) / len(hits)) if hits else 0.0,
+            "num_chunks": len(rec.chunks),
+            "num_evidences": len(rec.evidences),
+        })
+    return results
+
+
+def aggregate_hit_stats(results: List[Dict],
+                        out_path: Optional[str] = None) -> Dict:
+    """Corpus statistic.json (reference step3_mul.py:364-378) + CSV rows
+    for cross-experiment collection (collect_all_datasets.py)."""
+    stats = {
+        "avg_hit_rate": (float(np.mean([r["hit_rate"] for r in results]))
+                         if results else 0.0),
+        "avg_chunk": (float(np.mean([r["num_chunks"] for r in results]))
+                      if results else 0.0),
+        "num_samples": len(results),
+    }
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump({"per_sample": results, **stats}, f, indent=2)
+    return stats
+
+
+def _save_records(records: List[RewriteRecord], path: str) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump([asdict(r) for r in records], f, ensure_ascii=False)

@@ -1,0 +1,107 @@
+"""Saturation throughput harnesses.
+
+Capability parity with:
+  * reference experiments/profile/stress_test.py — N worker threads running
+    the full retrieve -> rerank loop against real models, a warm-up window
+    before metrics start (stress_test.py:22-52), overall and recent
+    inference-calls/sec (stress_test.py:54-92);
+  * reference experiments/retriever/continuous_retrieval.py — retrieval-only
+    samples/sec + per-sample latency (continuous_retrieval.py:169-190).
+"""
+
+from __future__ import annotations
+
+import statistics
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+
+@dataclass
+class StressStats:
+    warm_up_s: float = 30.0
+    recent_window: int = 100
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+    _start: float = field(default_factory=time.perf_counter)
+    _metrics_start: Optional[float] = None
+    total_calls: int = 0
+    recent_times: List[float] = field(default_factory=list)
+
+    def add_call(self) -> None:
+        now = time.perf_counter()
+        with self._lock:
+            if now - self._start < self.warm_up_s:
+                return
+            if self._metrics_start is None:
+                self._metrics_start = now
+            self.total_calls += 1
+            self.recent_times.append(now)
+            if len(self.recent_times) > self.recent_window:
+                self.recent_times.pop(0)
+
+    def snapshot(self) -> Dict:
+        now = time.perf_counter()
+        with self._lock:
+            if self._metrics_start is None:
+                return {"in_warm_up": True,
+                        "warm_up_remaining": max(
+                            0.0, self.warm_up_s - (now - self._start))}
+            elapsed = now - self._metrics_start
+            recent_rate = 0.0
+            if len(self.recent_times) >= 2:
+                span = self.recent_times[-1] - self.recent_times[0]
+                if span > 0:
+                    recent_rate = (len(self.recent_times) - 1) / span
+            return {
+                "in_warm_up": False,
+                "total_inference_calls": self.total_calls,
+                "elapsed_time": elapsed,
+                "overall_rate": self.total_calls / elapsed if elapsed else 0.0,
+                "recent_rate": recent_rate,
+            }
+
+
+def stress_test(workload: Callable[[], None], num_threads: int = 2,
+                duration_s: float = 60.0, warm_up_s: float = 30.0) -> Dict:
+    """Runs ``workload`` in N threads until the deadline; returns stats."""
+    stats = StressStats(warm_up_s=warm_up_s)
+    stop = threading.Event()
+
+    def worker():
+        while not stop.is_set():
+            workload()
+            stats.add_call()
+
+    threads = [threading.Thread(target=worker, daemon=True)
+               for _ in range(num_threads)]
+    for t in threads:
+        t.start()
+    time.sleep(duration_s)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    return stats.snapshot()
+
+
+def retrieval_throughput(retriever, queries: Sequence[str],
+                         n_samples: int = 100,
+                         hyde: Optional[Sequence[str]] = None) -> Dict:
+    """Retrieval-only samples/sec + latency distribution."""
+    hyde = list(hyde or [])
+    latencies = []
+    t_start = time.perf_counter()
+    for i in range(n_samples):
+        q = queries[i % len(queries)]
+        t0 = time.perf_counter()
+        retriever.invoke(q, hyde)
+        latencies.append(time.perf_counter() - t0)
+    total = time.perf_counter() - t_start
+    latencies.sort()
+    return {
+        "samples_per_sec": n_samples / total,
+        "p50_latency_s": statistics.median(latencies),
+        "p95_latency_s": latencies[int(0.95 * len(latencies))],
+        "mean_latency_s": statistics.mean(latencies),
+        "num_samples": n_samples,
+    }
