@@ -1,0 +1,97 @@
+"""Command-line entry points.
+
+  python -m veritasfi_tpu.cli ingest --config c.yaml --collection zeekr \
+      --source-dir data/processed_pdf/zeekr
+      (reference analogue: python src/load_data.py, load_data.py:132-169)
+
+  python -m veritasfi_tpu.cli serve --config c.yaml --port 8080
+      (the HTTP front the reference implies but doesn't ship)
+
+  python -m veritasfi_tpu.cli query --config c.yaml "What is the margin?"
+      (one-shot QA through the async path)
+
+  python -m veritasfi_tpu.cli e2e --config c.yaml --questions qs.json \
+      --out-dir runs/e2e
+      (reference analogue: experiments/e2e/qa_e2e_async.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="veritasfi_tpu")
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--log-level", default="INFO")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_ingest = sub.add_parser("ingest")
+    p_ingest.add_argument("--collection", required=True)
+    p_ingest.add_argument("--source-dir", required=True)
+    p_ingest.add_argument("--ignore-range", action="store_true")
+
+    p_serve = sub.add_parser("serve")
+    p_serve.add_argument("--host", default="0.0.0.0")
+    p_serve.add_argument("--port", type=int, default=8080)
+
+    p_query = sub.add_parser("query")
+    p_query.add_argument("question")
+    p_query.add_argument("--session", default="cli")
+
+    p_e2e = sub.add_parser("e2e")
+    p_e2e.add_argument("--questions", required=True)
+    p_e2e.add_argument("--out-dir", required=True)
+    p_e2e.add_argument("--self-judge", action="store_true")
+
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=args.log_level)
+
+    from .config import load_config
+
+    config = load_config(args.config)
+
+    if args.cmd == "ingest":
+        from .engine import RAGEngine
+
+        engine = RAGEngine(config)
+        index = engine.create_collection(args.collection, args.source_dir,
+                                         ignore_range=args.ignore_range)
+        print(json.dumps({"collection": args.collection,
+                          "chunks": index.num_chunks,
+                          "titles": len(index.title_texts),
+                          "bundles": len(index.bundle_names)}))
+        return 0
+
+    from .stack import build_stack
+
+    stack = build_stack(config)
+    try:
+        if args.cmd == "serve":
+            from .serving.server import serve
+
+            serve(stack, host=args.host, port=args.port)
+        elif args.cmd == "query":
+            answer, _, rag_info, rewrittens, *_ = (
+                stack.chat_service.generate_response_async(
+                    args.question, args.session))
+            print(json.dumps({"answer": answer, "rewrittens": rewrittens,
+                              "rag_info": rag_info}, ensure_ascii=False))
+        elif args.cmd == "e2e":
+            from .evals import load_questions, run_e2e
+
+            questions = load_questions(args.questions)
+            arts = run_e2e(stack.chat_service, [questions], args.out_dir,
+                           self_judge=args.self_judge)
+            print(json.dumps({"questions": len(arts),
+                              "out_dir": args.out_dir}))
+    finally:
+        stack.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,129 @@
+"""HTTP serving front (aiohttp): chat endpoints + SSE streaming.
+
+The reference repo ships no server main — its ChatService returns an SSE
+generator framed "data: {json}\\n\\n" implying a Flask/FastAPI front
+(reference: vllmChatService.py:560, SURVEY.md §1 L5 note). This module is
+that missing front: bearer-token auth (config bearer_token,
+config/example.yaml:15), three answer endpoints mapping to the three
+ChatService paths, session GC on an interval, and health/profiling routes.
+
+Routes:
+  POST /v1/chat         {question, session_id}            -> sync path
+  POST /v1/chat/async   {question, session_id}            -> async-gather path
+  POST /v1/chat/stream  {question, session_id}            -> text/event-stream
+  GET  /v1/health
+  GET  /v1/profiler
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+from typing import Optional
+
+from ..utils.profiler import profiler
+
+logger = logging.getLogger(__name__)
+
+
+def create_app(stack, bearer_token: str = ""):
+    from aiohttp import web
+
+    service = stack.chat_service
+
+    @web.middleware
+    async def auth_middleware(request, handler):
+        if bearer_token:
+            header = request.headers.get("Authorization", "")
+            if header != f"Bearer {bearer_token}":
+                return web.json_response({"error": "unauthorized"},
+                                         status=401)
+        return await handler(request)
+
+    async def handle_chat(request):
+        body = await request.json()
+        question = body["question"]
+        session_id = body.get("session_id", "default")
+        answer, _, rag_info, rewrittens, hypo, _, _ = await asyncio.to_thread(
+            service.generate_response_with_rag, question, session_id,
+            body.get("internal_input"), body.get("interrupt_index"))
+        return web.json_response({
+            "answer": answer, "rewrittens": rewrittens,
+            "rag_info": rag_info,
+        })
+
+    async def handle_chat_async(request):
+        body = await request.json()
+        question = body["question"]
+        session_id = body.get("session_id", "default")
+        answer, _, rag_info, rewrittens, hypo, _, _ = await asyncio.to_thread(
+            service.generate_response_async, question, session_id,
+            body.get("internal_input"), body.get("interrupt_index"))
+        return web.json_response({
+            "answer": answer, "rewrittens": rewrittens,
+            "rag_info": rag_info,
+        })
+
+    async def handle_chat_stream(request):
+        body = await request.json()
+        question = body["question"]
+        session_id = body.get("session_id", "default")
+        response = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        })
+        await response.prepare(request)
+        generator = service.generate_response_async_stream(question,
+                                                           session_id)
+        loop = asyncio.get_running_loop()
+        sentinel = object()
+        while True:
+            frame = await loop.run_in_executor(
+                None, lambda: next(generator, sentinel))
+            if frame is sentinel:
+                break
+            await response.write(frame.encode("utf-8"))
+        await response.write_eof()
+        return response
+
+    async def handle_health(request):
+        return web.json_response({
+            "status": "ok",
+            "sessions": len(service.api_chat_manager),
+            "retrievers": len(service.retrievers),
+        })
+
+    async def handle_profiler(request):
+        return web.json_response(profiler.results())
+
+    async def session_gc(app):
+        async def loop_gc():
+            while True:
+                await asyncio.sleep(60)
+                service.cleanup_old_sessions()
+
+        task = asyncio.create_task(loop_gc())
+        yield
+        task.cancel()
+
+    app = web.Application(middlewares=[auth_middleware])
+    app.router.add_post("/v1/chat", handle_chat)
+    app.router.add_post("/v1/chat/async", handle_chat_async)
+    app.router.add_post("/v1/chat/stream", handle_chat_stream)
+    app.router.add_get("/v1/health", handle_health)
+    app.router.add_get("/v1/profiler", handle_profiler)
+    app.cleanup_ctx.append(session_gc)
+    return app
+
+
+def serve(stack, host: str = "0.0.0.0", port: int = 8080,
+          bearer_token: Optional[str] = None) -> None:
+    from aiohttp import web
+
+    token = (bearer_token if bearer_token is not None
+             else stack.config.serving.bearer_token)
+    app = create_app(stack, bearer_token=token)
+    logger.info("serving on %s:%d", host, port)
+    web.run_app(app, host=host, port=port)

@@ -1,0 +1,177 @@
+"""Composition root: build the full serving stack from one Config.
+
+The reference wires RAGManager + FlagLLMReranker + ChatService ad-hoc in
+each entry point (reference: experiments/e2e/qa_e2e_async.py:54-80,
+vllmChatService.py:76-102); here one factory builds the whole stack —
+engine, reranker behind the continuous batcher, memory bank, QA store,
+tools, ChatService — so the server, CLI and eval harnesses share identical
+construction.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .config import Config
+from .engine import RAGEngine
+from .rerank.batcher import ContinuousBatcher
+from .retrieval.memory_bank import MemoryBank
+from .retrieval.qa_store import QAVectorStore
+from .serving.chat_service import ChatService
+from .serving.llm_client import FakeLLM, LLMClient
+from .serving.prompts import CompanyProfile
+from .serving.tools import FinnhubTools
+
+logger = logging.getLogger(__name__)
+
+
+def build_reranker(config: Config):
+    """Reranker selection: local HF dir > LLM (gemma) preset > encoder-class
+    preset > tiny test model. Random init when no checkpoint is present."""
+    import jax.numpy as jnp
+
+    name = config.rerank.model_name
+    dtype = jnp.bfloat16
+    if os.path.isdir(name):
+        import json
+
+        with open(os.path.join(name, "config.json")) as f:
+            model_type = json.load(f).get("model_type", "")
+        if model_type == "gemma":
+            from .models.hf_loader import _load_state_dict, load_gemma_params
+            from .models.reranker import CrossEncoderReranker, DecoderArch
+            from .models.tokenizer import load_hf_tokenizer
+
+            arch = DecoderArch()
+            params = load_gemma_params(_load_state_dict(name), arch)
+            return CrossEncoderReranker(
+                arch=arch, params=params, tokenizer=load_hf_tokenizer(name),
+                dtype=dtype,
+                query_max_length=config.rerank.query_max_length,
+                passage_max_length=config.rerank.passage_max_length)
+        import json as _json
+
+        from .models.encoder import EncoderArch
+        from .models.encoder_reranker import (EncoderReranker,
+                                              load_encoder_reranker_params)
+        from .models.hf_loader import _load_state_dict
+        from .models.tokenizer import load_hf_tokenizer
+
+        with open(os.path.join(name, "config.json")) as f:
+            cfg = _json.load(f)
+        arch = EncoderArch(
+            vocab_size=cfg["vocab_size"], hidden=cfg["hidden_size"],
+            layers=cfg["num_hidden_layers"],
+            heads=cfg["num_attention_heads"],
+            intermediate=cfg["intermediate_size"],
+            max_positions=cfg["max_position_embeddings"],
+            type_vocab=cfg.get("type_vocab_size", 1),
+            pad_id=cfg.get("pad_token_id", 1),
+            pos_offset=2 if "roberta" in cfg.get("model_type", "") else 0,
+            layer_norm_eps=cfg.get("layer_norm_eps", 1e-5))
+        params = load_encoder_reranker_params(_load_state_dict(name), arch)
+        return EncoderReranker(
+            arch=arch, params=params, tokenizer=load_hf_tokenizer(name),
+            dtype=dtype,
+            query_max_length=config.rerank.query_max_length,
+            passage_max_length=config.rerank.passage_max_length)
+    from .models.reranker import DECODER_PRESETS, CrossEncoderReranker
+    from .models.encoder_reranker import (RERANKER_ENCODER_PRESETS,
+                                          EncoderReranker)
+
+    if name in DECODER_PRESETS:
+        logger.warning("reranker '%s': random weights (no checkpoint)", name)
+        return CrossEncoderReranker(
+            preset=name, dtype=dtype,
+            query_max_length=config.rerank.query_max_length,
+            passage_max_length=config.rerank.passage_max_length)
+    if name in RERANKER_ENCODER_PRESETS:
+        logger.warning("reranker '%s': random weights (no checkpoint)", name)
+        return EncoderReranker(
+            preset=name, dtype=dtype,
+            query_max_length=config.rerank.query_max_length,
+            passage_max_length=config.rerank.passage_max_length)
+    # bge-reranker-v2-gemma etc. map onto the gemma-2b architecture
+    logger.warning("reranker '%s' unknown; using gemma-2b arch with random "
+                   "weights", name)
+    return CrossEncoderReranker(
+        preset="gemma-2b", dtype=dtype,
+        query_max_length=config.rerank.query_max_length,
+        passage_max_length=config.rerank.passage_max_length)
+
+
+@dataclass
+class Stack:
+    config: Config
+    engine: RAGEngine
+    reranker: object
+    batcher: ContinuousBatcher
+    chat_service: ChatService
+    llm: object
+
+    def scorer(self, pairs):
+        rows = [self.reranker.encode_pair(q, p) for q, p in pairs]
+        return self.batcher.score(rows, timeout=120)
+
+    def close(self) -> None:
+        self.batcher.close()
+        close = getattr(self.llm, "close", None)
+        if close:
+            close()
+
+
+def build_stack(config: Optional[Config] = None,
+                collections: Optional[Dict[str, int]] = None,
+                llm=None, embed_fn=None, reranker=None,
+                company: Optional[CompanyProfile] = None) -> Stack:
+    config = config or Config()
+    collections = collections if collections is not None else {
+        config.collection: config.retrieval.k}
+
+    engine = RAGEngine(config, embed_fn=embed_fn)
+    retrievers = []
+    for name, k in collections.items():
+        try:
+            engine.load_collection(name)
+            retrievers.append(engine.create_retriever(k, name))
+        except FileNotFoundError:
+            logger.warning("collection '%s' not found under %s", name,
+                           config.persist_directory)
+
+    reranker = reranker or build_reranker(config)
+    batcher = ContinuousBatcher(reranker.score_tokens,
+                                max_batch=max(config.rerank.batch_size * 4, 8))
+
+    if llm is None:
+        if config.llm.base_url and "localhost:0" not in config.llm.base_url:
+            llm = LLMClient(config.llm.base_url, config.llm.api_key)
+        else:
+            llm = FakeLLM()
+
+    mb = config.memory_bank
+    memory_bank = (MemoryBank(mb.frequent_qa_path or None,
+                              mb.qa_table_path or None,
+                              company_pattern=mb.company_pattern)
+                   if (mb.frequent_qa_path or mb.qa_table_path) else None)
+    qa_store = (QAVectorStore(engine.embed_fn, persist_directory=mb.qa_vector_dir)
+                if mb.qa_vector_dir else None)
+    tools = (FinnhubTools(config.serving.finnhub_api_key)
+             if config.serving.finnhub_api_key else None)
+
+    stack = Stack(config=config, engine=engine, reranker=reranker,
+                  batcher=batcher, chat_service=None, llm=llm)
+    stack.chat_service = ChatService(
+        llm, config.llm.model_name, retrievers, stack.scorer,
+        memory_bank=memory_bank, qa_store=qa_store,
+        rerank_topk=config.rerank.rerank_topk,
+        session_timeout=config.serving.session_timeout_s,
+        company=company or CompanyProfile(), tools=tools,
+        seq_threshold=mb.seq_threshold, bm25_threshold=mb.bm25_threshold,
+        db_top_n=mb.db_top_n, table_top_n=mb.table_top_n,
+        vector_top_n=mb.vector_top_n)
+    return stack
