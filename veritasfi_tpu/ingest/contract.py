@@ -47,8 +47,11 @@ class ChunkRecord:
     prev_chunk_id: str = ""
     next_chunk_id: str = ""
     # Multi-modal extension (not present in the reference's chunk rows, which
-    # carry tables/figures as bundled text): modality tag for mixed indexes.
+    # carry tables/figures as bundled text): modality tag + optional image
+    # reference for figure chunks embedded by the vision encoder into the
+    # unified corpus matrix (BASELINE config #4).
     modality: str = "text"
+    image_path: Optional[str] = None
 
     def metadata(self) -> Dict:
         """Reference-shaped metadata dict (load_data.py:66-77,107-118)."""
@@ -116,6 +119,7 @@ def load_processed_dir(
             bundle_id = row.get("bundle_id", None)
             title_summary = row.get("title_summary", None)
             modality = row.get("modality", "text")
+            image_path = row.get("image_path", None)
 
             if not (ignore_range or page_start <= int(page_number) <= page_end):
                 continue
@@ -131,6 +135,7 @@ def load_processed_dir(
                 bundle_id=bundle_id or None,
                 title_summary=title_summary or None,
                 modality=modality,
+                image_path=image_path,
             )
             gid += 1
             if title_summary:

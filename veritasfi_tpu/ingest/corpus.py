@@ -214,12 +214,17 @@ def build_corpus_index(
     title_summaries: Sequence[str],
     embed_fn: Optional[Callable[[List[str]], np.ndarray]] = None,
     batch_size: int = 256,
+    image_embed_fn: Optional[Callable[[List[str]], np.ndarray]] = None,
 ) -> CorpusIndex:
     """Build a CorpusIndex from deduped/linked records.
 
     ``embed_fn`` maps a list of texts to an [n, D] array; it is called in
     batches for both chunk contents and title summaries (the reference
     embeds both into separate Chroma collections, load_data.py:98-128).
+
+    ``image_embed_fn`` (optional) embeds figure chunks carrying an
+    ``image_path`` into the SAME joint space (must produce the same D), so
+    the unified matrix supports mixed-modality top-k (BASELINE config #4).
     """
     n = len(records)
     doc_ids = [r.doc_id for r in records]
@@ -257,6 +262,18 @@ def build_corpus_index(
     embeddings = ts_embeddings = None
     if embed_fn is not None:
         embeddings = _batched_embed(embed_fn, [r.content for r in records], batch_size)
+        if image_embed_fn is not None and embeddings is not None:
+            image_rows = [i for i, r in enumerate(records)
+                          if r.image_path is not None]
+            if image_rows:
+                img_emb = normalize_rows(np.asarray(image_embed_fn(
+                    [records[i].image_path for i in image_rows])))
+                if img_emb.shape[1] != embeddings.shape[1]:
+                    raise ValueError(
+                        f"image embedding dim {img_emb.shape[1]} != text "
+                        f"dim {embeddings.shape[1]}; use a projection head "
+                        f"onto the joint space")
+                embeddings[np.asarray(image_rows)] = img_emb
         if title_summaries:
             ts_embeddings = _batched_embed(embed_fn, list(title_summaries), batch_size)
 

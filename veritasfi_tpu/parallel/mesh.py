@@ -119,3 +119,89 @@ def distributed_topk(corpus_sharded: jax.Array, queries: jax.Array, k: int,
     k = min(k, valid_n)
     return _distributed_topk_impl(corpus_sharded, queries, k, mesh, axis,
                                   valid_n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ts_k", "steps", "depth", "expand", "mesh",
+                     "axis", "valid_n"))
+def distributed_fused_search(corpus_sharded, ts_emb, q_emb, prev_idx,
+                             next_idx, k, ts_k, steps, depth, expand,
+                             mesh, valid_n, axis="corpus"):
+    """The ensemble engine's fused multi-path search over an ICI-sharded
+    corpus — one shard_map dispatch for: dense top-k with cross-shard merge,
+    title top-k (replicated — the title matrix is tiny), and neighbor-chain
+    scores + depth-cutoff ranks assembled with psums. Mirrors
+    retrieval.ensemble._search_body semantics exactly, so the host fusion
+    loop is shard-count agnostic (BASELINE config #5: ICI-sharded 10M-chunk
+    corpus)."""
+    shards = mesh.shape[axis]
+    per_shard = corpus_sharded.shape[0] // shards
+    local_k = min(k, per_shard)
+
+    def local(corpus_shard, ts, q, prev, nxt):
+        qn = q.shape[0]
+        s = jnp.matmul(q, corpus_shard.T,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)     # [Q, per]
+        offset = jax.lax.axis_index(axis) * per_shard
+        idx_global = jnp.arange(per_shard, dtype=jnp.int32) + offset
+        s_valid = jnp.where(idx_global[None, :] < valid_n, s, -jnp.inf)
+
+        # dense top-k: local + all-gather merge
+        ls, li = _lex_topk(s_valid, jnp.broadcast_to(idx_global, s.shape),
+                           local_k)
+        all_s = jax.lax.all_gather(ls, axis)
+        all_i = jax.lax.all_gather(li, axis)
+        cat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(qn, shards * local_k)
+        cat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(qn, shards * local_k)
+        top_s, top_i = _lex_topk(cat_s, cat_i, k)
+
+        # title path (replicated small matmul)
+        ts_scores = jnp.matmul(q[:1], ts.T,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+        neg_ts, ts_i = jax.lax.sort(
+            (-ts_scores, jnp.broadcast_to(
+                jnp.arange(ts.shape[0], dtype=jnp.int32), ts_scores.shape)),
+            num_keys=1)
+        ts_s = -neg_ts[:, :ts_k]
+        ts_i = ts_i[:, :ts_k]
+
+        if not expand:
+            zero_i = jnp.zeros((qn, 1), jnp.int32)
+            zero_s = jnp.zeros((qn, 1), jnp.float32)
+            return top_s, top_i, ts_s[0], ts_i[0], zero_i, zero_s
+
+        # neighbor chains from the replicated prev/next arrays
+        def walk(table):
+            outs = []
+            cur = top_i
+            for _ in range(steps):
+                nxt_i = table[jnp.maximum(cur, 0)]
+                cur = jnp.where(cur >= 0, nxt_i, -1)
+                outs.append(cur)
+            return jnp.concatenate(outs, axis=-1)
+
+        cand = jnp.concatenate([walk(prev), walk(nxt)], axis=-1)
+        safe = jnp.maximum(cand, 0)
+        # each shard contributes the scores of candidates in its range
+        local_pos = jnp.clip(safe - offset, 0, per_shard - 1)
+        in_range = (safe >= offset) & (safe < offset + per_shard)
+        cs_local = jnp.take_along_axis(s, local_pos, axis=1)
+        cand_s = jax.lax.psum(jnp.where(in_range, cs_local, 0.0), axis)
+        # depth cutoff: global rank = psum of per-shard greater-counts
+        gt = ((s_valid[:, :, None] > cand_s[:, None, :] + 1e-6)
+              & (idx_global[None, :, None] < valid_n))
+        rank = jax.lax.psum(gt.sum(axis=1).astype(jnp.int32), axis)
+        eff = jnp.where((cand >= 0) & (rank < depth), cand_s, 0.0)
+        return top_s, top_i, ts_s[0], ts_i[0], cand, eff
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(None, None), P(None),
+                  P(None)),
+        out_specs=(P(None, None), P(None, None), P(None), P(None),
+                   P(None, None), P(None, None)),
+        check_vma=False,
+    )(corpus_sharded, ts_emb, q_emb, prev_idx, next_idx)

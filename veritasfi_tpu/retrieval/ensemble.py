@@ -110,11 +110,18 @@ class EnsembleRetriever:
         expand_accept: float = 0.66,
         expand_max_chunks: int = 4,
         encoder=None,
+        mesh=None,
+        corpus_axis: str = "corpus",
     ) -> None:
         """``encoder``: optional models.encoder.TextEncoder. When provided,
         query embedding runs INSIDE the fused search jit (one device
         dispatch for embed + dense + title + neighbor paths); otherwise
-        ``embed_fn`` is called on the host first."""
+        ``embed_fn`` is called on the host first.
+
+        ``mesh``: optional jax.sharding.Mesh with a ``corpus_axis``. When
+        provided the embedding matrix is sharded across devices and search
+        runs through parallel.mesh.distributed_fused_search (identical
+        outputs; cross-shard merge over ICI)."""
         self.corpus = corpus
         self.embed_fn = embed_fn
         self.faiss_k = faiss_k if faiss_k is not None else k
@@ -126,12 +133,30 @@ class EnsembleRetriever:
         self.expand_accept = expand_accept
         self.expand_max_chunks = expand_max_chunks
 
-        self.dense = DenseRetriever(corpus.embeddings, embed_fn)
-        self.ts_dense = (
-            DenseRetriever(corpus.ts_embeddings, embed_fn)
-            if corpus.ts_embeddings is not None and len(corpus.ts_embeddings)
-            else None
-        )
+        self.mesh = mesh
+        self.corpus_axis = corpus_axis
+        if mesh is not None:
+            from ..parallel.mesh import replicated, shard_corpus
+
+            self._sharded_corpus, self._valid_n = shard_corpus(
+                normalize_rows(corpus.embeddings), mesh, corpus_axis)
+            self.dense = None
+            ts = corpus.ts_embeddings
+            self.ts_dense = None
+            self._ts_replicated = (
+                jax.device_put(normalize_rows(ts), replicated(mesh))
+                if ts is not None and len(ts)
+                else jax.device_put(np.zeros((1, corpus.embeddings.shape[1]),
+                                             np.float32), replicated(mesh)))
+            self._has_ts = ts is not None and len(ts) > 0
+        else:
+            self.dense = DenseRetriever(corpus.embeddings, embed_fn)
+            self.ts_dense = (
+                DenseRetriever(corpus.ts_embeddings, embed_fn)
+                if corpus.ts_embeddings is not None
+                and len(corpus.ts_embeddings)
+                else None
+            )
         self.bm25 = bm25
         self.num_chunk = corpus.num_chunks
 
@@ -160,11 +185,13 @@ class EnsembleRetriever:
         bundle_cnt = 0
 
         run_dense = self.faiss_k > 0 and self.num_chunk > 0
-        run_ts = self.faiss_ts_k > 0 and self.ts_dense is not None
+        run_ts = self.faiss_ts_k > 0 and (
+            self._has_ts if self.mesh is not None else
+            self.ts_dense is not None)
         search = None
         if run_dense or run_ts:
             inputs = [input] + list(hyde_chunks)
-            if self.encoder is not None:
+            if self.encoder is not None and self.mesh is None:
                 with profiler.span("fused_search"):
                     search = self._search_tokens(inputs)
             else:
@@ -221,11 +248,29 @@ class EnsembleRetriever:
 
     def _search(self, q_emb: np.ndarray) -> Dict[str, np.ndarray]:
         """One fused device call for all dense paths of this request."""
+        if self.mesh is not None:
+            return self._search_distributed(q_emb)
         ts_emb, prev_dev, next_dev, k, ts_k = self._search_args()
         out = _fused_search(
             self.dense.corpus, ts_emb, jnp.asarray(q_emb), prev_dev, next_dev,
             k, ts_k, self.expand_max_chunks - 1, self.depth,
             self.enable_expand)
+        return self._post_search(out, q_emb.shape[0])
+
+    def _search_distributed(self, q_emb: np.ndarray) -> Dict[str, np.ndarray]:
+        from ..parallel.mesh import distributed_fused_search
+
+        if not hasattr(self, "_prev_dev"):
+            self._prev_dev = jnp.asarray(self.corpus.prev_idx)
+            self._next_dev = jnp.asarray(self.corpus.next_idx)
+        k = min(self.faiss_k, self.num_chunk) if self.faiss_k > 0 else 1
+        ts_k = (min(self.faiss_ts_k, self._ts_replicated.shape[0])
+                if self.faiss_ts_k > 0 and self._has_ts else 1)
+        out = distributed_fused_search(
+            self._sharded_corpus, self._ts_replicated, jnp.asarray(q_emb),
+            self._prev_dev, self._next_dev, k, ts_k,
+            self.expand_max_chunks - 1, self.depth, self.enable_expand,
+            self.mesh, self._valid_n, self.corpus_axis)
         return self._post_search(out, q_emb.shape[0])
 
     def _search_tokens(self, inputs: List[str]) -> Dict[str, np.ndarray]:
