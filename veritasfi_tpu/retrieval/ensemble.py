@@ -46,29 +46,36 @@ from .dense import DenseRetriever
 
 
 def _search_body(corpus, ts_emb, q_emb, prev_idx, next_idx,
-                 k, ts_k, steps, depth, expand):
+                 k, ts_k, steps, depth, expand, ts_rows=None):
     """One-dispatch multi-path search: dense top-k for every query, title
-    top-k for the original query, and (when expanding) every prev/next-chain
-    neighbor's exact score + depth-cutoff flag — the [Q, N] score matrix is
-    computed once and reused for the rank test, so the whole request is a
-    single device round-trip (the reference makes 2 FAISS calls, an extra
-    query embed, and per-neighbor dict lookups against a 2048-wide list,
-    ensembleRetriever.py:66-109,139)."""
+    top-k for the original query of every request, and (when expanding)
+    every prev/next-chain neighbor's exact score + depth-cutoff flag — the
+    [Q, N] score matrix is computed once and reused for the rank test, so
+    the whole request is a single device round-trip (the reference makes 2
+    FAISS calls, an extra query embed, and per-neighbor dict lookups against
+    a 2048-wide list, ensembleRetriever.py:66-109,139).
+
+    ``ts_rows``: int32 [R] rows of q_emb that are request originals (title
+    path runs per request); defaults to row 0 (single-request mode).
+    """
     scores = jnp.matmul(q_emb, corpus.T,
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
     top_s, top_i = jax.lax.top_k(_tie_break(scores), k)
     top_s = jnp.take_along_axis(scores, top_i, axis=-1)
 
+    ts_q = q_emb[:1] if ts_rows is None else q_emb[ts_rows]
     ts_s, ts_i = jax.lax.top_k(
-        _tie_break(jnp.matmul(q_emb[:1], ts_emb.T,
+        _tie_break(jnp.matmul(ts_q, ts_emb.T,
                               precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)), ts_k)
+    if ts_rows is None:
+        ts_s, ts_i = ts_s[0], ts_i[0]
 
     if not expand:
         zero_i = jnp.zeros((q_emb.shape[0], 0), jnp.int32)
         zero_s = jnp.zeros((q_emb.shape[0], 0), jnp.float32)
-        return top_s, top_i, ts_s[0], ts_i[0], zero_i, zero_s
+        return top_s, top_i, ts_s, ts_i, zero_i, zero_s
 
     # neighbor chains of every hit, walked on-device via gathers
     def walk(table):
@@ -86,7 +93,7 @@ def _search_body(corpus, ts_emb, q_emb, prev_idx, next_idx,
     # depth cutoff: rank = #{scores > s} computed from the same matrix
     rank = (scores[:, :, None] > cand_s[:, None, :] + 1e-6).sum(axis=1)
     eff = jnp.where((cand >= 0) & (rank < depth), cand_s, 0.0)
-    return top_s, top_i, ts_s[0], ts_i[0], cand, eff
+    return top_s, top_i, ts_s, ts_i, cand, eff
 
 
 _fused_search = jax.jit(
@@ -166,11 +173,12 @@ class EnsembleRetriever:
 
             def embed_search_body(params, ids, mask, corpus_emb, ts_emb,
                                   prev_idx, next_idx, k, ts_k, steps, depth,
-                                  expand):
+                                  expand, ts_rows=None):
                 q_emb = module.apply(params, ids, mask)
                 return _search_body(corpus_emb, ts_emb,
                                     q_emb.astype(jnp.float32), prev_idx,
-                                    next_idx, k, ts_k, steps, depth, expand)
+                                    next_idx, k, ts_k, steps, depth, expand,
+                                    ts_rows=ts_rows)
 
             self._embed_search = jax.jit(
                 embed_search_body,
@@ -223,6 +231,65 @@ class EnsembleRetriever:
         return chunk_list
 
     # ------------------------------------------------------------------
+    def invoke_batch(self, requests: List[Tuple[str, List[str]]]
+                     ) -> List[List[Dict]]:
+        """Micro-batched multi-request retrieve: ONE fused device call for
+        every request's (query + HyDE) embeddings, dense top-k, per-request
+        title path and neighbor tables — the TPU-idiomatic serving shape
+        (batch requests into one program instead of threading them through
+        a lock, which is what limits the reference to one request at a time
+        on the accelerator).
+
+        Per-request outputs are identical to sequential ``invoke`` calls.
+        """
+        if self.mesh is not None or not requests:
+            return [self.invoke(q, h) for q, h in requests]
+
+        all_inputs: List[str] = []
+        spans: List[Tuple[int, int]] = []
+        ts_rows: List[int] = []
+        for q, hyde in requests:
+            ts_rows.append(len(all_inputs))
+            spans.append((len(all_inputs), 1 + len(hyde)))
+            all_inputs.extend([q] + list(hyde))
+
+        with profiler.span("fused_search_batch"):
+            ts_idx_arr = jnp.asarray(np.asarray(ts_rows, np.int32))
+            if self.encoder is not None:
+                search = self._search_tokens(all_inputs, ts_rows=ts_idx_arr)
+            else:
+                q_emb = normalize_rows(
+                    np.asarray(self.embed_fn(all_inputs), np.float32))
+                search = self._search(q_emb, ts_rows=ts_idx_arr)
+
+        results: List[List[Dict]] = []
+        for r, ((start, nq), (q, _)) in enumerate(zip(spans, requests)):
+            sub = {
+                "top_s": search["top_s"][start:start + nq],
+                "top_i": search["top_i"][start:start + nq],
+                "ts_s": search["ts_s"][r],
+                "ts_i": search["ts_i"][r],
+                "neighbor_tables": (search["neighbor_tables"]
+                                    [start:start + nq]
+                                    if search["neighbor_tables"] else []),
+            }
+            seen_ids: set = set()
+            chunk_list: List[Dict] = []
+            bundle_cnt = 0
+            if self.faiss_k > 0 and self.num_chunk:
+                bundle_cnt = self._dense_path(nq, sub, seen_ids, chunk_list,
+                                              bundle_cnt)
+            if self.faiss_ts_k > 0 and self.ts_dense is not None:
+                bundle_cnt = self._title_path(sub, seen_ids, chunk_list,
+                                              bundle_cnt)
+            if self.bm25_k > 0 and self.bm25 is not None:
+                bundle_cnt = self._bm25_path(q, seen_ids, chunk_list,
+                                             bundle_cnt)
+            profiler.add_metric("retrieved_chunks", len(chunk_list))
+            results.append(chunk_list)
+        return results
+
+    # ------------------------------------------------------------------
     def _search_args(self):
         k = min(self.faiss_k, self.num_chunk) if self.faiss_k > 0 else 1
         ts_emb = (self.ts_dense.corpus if self.ts_dense is not None
@@ -246,7 +313,7 @@ class EnsembleRetriever:
         return {"top_s": top_s, "top_i": top_i, "ts_s": ts_s, "ts_i": ts_i,
                 "neighbor_tables": tables}
 
-    def _search(self, q_emb: np.ndarray) -> Dict[str, np.ndarray]:
+    def _search(self, q_emb: np.ndarray, ts_rows=None) -> Dict[str, np.ndarray]:
         """One fused device call for all dense paths of this request."""
         if self.mesh is not None:
             return self._search_distributed(q_emb)
@@ -254,7 +321,7 @@ class EnsembleRetriever:
         out = _fused_search(
             self.dense.corpus, ts_emb, jnp.asarray(q_emb), prev_dev, next_dev,
             k, ts_k, self.expand_max_chunks - 1, self.depth,
-            self.enable_expand)
+            self.enable_expand, ts_rows=ts_rows)
         return self._post_search(out, q_emb.shape[0])
 
     def _search_distributed(self, q_emb: np.ndarray) -> Dict[str, np.ndarray]:
@@ -273,7 +340,8 @@ class EnsembleRetriever:
             self.mesh, self._valid_n, self.corpus_axis)
         return self._post_search(out, q_emb.shape[0])
 
-    def _search_tokens(self, inputs: List[str]) -> Dict[str, np.ndarray]:
+    def _search_tokens(self, inputs: List[str],
+                       ts_rows=None) -> Dict[str, np.ndarray]:
         """Fused embed+search: tokenize on host, everything else in one
         device dispatch."""
         from ..models.encoder import _bucket_length
@@ -291,7 +359,7 @@ class EnsembleRetriever:
             enc.params, jnp.asarray(ids), jnp.asarray(mask),
             self.dense.corpus, ts_emb, prev_dev, next_dev,
             k, ts_k, self.expand_max_chunks - 1, self.depth,
-            self.enable_expand)
+            self.enable_expand, ts_rows=ts_rows)
         return self._post_search(out, len(inputs))
 
     # ------------------------------------------------------------------
