@@ -157,7 +157,11 @@ class EnsembleRetriever:
                                              np.float32), replicated(mesh)))
             self._has_ts = ts is not None and len(ts) > 0
         else:
-            self.dense = DenseRetriever(corpus.embeddings, embed_fn)
+            self.dense = (
+                DenseRetriever(corpus.embeddings, embed_fn)
+                if corpus.embeddings is not None and len(corpus.embeddings)
+                else None
+            )
             self.ts_dense = (
                 DenseRetriever(corpus.ts_embeddings, embed_fn)
                 if corpus.ts_embeddings is not None
@@ -192,7 +196,8 @@ class EnsembleRetriever:
         chunk_list: List[Dict] = []
         bundle_cnt = 0
 
-        run_dense = self.faiss_k > 0 and self.num_chunk > 0
+        run_dense = self.faiss_k > 0 and self.num_chunk > 0 and (
+            self.mesh is not None or self.dense is not None)
         run_ts = self.faiss_ts_k > 0 and (
             self._has_ts if self.mesh is not None else
             self.ts_dense is not None)
