@@ -209,3 +209,19 @@ def test_load_questions_text(tmp_path):
     p.write_text("# header\nquestion one\n\nquestion two\n")
     qs = load_questions(str(p))
     assert [q["question"] for q in qs] == ["question one", "question two"]
+
+
+def test_collect_experiments(tmp_path):
+    from veritasfi_tpu.evals.retrieval_eval import collect_experiments
+
+    for version in ("20_chunks", "40_chunks"):
+        for exp in ("faiss", "faiss_bm25"):
+            d = tmp_path / version / exp
+            d.mkdir(parents=True)
+            (d / "statistic.json").write_text(json.dumps(
+                {"avg_hit_rate": 0.8, "avg_chunk": 12.5, "num_samples": 10}))
+    rows = collect_experiments(str(tmp_path), str(tmp_path / "out.csv"))
+    assert len(rows) == 4
+    assert rows[0]["version"] == "20_chunks"
+    csv_text = (tmp_path / "out.csv").read_text()
+    assert "avg_hit_rate" in csv_text and "faiss_bm25" in csv_text

@@ -19,7 +19,6 @@ import os
 import shutil
 from typing import Dict, List, Optional
 
-import numpy as np
 
 from .config import Config
 from .ingest.contract import load_processed_dir

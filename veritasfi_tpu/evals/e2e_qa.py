@@ -15,7 +15,7 @@ import json
 import logging
 import os
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 logger = logging.getLogger(__name__)
 

@@ -196,3 +196,36 @@ def aggregate_hit_stats(results: List[Dict],
 def _save_records(records: List[RewriteRecord], path: str) -> None:
     with open(path, "w", encoding="utf-8") as f:
         json.dump([asdict(r) for r in records], f, ensure_ascii=False)
+
+
+def collect_experiments(root: str, out_csv: Optional[str] = None) -> List[Dict]:
+    """Walk ``root/<version>/<experiment>/statistic.json`` and tabulate
+    avg_hit_rate / avg_chunk across versions x experiments (reference:
+    experiments/retriever/collect_all_datasets.py:15-103 — CSV + grouped
+    bars; the tabular output here feeds any plotting frontend)."""
+    rows: List[Dict] = []
+    for version in sorted(os.listdir(root)):
+        vdir = os.path.join(root, version)
+        if not os.path.isdir(vdir):
+            continue
+        for experiment in sorted(os.listdir(vdir)):
+            stat = os.path.join(vdir, experiment, "statistic.json")
+            if not os.path.exists(stat):
+                continue
+            with open(stat) as f:
+                data = json.load(f)
+            rows.append({
+                "version": version,
+                "experiment": experiment,
+                "avg_hit_rate": data.get("avg_hit_rate"),
+                "avg_chunk": data.get("avg_chunk"),
+                "num_samples": data.get("num_samples"),
+            })
+    if out_csv and rows:
+        import csv
+
+        with open(out_csv, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            writer.writeheader()
+            writer.writerows(rows)
+    return rows

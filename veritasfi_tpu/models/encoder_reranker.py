@@ -11,7 +11,6 @@ FlagReranker, so it is a drop-in scorer for the serving stack.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Any, Dict, List, Mapping, Optional
 
 import jax

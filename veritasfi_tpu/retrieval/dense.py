@@ -13,7 +13,7 @@ chunked kernel and, later, the fused Pallas MIPS kernel.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

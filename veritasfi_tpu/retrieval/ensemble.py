@@ -30,7 +30,6 @@ TPU-first differences (same observable outputs):
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax

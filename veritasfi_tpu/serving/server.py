@@ -18,7 +18,6 @@ Routes:
 from __future__ import annotations
 
 import asyncio
-import json
 import logging
 from typing import Optional
 

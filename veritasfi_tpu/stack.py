@@ -13,9 +13,7 @@ from __future__ import annotations
 import logging
 import os
 from dataclasses import dataclass
-from typing import Dict, List, Optional
-
-import numpy as np
+from typing import Dict, Optional
 
 from .config import Config
 from .engine import RAGEngine

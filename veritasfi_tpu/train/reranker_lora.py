@@ -21,9 +21,8 @@ receive gradients; base weights are frozen. Checkpoints via orbax.
 from __future__ import annotations
 
 import dataclasses
-import json
 from dataclasses import dataclass
-from typing import Any, Dict, Iterable, List, Optional, Tuple
+from typing import Any, Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
