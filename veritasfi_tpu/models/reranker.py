@@ -119,7 +119,11 @@ class _Attention(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, x, mask, positions):
+    def __call__(self, x, mask, positions, cache=None, cache_offset=0):
+        """``cache``: optional (k [B, L, kvh, hd], v [B, L, kvh, hd],
+        key_mask [B, L]) for KV-cached decoding — new tokens' k/v are
+        written at ``cache_offset`` and attention runs over the whole cache
+        window. Returns (out, new_cache)."""
         a = self.arch
         b, t, _ = x.shape
 
@@ -140,11 +144,32 @@ class _Attention(nn.Module):
         q = rope(q, positions, a.rope_theta)
         k = rope(k, positions, a.rope_theta)
 
+        scale = a.query_scale or (a.head_dim ** -0.5)
         rep = a.heads // a.kv_heads
+
+        if cache is not None:
+            ck, cv, key_mask = cache
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, cache_offset, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, cache_offset, 0, 0))
+            new_cache = (ck, cv, key_mask)
+            kk = jnp.repeat(ck, rep, axis=2)
+            vv = jnp.repeat(cv, rep, axis=2)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, kk.astype(q.dtype),
+                                preferred_element_type=jnp.float32) * scale
+            key_pos = jnp.arange(ck.shape[1])
+            q_pos = cache_offset + jnp.arange(t)
+            causal = key_pos[None, :] <= q_pos[:, None]        # [t, L]
+            full = causal[None, None] & key_mask[:, None, None, :]
+            scores = jnp.where(full, scores, jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs,
+                             vv.astype(self.dtype)).reshape(b, t, -1)
+            return proj(a.hidden, "o_proj")(ctx), new_cache
+
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
-
-        scale = a.query_scale or (a.head_dim ** -0.5)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * scale
         causal = jnp.tril(jnp.ones((t, t), bool))
@@ -152,7 +177,7 @@ class _Attention(nn.Module):
         scores = jnp.where(full_mask, scores, jnp.finfo(jnp.float32).min)
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, -1)
-        return proj(a.hidden, "o_proj")(ctx)
+        return proj(a.hidden, "o_proj")(ctx), None
 
 
 class _Block(nn.Module):
@@ -160,10 +185,12 @@ class _Block(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, x, mask, positions):
+    def __call__(self, x, mask, positions, cache=None, cache_offset=0):
         a = self.arch
         h = RMSNorm(a.rms_eps, a.rms_plus_one, name="input_ln")(x)
-        x = x + _Attention(a, self.dtype, name="attn")(h, mask, positions)
+        attn, new_cache = _Attention(a, self.dtype, name="attn")(
+            h, mask, positions, cache=cache, cache_offset=cache_offset)
+        x = x + attn
         h = RMSNorm(a.rms_eps, a.rms_plus_one, name="post_ln")(x)
         gate = nn.Dense(a.intermediate, use_bias=False, dtype=self.dtype,
                         name="gate_proj")(h)
@@ -172,17 +199,22 @@ class _Block(nn.Module):
         h = nn.gelu(gate, approximate=True) * up
         h = nn.Dense(a.hidden, use_bias=False, dtype=self.dtype,
                      name="down_proj")(h)
-        return x + h
+        return x + h, new_cache
 
 
 class FlaxDecoderLM(nn.Module):
-    """Causal LM returning fp32 logits for selected vocabulary columns."""
+    """Causal LM returning fp32 logits for selected vocabulary columns.
+
+    With ``cache`` (per-layer KV tuples) the forward runs in cached-decode
+    mode: new tokens write into the cache at ``cache_offset`` and attend
+    over the full cache window; returns (logits, new_caches)."""
 
     arch: DecoderArch
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask, logit_ids=None):
+    def __call__(self, input_ids, attention_mask, logit_ids=None,
+                 cache=None, cache_offset=0, positions=None):
         a = self.arch
         mask = attention_mask.astype(bool)
         embed = nn.Embed(a.vocab_size, a.hidden, dtype=self.dtype,
@@ -190,16 +222,26 @@ class FlaxDecoderLM(nn.Module):
         x = embed(input_ids)
         if a.embed_scale:
             x = x * jnp.asarray(math.sqrt(a.hidden), self.dtype)
-        positions = jnp.cumsum(attention_mask, axis=-1) - 1
-        positions = jnp.maximum(positions, 0)
+        if positions is None:
+            positions = jnp.cumsum(attention_mask, axis=-1) - 1
+            positions = jnp.maximum(positions, 0)
+        new_caches = [] if cache is not None else None
         for i in range(a.layers):
-            x = _Block(a, self.dtype, name=f"layer_{i}")(x, mask, positions)
+            layer_cache = cache[i] if cache is not None else None
+            x, new_cache = _Block(a, self.dtype, name=f"layer_{i}")(
+                x, mask, positions, cache=layer_cache,
+                cache_offset=cache_offset)
+            if cache is not None:
+                new_caches.append(new_cache)
         x = RMSNorm(a.rms_eps, a.rms_plus_one, name="final_ln")(x)
         x = x.astype(jnp.float32)
         table = embed.embedding.astype(jnp.float32)
         if logit_ids is not None:
             table = table[jnp.asarray(logit_ids)]
-        return jnp.einsum("btd,vd->btv", x, table)
+        logits = jnp.einsum("btd,vd->btv", x, table)
+        if cache is not None:
+            return logits, new_caches
+        return logits
 
 
 def yes_logit_score(module, params, input_ids, attention_mask, yes_id):

@@ -1,0 +1,116 @@
+"""Local JAX chat backend with the OpenAI-protocol client surface.
+
+Drop-in replacement for serving.llm_client.LLMClient backed by the
+in-process Flax decoder + KV-cached generator (models/generate.py) instead
+of an external vLLM server — the optional JAX inference backend from
+SURVEY.md §7.4. Weights convert from a local HF Gemma-family checkpoint;
+without one, the backend runs random weights (useful for load tests and
+plumbing verification, not for answer quality).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, List, Optional, Union
+
+from ..models.generate import Generator
+from .llm_client import ChatCompletion, Choice, Message, Usage
+
+_DEFAULT_TEMPLATE = {
+    "system": "<system>\n{content}\n</system>\n",
+    "user": "<user>\n{content}\n</user>\n",
+    "assistant": "<assistant>\n{content}\n</assistant>\n",
+    "tool": "<tool>\n{content}\n</tool>\n",
+    "generation_prefix": "<assistant>\n",
+}
+
+
+class LocalChatBackend:
+    """chat()/chat_async() over the in-process generator."""
+
+    def __init__(self, reranker_or_module, params: Optional[Any] = None,
+                 tokenizer=None, max_new_tokens: int = 256,
+                 max_prompt_len: int = 1024, eos_id: Optional[int] = None,
+                 template: Optional[Dict[str, str]] = None,
+                 stream_chunk: int = 8) -> None:
+        # accept either a CrossEncoderReranker-style wrapper (module, params,
+        # tokenizer) or a raw module + params + tokenizer
+        if hasattr(reranker_or_module, "module"):
+            wrapper = reranker_or_module
+            module = wrapper.module
+            params = params if params is not None else wrapper.params
+            tokenizer = tokenizer if tokenizer is not None else wrapper.tokenizer
+        else:
+            module = reranker_or_module
+        self.module = module
+        self.tokenizer = tokenizer
+        self.template = template or _DEFAULT_TEMPLATE
+        self.stream_chunk = stream_chunk
+        self.generator = Generator(module, params,
+                                   max_prompt_len=max_prompt_len,
+                                   max_new_tokens=max_new_tokens)
+        hf = getattr(tokenizer, "hf", None)
+        if eos_id is not None:
+            self.eos_id = eos_id
+        elif hf is not None and hf.eos_token_id is not None:
+            self.eos_id = hf.eos_token_id
+        else:
+            self.eos_id = module.arch.bos_id + 1
+
+    # -- text <-> tokens -------------------------------------------------
+    def _encode(self, text: str) -> List[int]:
+        hf = getattr(self.tokenizer, "hf", None)
+        if hf is not None:
+            return hf(text, add_special_tokens=False)["input_ids"]
+        from ..models.tokenizer import basic_tokens
+
+        return [self.tokenizer.token_id(t) for t in basic_tokens(text)]
+
+    def _decode(self, tokens: List[int]) -> str:
+        hf = getattr(self.tokenizer, "hf", None)
+        if hf is not None:
+            return hf.decode(tokens, skip_special_tokens=True)
+        # hash tokenizer is not invertible; emit token ids (plumbing mode)
+        return " ".join(f"<{t}>" for t in tokens)
+
+    def render_prompt(self, messages: List[Dict]) -> List[int]:
+        parts = []
+        for m in messages:
+            role = m.get("role", "user")
+            tpl = self.template.get(role, self.template["user"])
+            parts.append(tpl.format(content=m.get("content") or ""))
+        parts.append(self.template["generation_prefix"])
+        return [self.module.arch.bos_id] + self._encode("".join(parts))
+
+    # -- OpenAI-protocol surface -----------------------------------------
+    def chat(self, *, model: str, messages: List[Dict],
+             temperature: float = 0.0, top_p: float = 0.8,
+             stream: bool = False, **kwargs
+             ) -> Union[ChatCompletion, Iterator[Choice]]:
+        prompt = self.render_prompt(messages)
+        tokens = self.generator.generate_tokens(
+            [prompt], temperature=temperature, top_p=top_p,
+            eos_id=self.eos_id)[0]
+        text = self._decode(tokens)
+        if not stream:
+            return ChatCompletion(
+                choices=[Choice(message=Message(content=text))],
+                usage=Usage(prompt_tokens=len(prompt),
+                            completion_tokens=len(tokens),
+                            total_tokens=len(prompt) + len(tokens)))
+        return self._stream_iter(text)
+
+    def _stream_iter(self, text: str) -> Iterator[Choice]:
+        for i in range(0, len(text), self.stream_chunk):
+            yield Choice(message=Message(),
+                         delta=Message(content=text[i:i + self.stream_chunk]),
+                         finish_reason=None)
+        yield Choice(message=Message(), delta=Message(content=None),
+                     finish_reason="stop")
+
+    async def chat_async(self, *, model: str, messages: List[Dict],
+                         **kwargs) -> ChatCompletion:
+        return self.chat(model=model, messages=messages, stream=False,
+                         **kwargs)
+
+    def close(self) -> None:
+        pass
