@@ -57,7 +57,8 @@ def main():
                              " 0 = rerank everything retrieval returns")
     parser.add_argument("--seq", type=int, default=256)
     parser.add_argument("--concurrency", type=int, default=8,
-                        help="concurrent sessions for the QPS measurement")
+                        help="micro-batch size for the QPS measurement "
+                             "(sweep on v5e: B=8 best; B=16/32 saturate)")
     parser.add_argument("--qps-queries", type=int, default=48)
     parser.add_argument("--skip-qps", action="store_true")
     parser.add_argument("--trace", default=None,

@@ -165,7 +165,9 @@ class EncoderReranker:
         the candidates' retrieval embeddings) — the two inputs of rerank
         fusion (vllmManager.py:450-462) without separate dispatches."""
         seq = max(len(r) for r in rows)
-        bucket = 1 << max(4, (seq - 1).bit_length())
+        # pad to a multiple of 64 (vs power-of-two): ~25% less wasted
+        # compute at typical chunk lengths, bounded compile variants
+        bucket = max(-(-seq // 64) * 64, 64)
         ids = np.full((len(rows), bucket), self.arch.pad_id, np.int32)
         mask = np.zeros((len(rows), bucket), np.int32)
         for i, r in enumerate(rows):
@@ -191,7 +193,9 @@ class EncoderReranker:
         if not rows:
             return np.zeros((0,), np.float32)
         seq = max(len(r) for r in rows)
-        bucket = 1 << max(4, (seq - 1).bit_length())
+        # pad to a multiple of 64 (vs power-of-two): ~25% less wasted
+        # compute at typical chunk lengths, bounded compile variants
+        bucket = max(-(-seq // 64) * 64, 64)
         ids = np.full((len(rows), bucket), self.arch.pad_id, np.int32)
         mask = np.zeros((len(rows), bucket), np.int32)
         for i, r in enumerate(rows):
