@@ -56,6 +56,14 @@ class RAGEngine:
             return load_encoder_from_dir(name).encode
         from .models.encoder import ENCODER_PRESETS, TextEncoder
 
+        # map HF-style names onto architecture presets
+        hf_aliases = {
+            "BAAI/bge-m3": "bge-m3",
+            "BAAI/bge-small-en-v1.5": "bge-small-en",
+            "BAAI/bge-base-en-v1.5": "bge-base-en",
+            "BAAI/bge-large-en-v1.5": "bge-large-en",
+        }
+        name = hf_aliases.get(name, name)
         if name in ENCODER_PRESETS:
             import jax.numpy as jnp
 

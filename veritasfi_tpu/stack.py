@@ -82,6 +82,12 @@ def build_reranker(config: Config):
     from .models.encoder_reranker import (RERANKER_ENCODER_PRESETS,
                                           EncoderReranker)
 
+    hf_aliases = {
+        "BAAI/bge-reranker-v2-gemma": "gemma-2b",
+        "BAAI/bge-reranker-base": "bge-reranker-base",
+        "BAAI/bge-reranker-large": "bge-reranker-large",
+    }
+    name = hf_aliases.get(name, name)
     if name in DECODER_PRESETS:
         logger.warning("reranker '%s': random weights (no checkpoint)", name)
         return CrossEncoderReranker(
