@@ -101,3 +101,35 @@ def test_local_chat_backend(lm):
     text = "".join(c.delta.content for c in frames
                    if c.delta and c.delta.content)
     assert text == out2.choices[0].message.content or text  # non-empty
+
+
+def test_stream_matches_batch_generation(lm):
+    """Incremental streaming must produce the same tokens as the compiled
+    scan path (greedy)."""
+    module, params = lm
+    gen = Generator(module, params)
+    prompt = [5, 9, 11, 13]
+    batch = gen.generate_tokens([prompt], max_new_tokens=6, eos_id=2)[0]
+    streamed = list(gen.generate_stream(prompt, max_new_tokens=6, eos_id=2))
+    assert streamed == batch
+
+
+def test_chat_manager_json_rewrite_variant():
+    from veritasfi_tpu.serving.chat_manager import ChatManager
+    from veritasfi_tpu.serving.llm_client import FakeLLM
+
+    llm = FakeLLM(lambda messages, **kw:
+                  '{"mult_question": true, "rewritten": ["q one", "q two"]}')
+    cm = ChatManager("s", llm, "m")
+    assert cm.if_query_rag_json("two things?", "") == ["q one", "q two"]
+    assert cm.need_rag is True
+
+
+def test_logprobs_parsing():
+    from veritasfi_tpu.serving.llm_client import _parse_completion
+
+    comp = _parse_completion({"choices": [{
+        "message": {"role": "assistant", "content": "hi"},
+        "logprobs": {"content": [{"logprob": -0.5}, {"logprob": -1.0}]},
+    }]})
+    assert comp.choices[0].message.logprobs == [-0.5, -1.0]

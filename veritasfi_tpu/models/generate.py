@@ -120,6 +120,69 @@ class Generator:
         return tokens.T                                   # [B, max_new]
 
     # ------------------------------------------------------------------
+    def generate_stream(self, prompt_row: List[int],
+                        max_new_tokens: Optional[int] = None,
+                        temperature: float = 0.0, top_p: float = 0.8,
+                        eos_id: Optional[int] = None, seed: int = 0):
+        """Token-by-token generator (true streaming): compiled prefill +
+        one compiled step per token, yielding each token id as it is
+        sampled. Costs one device round-trip per token (the scan-based
+        ``generate_tokens`` is ONE program and preferred when the client
+        does not need incremental output)."""
+        if not hasattr(self, "_prefill_jit"):
+            def prefill(params, ids, mask, cache):
+                positions = jnp.maximum(jnp.cumsum(mask, axis=-1) - 1, 0)
+                logits, cache = self.module.apply(
+                    params, ids, mask, cache=cache, cache_offset=0,
+                    positions=positions)
+                return logits[:, -1, :], cache, positions[:, -1] + 1
+
+            def step(params, cache, tok, offset, pos):
+                logits, cache = self.module.apply(
+                    params, tok[:, None], jnp.ones((1, 1), jnp.int32),
+                    cache=cache, cache_offset=offset,
+                    positions=pos[:, None])
+                return logits[:, -1, :], cache
+
+            self._prefill_jit = jax.jit(prefill)
+            self._step_jit = jax.jit(step)
+            self._sample_jit = jax.jit(
+                _sample, static_argnames=("temperature", "top_p"))
+
+        eos = eos_id if eos_id is not None else self.arch.bos_id + 1
+        max_new = max_new_tokens or self.max_new_tokens
+        row = prompt_row[-self.max_prompt_len:]
+        ids, mask = left_pad([row], self.arch.pad_id)
+        bucket = 1 << max(4, (ids.shape[1] - 1).bit_length())
+        pad = bucket - ids.shape[1]
+        if pad:
+            ids = np.pad(ids, ((0, 0), (pad, 0)),
+                         constant_values=self.arch.pad_id)
+            mask = np.pad(mask, ((0, 0), (pad, 0)))
+        prompt_len = ids.shape[1]
+        cache = init_cache(self.arch, 1, prompt_len + max_new,
+                           self.cache_dtype)
+        cache = [(k, v, km.at[:, :prompt_len].set(
+            jnp.asarray(mask).astype(bool))) for k, v, km in cache]
+        logits, cache, pos = self._prefill_jit(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), cache)
+        rng = jax.random.PRNGKey(seed)
+        for i in range(max_new):
+            rng, key = jax.random.split(rng)
+            tok = self._sample_jit(logits, key, temperature=float(temperature),
+                                   top_p=float(top_p))
+            tok_val = int(tok[0])
+            if tok_val == eos:
+                return
+            yield tok_val
+            offset = jnp.int32(prompt_len + i)
+            cache = [(k, v, km.at[:, prompt_len + i].set(True))
+                     for k, v, km in cache]
+            logits, cache = self._step_jit(self.params, cache, tok, offset,
+                                           pos)
+            pos = pos + 1
+
+    # ------------------------------------------------------------------
     def generate_tokens(self, prompt_rows: List[List[int]],
                         max_new_tokens: Optional[int] = None,
                         temperature: float = 0.0, top_p: float = 0.8,

@@ -505,3 +505,11 @@ class EnsembleRetriever:
     def compute_similarity_mtx(self, chunks: List[str]) -> np.ndarray:
         emb = normalize_rows(np.asarray(self.embed_fn(chunks), np.float32))
         return np.asarray(cosine_similarity_matrix(jnp.asarray(emb)))
+
+    def compute_similarity(self, chunks: List[str],
+                           selected_indices: List[int],
+                           candidate_index: int) -> np.ndarray:
+        """Similarity of one candidate against selected chunks
+        (reference API: ensembleRetriever.py:235-263)."""
+        mtx = self.compute_similarity_mtx(chunks)
+        return mtx[np.asarray(selected_indices, np.int64), candidate_index]

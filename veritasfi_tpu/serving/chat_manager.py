@@ -149,6 +149,37 @@ class ChatManager:
                     self.rewrittens, self.need_rag, self.query_time)
         return self.rewrittens
 
+    def if_query_rag_json(self, question: str, qa_history: str,
+                          max_retry: int = 1) -> List[str]:
+        """JSON-schema rewrite variant for general financial QA datasets
+        (reference: if_query_rag_financebench, vllmManager.py:177-230 —
+        guided-JSON {mult_question, rewritten}; need_rag always True)."""
+        prompt = (
+            "You are a smart assistant that categorizes and rewrites "
+            "questions. Determine whether the user's input contains more "
+            "than one distinct question; split and rewrite each into a "
+            "standalone English question incorporating context from the "
+            "Q&A history.\n\n"
+            f"Here is the Q&A history:\n{qa_history}\n\n"
+            f"Question: {question}\n\n"
+            "Respond with JSON of the form "
+            '{"mult_question": true|false, "rewritten": ["..."]}')
+        for _ in range(max_retry):
+            try:
+                completion = self._chat([
+                    {"role": "system", "content": prompt},
+                    {"role": "user", "content": question},
+                ])
+                data = json.loads(completion.choices[0].message.content)
+                assert isinstance(data["rewritten"], list)
+                self.need_rag = True
+                self.rewrittens = data["rewritten"]
+                break
+            except Exception as e:
+                logger.warning("Error in if_query_rag_json: %s", e)
+                continue
+        return self.rewrittens
+
     # ------------------------------------------------------------------
     @profiler.profile_function(name="hyde")
     def generate_hypo_chunks(self, question: str, max_retry: int = 3) -> List[str]:

@@ -36,6 +36,8 @@ class Message:
     role: str = "assistant"
     content: Optional[str] = None
     tool_calls: Optional[List[ToolCall]] = None
+    # token logprobs when requested (HyDE perplexity eval, step1 parity)
+    logprobs: Optional[List[float]] = None
 
     def to_dict(self) -> Dict[str, Any]:
         d: Dict[str, Any] = {"role": self.role, "content": self.content}
@@ -82,10 +84,15 @@ def _parse_completion(data: Dict[str, Any]) -> ChatCompletion:
                              arguments=t["function"]["arguments"]))
                 for t in msg["tool_calls"]
             ]
+        logprobs = None
+        lp = ch.get("logprobs")
+        if lp and lp.get("content"):
+            logprobs = [tok.get("logprob", 0.0) for tok in lp["content"]]
         choices.append(Choice(message=Message(
             role=msg.get("role", "assistant"),
             content=msg.get("content"),
-            tool_calls=tool_calls)))
+            tool_calls=tool_calls,
+            logprobs=logprobs)))
     usage = data.get("usage") or {}
     return ChatCompletion(choices=choices, usage=Usage(
         prompt_tokens=usage.get("prompt_tokens", 0),

@@ -87,23 +87,35 @@ class LocalChatBackend:
              stream: bool = False, **kwargs
              ) -> Union[ChatCompletion, Iterator[Choice]]:
         prompt = self.render_prompt(messages)
+        if stream:
+            return self._stream_iter(prompt, temperature, top_p)
         tokens = self.generator.generate_tokens(
             [prompt], temperature=temperature, top_p=top_p,
             eos_id=self.eos_id)[0]
         text = self._decode(tokens)
-        if not stream:
-            return ChatCompletion(
-                choices=[Choice(message=Message(content=text))],
-                usage=Usage(prompt_tokens=len(prompt),
-                            completion_tokens=len(tokens),
-                            total_tokens=len(prompt) + len(tokens)))
-        return self._stream_iter(text)
+        return ChatCompletion(
+            choices=[Choice(message=Message(content=text))],
+            usage=Usage(prompt_tokens=len(prompt),
+                        completion_tokens=len(tokens),
+                        total_tokens=len(prompt) + len(tokens)))
 
-    def _stream_iter(self, text: str) -> Iterator[Choice]:
-        for i in range(0, len(text), self.stream_chunk):
-            yield Choice(message=Message(),
-                         delta=Message(content=text[i:i + self.stream_chunk]),
-                         finish_reason=None)
+    def _stream_iter(self, prompt: List[int], temperature: float,
+                     top_p: float) -> Iterator[Choice]:
+        """True incremental streaming: tokens decode as they are sampled;
+        deltas are the text suffix new since the last yield (so multi-token
+        characters decode correctly)."""
+        tokens: List[int] = []
+        emitted = ""
+        for tok in self.generator.generate_stream(
+                prompt, temperature=temperature, top_p=top_p,
+                eos_id=self.eos_id):
+            tokens.append(tok)
+            text = self._decode(tokens)
+            if len(text) > len(emitted):
+                yield Choice(message=Message(),
+                             delta=Message(content=text[len(emitted):]),
+                             finish_reason=None)
+                emitted = text
         yield Choice(message=Message(), delta=Message(content=None),
                      finish_reason="stop")
 
