@@ -21,12 +21,17 @@ buffer (earlier blocks = lower indices) precedes the block candidates in
 the merge tile, so equal scores order by ascending corpus index —
 bit-identical to ``ops.topk.dense_topk`` and FAISS.
 
+The extraction only runs on blocks that can actually displace the running
+k-th best (a strict-greater test — exact under FAISS tie rules, since a
+later-block tie always loses to the buffered lower index), so after the
+first blocks the kernel is matmul/HBM-bound.
+
 Measured on one v5e chip (N=1M, D=384, Q=8, K=16, through the axon relay
-whose dispatch RTT is ~25-30 ms): pallas fp32 41 ms, pallas bf16 35 ms,
-XLA full-materialize 30 ms, XLA chunked 34 ms — the XLA baseline sits at
-the HBM floor for this shape, so the engine defaults to it; this kernel is
-the O(Q*k)-memory variant for corpora where the [Q, N] score buffer (or
-fp32 corpus copy) doesn't fit alongside serving state.
+whose dispatch RTT is ~25-30 ms): pallas fp32 37 ms / bf16 36 ms vs XLA
+full-materialize 33 ms and XLA chunked 35 ms — all within noise of the
+RTT + HBM floor. The engine defaults to the XLA path at bench scales; this
+kernel is the O(Q*k)-memory variant for corpora where the [Q, N] score
+buffer (or an fp32 corpus copy) doesn't fit alongside serving state.
 """
 
 from __future__ import annotations
@@ -96,14 +101,24 @@ def _mips_kernel(n_ref, q_ref, blk_ref, out_s_ref, out_i_ref,
     corpus_idx = col + base
     s = jnp.where(corpus_idx < n_ref[0], s, NEG)
 
-    cand_s, cand_i = _extract_topk(s, corpus_idx, k)
+    # skip the O(k)-sweep extraction whenever this block cannot contribute:
+    # extraction wrote best_s in descending order, so column k-1 is each
+    # query's current k-th best. After the first few blocks almost every
+    # block is skipped (P[block contributes] ~ Q*k*block/N_seen), leaving
+    # the kernel matmul/HBM-bound.
+    block_max = jnp.max(s, axis=1)            # [Q]
+    kth = best_s[:, k - 1]
+    could_contribute = jnp.any(block_max > kth)
 
-    # merge with running buffer (buffer first => lower index wins ties)
-    m_s = jnp.concatenate([best_s[:], cand_s], axis=1)
-    m_i = jnp.concatenate([best_i[:], cand_i], axis=1)
-    new_s, new_i = _extract_topk(m_s, m_i, k)
-    best_s[:] = new_s
-    best_i[:] = new_i
+    @pl.when(could_contribute)
+    def _merge():
+        cand_s, cand_i = _extract_topk(s, corpus_idx, k)
+        # merge with running buffer (buffer first => lower index wins ties)
+        m_s = jnp.concatenate([best_s[:], cand_s], axis=1)
+        m_i = jnp.concatenate([best_i[:], cand_i], axis=1)
+        new_s, new_i = _extract_topk(m_s, m_i, k)
+        best_s[:] = new_s
+        best_i[:] = new_i
 
     @pl.when(step == num_steps - 1)
     def _finalize():
