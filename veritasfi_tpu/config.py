@@ -43,6 +43,7 @@ class RetrievalConfig:
     expand_accept: float = 0.66    # ensembleRetriever.py:93,102
     expand_max_chunks: int = 4     # ensembleRetriever.py:89
     max_queries: int = 4         # 1 original + up to 3 HyDE rewrites
+    native_bm25: bool = True     # prefer the C++ BM25 engine when built
 
     def path_k(self) -> tuple[int, int, int]:
         f = self.faiss_k if self.faiss_k is not None else self.k

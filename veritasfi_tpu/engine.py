@@ -116,10 +116,30 @@ class RAGEngine:
 
     def load_collection(self, name: str) -> CorpusIndex:
         if name not in self._collections:
-            self._collections[name] = CorpusIndex.load(
-                self._collection_dir(name))
-            self._bm25[name] = BM25Index.load(self._bm25_dir(name))
+            index = CorpusIndex.load(self._collection_dir(name))
+            self._collections[name] = index
+            self._bm25[name] = self._make_bm25(index)
         return self._collections[name]
+
+    def _make_bm25(self, index: CorpusIndex):
+        """Native C++ BM25 when available (identical scores to the Python
+        engine — tests/test_native_bm25.py); scipy fallback otherwise."""
+        if self.config.retrieval.native_bm25:
+            try:
+                from .native.bm25_native import NativeBM25, native_available
+
+                if native_available():
+                    return NativeBM25(index.texts, index.doc_ids)
+            except Exception as e:
+                logger.warning("native bm25 unavailable (%s); using Python "
+                               "engine", e)
+        return BM25Index.load(self._bm25_dir_for(index))
+
+    def _bm25_dir_for(self, index: CorpusIndex) -> str:
+        for name, idx in self._collections.items():
+            if idx is index:
+                return self._bm25_dir(name)
+        raise KeyError("collection not registered")
 
     def register_collection(self, name: str, index: CorpusIndex,
                             bm25: Optional[BM25Index] = None) -> None:

@@ -14,6 +14,7 @@ from .reranker_eval import (
     evaluate_reranker,
     sweep_checkpoints,
 )
+from .annotate import load_groups, mine_training_groups, save_groups
 from .answer_eval import AnswerJudge, evaluate_answers
 from .e2e_qa import load_questions, run_e2e
 from .latency_model import simulate_latency
@@ -26,4 +27,5 @@ __all__ = [
     "calculate_recall", "evaluate_reranker", "sweep_checkpoints",
     "AnswerJudge", "evaluate_answers", "simulate_latency",
     "stress_test", "retrieval_throughput", "load_questions", "run_e2e",
+    "mine_training_groups", "save_groups", "load_groups",
 ]
