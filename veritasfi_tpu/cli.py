@@ -47,6 +47,16 @@ def main(argv=None) -> int:
     p_e2e.add_argument("--out-dir", required=True)
     p_e2e.add_argument("--self-judge", action="store_true")
 
+    # retrieval-quality pipeline (reference experiments/retriever stages 1-4)
+    p_ret = sub.add_parser("eval-retrieval")
+    p_ret.add_argument("--samples", required=True,
+                       help="JSON list of {question, evidences: [str]}")
+    p_ret.add_argument("--out", required=True, help="statistic.json path")
+    p_ret.add_argument("--judge", default="cos",
+                       choices=["cos", "string", "llm"])
+    p_ret.add_argument("--sim-threshold", type=float, default=0.9)
+    p_ret.add_argument("--use-hyde", action="store_true")
+
     args = parser.parse_args(argv)
     logging.basicConfig(level=args.log_level)
 
@@ -88,6 +98,26 @@ def main(argv=None) -> int:
                            self_judge=args.self_judge)
             print(json.dumps({"questions": len(arts),
                               "out_dir": args.out_dir}))
+        elif args.cmd == "eval-retrieval":
+            from .evals import (aggregate_hit_stats, collect_recall,
+                                hit_rate_eval, rewrite_dataset)
+            from .evals.retrieval_eval import hyde_with_perplexity
+
+            with open(args.samples, encoding="utf-8") as f:
+                samples = json.load(f)
+            manager = stack.chat_service.get_or_create_chat_manager(
+                "eval-retrieval")
+            records = rewrite_dataset(samples, manager)
+            if args.use_hyde:
+                records = hyde_with_perplexity(records, manager)
+            retriever = stack.chat_service.retrievers[0]
+            records = collect_recall(records, retriever,
+                                     use_hyde=args.use_hyde)
+            results = hit_rate_eval(records, stack.engine.embed_fn,
+                                    method=args.judge,
+                                    sim_threshold=args.sim_threshold)
+            stats = aggregate_hit_stats(results, args.out)
+            print(json.dumps(stats))
     finally:
         stack.close()
     return 0
