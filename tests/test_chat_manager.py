@@ -148,3 +148,29 @@ def test_runtime_log_shape():
     import json as _json
 
     assert _json.loads(log["rag_info"])[0]["chunk_bundle_id"] == 3
+
+
+def test_rank_chunk_fused_scorer_path():
+    chunks = [
+        {"page_content": "long text " * 10, "bundle_id": 0, "_row": 0,
+         "metadata": {"date_published": "2024-01-01", "global_id": 0,
+                      "doc_id": "d0"}},
+        {"page_content": "other text " * 10, "bundle_id": 1, "_row": 1,
+         "metadata": {"date_published": "2024-01-01", "global_id": 1,
+                      "doc_id": "d1"}},
+    ]
+
+    class R:
+        class corpus:
+            embeddings = np.eye(2, 8, dtype=np.float32)
+
+    calls = []
+
+    def fused(question, texts, emb):
+        calls.append((question, len(texts), emb.shape))
+        return np.asarray([0.2, 0.9], np.float32), np.eye(2, dtype=np.float32)
+
+    cm, _ = manager(fused_scorer=fused)
+    sel = cm.rank_chunk(chunks, "q", datetime(2024, 1, 1), R())
+    assert sel == [0, 1]
+    assert calls == [("q", 2, (2, 8))]

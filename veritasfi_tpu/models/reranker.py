@@ -302,6 +302,17 @@ class CrossEncoderReranker:
             lambda p, ids, mask: yes_logit_score(
                 self.module, p, ids, mask, self.yes_id))
 
+        def _score_sim(p, ids, mask, emb):
+            s = yes_logit_score(self.module, p, ids, mask, self.yes_id)
+            e = emb.astype(jnp.float32)
+            e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True),
+                                1e-12)
+            sim = jnp.matmul(e, e.T, precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+            return s, sim
+
+        self._score_sim = jax.jit(_score_sim)
+
     # -- tokenization helpers -------------------------------------------
     def _token_id(self, text: str) -> int:
         hf = getattr(self.tokenizer, "hf", None)
@@ -342,6 +353,22 @@ class CrossEncoderReranker:
             mask[i, : len(r)] = 1
         out = self._score(self.params, jnp.asarray(ids), jnp.asarray(mask))
         return np.asarray(out, np.float32)
+
+    def score_and_sim(self, rows: List[List[int]], embeddings) -> tuple:
+        """One device call returning (yes-logit scores, pairwise cosine of
+        the candidates' retrieval embeddings) — both rerank-fusion inputs
+        without a second dispatch."""
+        seq = max(len(r) for r in rows)
+        bucket = max(-(-seq // 64) * 64, 64)
+        ids = np.full((len(rows), bucket), self.arch.pad_id, np.int32)
+        mask = np.zeros((len(rows), bucket), np.int32)
+        for i, r in enumerate(rows):
+            ids[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+        s, sim = self._score_sim(self.params, jnp.asarray(ids),
+                                 jnp.asarray(mask), jnp.asarray(embeddings))
+        s, sim = jax.device_get((s, sim))
+        return np.asarray(s, np.float32), np.asarray(sim, np.float32)
 
     def compute_score(self, pairs: List[List[str]], batch_size: int = 8) -> List[float]:
         rows = [self.encode_pair(q, p) for q, p in pairs]

@@ -49,6 +49,7 @@ class ChatManager:
         llm,                         # LLMClient | FakeLLM
         model_name: str,
         scorer: Optional[Callable[[List[List[str]]], Sequence[float]]] = None,
+        fused_scorer=None,           # (question, texts, emb) -> (scores, sim)
         chunk_topk: int = 5,
         history_limit: int = 20,
         similar_threshold: float = 0.9,
@@ -66,6 +67,7 @@ class ChatManager:
         self.llm = llm
         self.model_name = model_name
         self.scorer = scorer
+        self.fused_scorer = fused_scorer
         self.chunk_topk = chunk_topk
         self.history_limit = history_limit
         self.similar_threshhold = similar_threshold  # reference spelling
@@ -240,15 +242,23 @@ class ChatManager:
         reversed (semantics: vllmManager.py:430-483)."""
         if not chunks:
             return []
-        pairs = [[question, c["page_content"]] for c in chunks]
         time_scores = chunk_time_scores(chunks, query_time)
-        reranker_scores = np.asarray(self.scorer(pairs), np.float32)
-        if all("_row" in c for c in chunks):
-            similar_mtx = retriever.compute_similarity_mtx_rows(
-                [c["_row"] for c in chunks])
+        texts = [c["page_content"] for c in chunks]
+        have_rows = all("_row" in c for c in chunks)
+        if self.fused_scorer is not None and have_rows:
+            # one device dispatch: cross-encoder scores + candidate cosine
+            emb = retriever.corpus.embeddings[
+                np.asarray([c["_row"] for c in chunks], np.int64)]
+            reranker_scores, similar_mtx = self.fused_scorer(
+                question, texts, emb)
         else:
-            similar_mtx = retriever.compute_similarity_mtx(
-                [c["page_content"] for c in chunks])
+            pairs = [[question, t] for t in texts]
+            reranker_scores = np.asarray(self.scorer(pairs), np.float32)
+            if have_rows:
+                similar_mtx = retriever.compute_similarity_mtx_rows(
+                    [c["_row"] for c in chunks])
+            else:
+                similar_mtx = retriever.compute_similarity_mtx(texts)
         return rank_chunk(chunks, reranker_scores, time_scores, similar_mtx,
                           chunk_topk=self.chunk_topk,
                           similar_threshold=self.similar_threshhold)

@@ -64,6 +64,7 @@ class ChatService:
         model_name: str,
         retrievers: List,                 # EnsembleRetriever list
         scorer,                           # pairs -> scores (batcher-backed)
+        fused_scorer=None,                # (q, texts, emb) -> (scores, sim)
         memory_bank=None,                 # MemoryBank | None
         qa_store=None,                    # QAVectorStore | None
         rerank_topk: int = 5,
@@ -84,6 +85,7 @@ class ChatService:
         self.model_name = model_name
         self.retrievers = retrievers
         self.scorer = scorer
+        self.fused_scorer = fused_scorer
         self.memory_bank = memory_bank
         self.qa_store = qa_store
         self.rerank_topk = rerank_topk
@@ -116,7 +118,8 @@ class ChatService:
             if session_id not in self.api_chat_manager:
                 manager = ChatManager(
                     session_id, self.llm, self.model_name,
-                    scorer=self.scorer, chunk_topk=self.rerank_topk,
+                    scorer=self.scorer, fused_scorer=self.fused_scorer,
+                    chunk_topk=self.rerank_topk,
                     tools=self.tools, company=self.company)
                 self.api_chat_manager[session_id] = {
                     "manager": manager, "timestamp": datetime.now()}

@@ -122,6 +122,15 @@ class Stack:
         rows = [self.reranker.encode_pair(q, p) for q, p in pairs]
         return self.batcher.score(rows, timeout=120)
 
+    def fused_scorer(self, question, texts, emb):
+        """Rerank scores + candidate similarity in one device dispatch
+        (skips the batcher; the dispatch queue still serializes devices)."""
+        if hasattr(self.reranker, "encode_pairs_cached"):
+            rows = self.reranker.encode_pairs_cached(question, texts)
+        else:
+            rows = [self.reranker.encode_pair(question, t) for t in texts]
+        return self.reranker.score_and_sim(rows, emb)
+
     def close(self) -> None:
         self.batcher.close()
         close = getattr(self.llm, "close", None)
@@ -171,6 +180,7 @@ def build_stack(config: Optional[Config] = None,
                   batcher=batcher, chat_service=None, llm=llm)
     stack.chat_service = ChatService(
         llm, config.llm.model_name, retrievers, stack.scorer,
+        fused_scorer=stack.fused_scorer,
         memory_bank=memory_bank, qa_store=qa_store,
         rerank_topk=config.rerank.rerank_topk,
         session_timeout=config.serving.session_timeout_s,
