@@ -136,3 +136,21 @@ def test_background_summary(service):
     cm = service.get_or_create_chat_manager("s7")
     assert cm.get_history_summary() == "SUMMARY of the session"
     assert service.get_test_info("s7") == (None, True)
+
+
+def test_rerank_candidate_cap(tmp_path):
+    """With rerank_max_candidates set, only the first M retrieved chunks
+    are scored (BASELINE config #3 top-50 shape); default is uncapped."""
+    idx, bm25 = make_corpus(tmp_path, seed=61)
+    eng = EnsembleRetriever(idx, EMB.encode, bm25=bm25, k=8)
+    scored = []
+
+    def counting_scorer(pairs):
+        scored.append(len(pairs))
+        return hash_scorer(pairs)
+
+    brain = ScriptedBrain(rewrittens=["zeekr revenue question"])
+    svc = ChatService(FakeLLM(brain), "m", [eng], counting_scorer,
+                      rerank_max_candidates=5)
+    svc.generate_response_async("revenue?", "s1")
+    assert scored and all(n <= 5 for n in scored)

@@ -60,6 +60,10 @@ class RerankConfig:
     rerank_topk: int = 5           # config/example.yaml:10
     batch_size: int = 8            # vllmManager.py:451
     similar_threshold: float = 0.9  # vllmManager.py:43
+    # Optional cap on candidates scored by the cross-encoder (retrieval
+    # order, like BASELINE config #3's "top-50"). None = reference behavior
+    # (every retrieved chunk is scored, vllmManager.py:436).
+    max_candidates: Optional[int] = None
     query_max_length: int = 512    # train_bge_rr.sh:20
     passage_max_length: int = 1024  # train_bge_rr.sh:21
     min_bundle_chars: int = 50     # vllmChatService.py:49

@@ -172,7 +172,7 @@ class EnsembleRetriever:
 
         self.encoder = encoder
         if encoder is not None:
-            module, max_length = encoder.module, encoder.max_length
+            module = encoder.module
 
             def embed_search_body(params, ids, mask, corpus_emb, ts_emb,
                                   prev_idx, next_idx, k, ts_k, steps, depth,

@@ -51,6 +51,7 @@ class ChatManager:
         scorer: Optional[Callable[[List[List[str]]], Sequence[float]]] = None,
         fused_scorer=None,           # (question, texts, emb) -> (scores, sim)
         chunk_topk: int = 5,
+        rerank_max_candidates: Optional[int] = None,
         history_limit: int = 20,
         similar_threshold: float = 0.9,
         tools=None,                  # FinnhubTools | None
@@ -69,6 +70,7 @@ class ChatManager:
         self.scorer = scorer
         self.fused_scorer = fused_scorer
         self.chunk_topk = chunk_topk
+        self.rerank_max_candidates = rerank_max_candidates
         self.history_limit = history_limit
         self.similar_threshhold = similar_threshold  # reference spelling
         self.tools = tools

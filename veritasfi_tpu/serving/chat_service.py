@@ -49,6 +49,9 @@ def get_rag_content(chat_manager: ChatManager, chunks: List[Dict],
                     min_bundle_chars: int = 50) -> Tuple[str, List[str]]:
     """rank -> bundle filter -> document-order context string
     (vllmChatService.py:31-70)."""
+    cap = chat_manager.rerank_max_candidates
+    if cap is not None and len(chunks) > cap:
+        chunks = chunks[:cap]
     top_bundle_id = chat_manager.rank_chunk(
         chunks, rewritten_question, query_time, retriever)
     rag_content, time_info_list, selected_chunks = select_content(
@@ -68,6 +71,7 @@ class ChatService:
         memory_bank=None,                 # MemoryBank | None
         qa_store=None,                    # QAVectorStore | None
         rerank_topk: int = 5,
+        rerank_max_candidates=None,
         session_timeout: int = 1800,
         company: CompanyProfile = CompanyProfile(),
         tools=None,
@@ -89,6 +93,7 @@ class ChatService:
         self.memory_bank = memory_bank
         self.qa_store = qa_store
         self.rerank_topk = rerank_topk
+        self.rerank_max_candidates = rerank_max_candidates
         self.session_timeout = session_timeout
         self.company = company
         self.tools = tools
@@ -120,6 +125,7 @@ class ChatService:
                     session_id, self.llm, self.model_name,
                     scorer=self.scorer, fused_scorer=self.fused_scorer,
                     chunk_topk=self.rerank_topk,
+                    rerank_max_candidates=self.rerank_max_candidates,
                     tools=self.tools, company=self.company)
                 self.api_chat_manager[session_id] = {
                     "manager": manager, "timestamp": datetime.now()}

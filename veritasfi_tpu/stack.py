@@ -183,6 +183,7 @@ def build_stack(config: Optional[Config] = None,
         fused_scorer=stack.fused_scorer,
         memory_bank=memory_bank, qa_store=qa_store,
         rerank_topk=config.rerank.rerank_topk,
+        rerank_max_candidates=config.rerank.max_candidates,
         session_timeout=config.serving.session_timeout_s,
         company=company or CompanyProfile(), tools=tools,
         seq_threshold=mb.seq_threshold, bm25_threshold=mb.bm25_threshold,
