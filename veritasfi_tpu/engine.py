@@ -112,7 +112,21 @@ class RAGEngine:
         logger.info("collection %s: %d chunks, %d titles, %d bundles",
                     name, index.num_chunks, len(index.title_texts),
                     len(index.bundle_names))
+        self._log_device_memory(f"after ingest of {name}")
         return index
+
+    def _log_device_memory(self, milestone: str) -> None:
+        """Device-memory snapshot at load milestones (the reference logs
+        torch.cuda.max_memory_allocated at the same points,
+        ragManager.py:53,85)."""
+        try:
+            stats = profiler.device_memory_stats()
+            for device, s in stats.items():
+                logger.info("%s: %s bytes_in_use=%s peak=%s", milestone,
+                            device, s.get("bytes_in_use"),
+                            s.get("peak_bytes_in_use"))
+        except Exception:
+            pass
 
     def load_collection(self, name: str) -> CorpusIndex:
         if name not in self._collections:
