@@ -141,3 +141,21 @@ def test_build_stack_with_fakes(tmp_path):
         assert answer.startswith("ANSWER_TO[")
     finally:
         stack.close()
+
+
+def test_chat_sync_endpoint(service):
+    asyncio.run(_chat_sync_endpoint(service))
+
+
+async def _chat_sync_endpoint(service):
+    client = await make_client(create_app(MiniStack(service)))
+    try:
+        resp = await client.post("/v1/chat", json={
+            "question": "what is zeekr revenue?", "session_id": "sync1"})
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["answer"].startswith("ANSWER_TO[")
+        # sync path runs HyDE, so the brain's ANSWER: response was requested
+        assert data["rewrittens"] == ["zeekr revenue question"]
+    finally:
+        await client.close()
