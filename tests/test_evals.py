@@ -225,3 +225,17 @@ def test_collect_experiments(tmp_path):
     assert rows[0]["version"] == "20_chunks"
     csv_text = (tmp_path / "out.csv").read_text()
     assert "avg_hit_rate" in csv_text and "faiss_bm25" in csv_text
+
+
+def test_stress_test_threads():
+    from veritasfi_tpu.evals import stress_test
+
+    calls = []
+
+    def workload():
+        calls.append(1)
+
+    out = stress_test(workload, num_threads=2, duration_s=0.6,
+                      warm_up_s=0.1)
+    assert out["total_inference_calls"] > 0
+    assert out["overall_rate"] > 0
