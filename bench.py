@@ -153,20 +153,24 @@ def main():
         def run_wave():
             requests = [(query, hyde)] * B
             per_request = engine.invoke_batch(requests)
-            rows, slices, embs = [], [], []
+            rows, slices, emb_rows = [], [], []
             for chunks in per_request:
                 if args.rerank_pairs:
                     chunks = chunks[: args.rerank_pairs]
                 start = len(rows)
                 rows.extend(reranker.encode_pairs_cached(
                     query, [c["page_content"] for c in chunks]))
+                emb_rows.extend(c["_row"] for c in chunks)
                 slices.append((start, len(rows), chunks))
-            scores_all = reranker.score_tokens(rows)
+            # ONE dispatch for all requests' rerank scores AND similarity
+            # matrices (per-request sims are block diagonals of the full one
+            # — 2B extra dispatches otherwise, each costing relay RTT)
+            emb_all = index.embeddings[emb_rows]
+            scores_all, sim_all = reranker.score_and_sim(rows, emb_all)
             for start, end, chunks in slices:
                 scores = scores_all[start:end]
+                sim = sim_all[start:end, start:end]
                 tscores = chunk_time_scores(chunks, "2024-06-01")
-                sim = engine.compute_similarity_mtx_rows(
-                    [c["_row"] for c in chunks])
                 sel = rank_chunk(chunks, scores, tscores, sim, chunk_topk=5)
                 select_content(chunks, sel)
 
