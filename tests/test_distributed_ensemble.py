@@ -36,3 +36,23 @@ def test_distributed_no_titles(tmp_path):
     dist = EnsembleRetriever(idx, EMB.encode, bm25=bm25, k=5, mesh=mesh)
     out = dist.invoke("zeekr revenue", [])
     assert out and all(c["retriever"] in ("FAISS", "BM25") for c in out)
+
+
+def test_engine_retriever_with_mesh(tmp_path):
+    """RAGEngine factory passes a mesh through to the sharded engine."""
+    from conftest import make_processed_file, synth_chunk
+    from veritasfi_tpu.config import Config
+    from veritasfi_tpu.engine import RAGEngine
+
+    src = tmp_path / "src"
+    src.mkdir()
+    make_processed_file(src / "a.json", "2024-01-01",
+                        [synth_chunk(i) for i in range(16)])
+    cfg = Config()
+    cfg.persist_directory = str(tmp_path / "idx")
+    engine = RAGEngine(cfg, embed_fn=EMB.encode)
+    engine.create_collection("c", str(src))
+    mesh = make_mesh([("corpus", 8)])
+    retriever = engine.create_retriever(4, "c", mesh=mesh)
+    out = retriever.invoke("chunk 3 text topic", [])
+    assert out and retriever.mesh is mesh

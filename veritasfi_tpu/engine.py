@@ -192,4 +192,7 @@ class RAGEngine:
             expand_trigger=r.expand_trigger,
             expand_accept=r.expand_accept,
             expand_max_chunks=r.expand_max_chunks,
+            encoder=kwargs.get("encoder"),
+            mesh=kwargs.get("mesh"),
+            corpus_axis=kwargs.get("corpus_axis", self.config.mesh.corpus_axis),
         )
