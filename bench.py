@@ -5,6 +5,12 @@ batched dense top-k (depth 2048) over a 10k-chunk corpus -> title-summary
 path -> host BM25 -> fusion -> cross-encoder rerank (bge-reranker-base
 shape, top candidates) -> similarity dedup + bundle-capped selection.
 
+Default path: FusedServePath — encoder forward, multi-path search, the
+fusion loop, rerank pair assembly, cross-encoder forward, and greedy
+selection all inside ONE device program with ONE host readback (the
+host<->TPU transport costs ~28 ms per readback, so readback count is the
+latency budget). ``--classic`` runs the two-readback path for comparison.
+
 Reference baseline: 4.0 s retrieve+rerank per sub-query on one GPU behind a
 global reranker lock (BASELINE.md, stress_theory.js:5). Target: <50 ms p50
 on one v5e chip (BASELINE.json north star).
@@ -61,6 +67,9 @@ def main():
                              "(sweep on v5e: B=8 best; B=16/32 saturate)")
     parser.add_argument("--qps-queries", type=int, default=48)
     parser.add_argument("--skip-qps", action="store_true")
+    parser.add_argument("--classic", action="store_true",
+                        help="use the two-readback path (host fusion between "
+                             "search and rerank) instead of FusedServePath")
     parser.add_argument("--trace", default=None,
                         help="capture a jax.profiler trace of one query "
                              "into this directory")
@@ -113,7 +122,20 @@ def main():
     for text in index.texts:
         reranker.tokenize_passage(text)
 
+    fused = None
+    if not args.classic:
+        from veritasfi_tpu.retrieval.fused_serve import FusedServePath
+
+        fused = FusedServePath(
+            index, reranker, encoder=encoder, bm25=bm25, k=10,
+            enable_expand=True, depth=2048,
+            rerank_cap=args.rerank_pairs or 50, chunk_topk=5)
+
     def one_query(q, hy):
+        if fused is not None:
+            chunks, sel, _ = fused.serve(q, hy, "2024-06-01")
+            content, times, selected = select_content(chunks, sel)
+            return len(chunks), len(selected)
         chunks = engine.invoke(q, hy)
         if args.rerank_pairs:
             chunks = chunks[: args.rerank_pairs]
@@ -147,7 +169,22 @@ def main():
     # thread). The reference serializes every session on a reranker lock
     # (vllmChatService.py:88-90).
     qps = None
-    if not args.skip_qps:
+    if not args.skip_qps and fused is not None:
+        # fused wave: enqueue B single-readback programs, ONE device_get
+        # for the whole wave (dispatch is async; the transport round-trip
+        # is paid once per wave, not per request)
+        B = args.concurrency
+
+        def run_wave():
+            fused.serve_wave([(query, hyde, "2024-06-01")] * B)
+
+        run_wave()
+        waves = max(args.qps_queries // B, 1)
+        t0 = time.perf_counter()
+        for _ in range(waves):
+            run_wave()
+        qps = waves * B / (time.perf_counter() - t0)
+    elif not args.skip_qps:
         B = args.concurrency
 
         def run_wave():

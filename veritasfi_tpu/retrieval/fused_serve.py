@@ -1,0 +1,544 @@
+"""Single-readback serve path: retrieve + fuse + rerank in ONE device program.
+
+Why this exists: the transport between host and TPU costs ~28 ms per host
+readback (measured; enqueueing programs is free/async). The classic path
+needs two readbacks per query — search results (for host fusion) and rerank
+scores (for host selection) — putting a ~56 ms floor under the p50 before
+any compute. This module moves the *host fusion loop itself* onto the
+device, so one jitted program runs:
+
+  encoder forward -> dense/title/neighbor search (ensemble._search_body)
+  -> ordered dedup-union fusion with bundle gathering + prev/next expansion
+     (a lax.while_loop replay of EnsembleRetriever._dense_path/_title_path/
+     _bm25_path, reference: src/utils/ensembleRetriever.py:62-233)
+  -> rerank pair assembly from a device-resident pre-tokenized passage
+     matrix -> cross-encoder forward (yes-logit / classifier logit)
+  -> time scores + candidate similarity matrix
+  -> greedy bundle-capped selection (rank_chunk, vllmManager.py:430-483)
+
+and the host reads back a few-KB pytree ONCE. BM25 stays host-side (it
+depends only on the query string, so it runs *before* the dispatch and its
+top-k rows are passed in as inputs).
+
+Output parity: the candidate list (rows, emission groups, path tags,
+scores) and the selected bundle ids are bit-identical to
+EnsembleRetriever.invoke + rank_chunk over the capped candidate list —
+tested against that oracle in tests/test_fused_serve.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ingest.corpus import CorpusIndex, normalize_rows
+from ..rerank.fusion import select_content
+from ..utils.profiler import profiler
+from .ensemble import _search_body
+
+_F32 = jnp.float32
+PATH_NAMES = ("FAISS", "Title Summary", "BM25")
+
+
+def _padded_members(indptr: np.ndarray, members: np.ndarray,
+                    num_groups: int) -> Tuple[np.ndarray, np.ndarray]:
+    """CSR -> padded [G, M] member matrix (-1 pad) + [G] sizes."""
+    sizes = (indptr[1:] - indptr[:-1]).astype(np.int32)
+    width = max(int(sizes.max()) if num_groups else 0, 1)
+    pad = np.full((max(num_groups, 1), width), -1, np.int32)
+    for g in range(num_groups):
+        row = members[indptr[g]:indptr[g + 1]]
+        pad[g, : len(row)] = row
+    return pad, sizes if num_groups else np.zeros(1, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# device-side fusion loop
+# ---------------------------------------------------------------------------
+def _fuse(top_s, top_i, ts_s, ts_i, cand, eff, bm25_rows, bm25_scores,
+          bundle_code, bundle_pad, title_pad, *,
+          k, ts_k, mt, bm25_k, steps, expand, trigger, accept, emc, cap):
+    """Replay the host fusion loop on device.
+
+    Proposal order (exactly EnsembleRetriever.invoke): dense hits qi-major
+    then rank-minor; title hits rank-major then member-minor; BM25 hits in
+    rank order. Each accepted proposal emits one group: [reversed prev
+    expansion] + [bundle rows | the hit] + [next expansion].
+    Stops when `cap` candidate rows are emitted (the rerank candidate cap —
+    chunks[:cap] truncation semantics preserved, including mid-group cuts).
+    """
+    num_q = top_i.shape[0]
+    n = bundle_code.shape[0]
+    mb = bundle_pad.shape[1]
+    p_dense = num_q * k
+    p_title = ts_k * mt
+    p_total = p_dense + p_title + bm25_k
+    eb = emc + mb + emc                       # emission buffer slots
+
+    def decode(p):
+        def dense(_):
+            qi, j = p // k, p % k
+            return top_i[qi, j], top_s[qi, j], jnp.int32(0), qi, j
+
+        def title(_):
+            p2 = p - p_dense
+            t, m = p2 // mt, p2 % mt
+            row = title_pad[ts_i[t], m] if mt else jnp.int32(-1)
+            return row, ts_s[t], jnp.int32(1), jnp.int32(0), jnp.int32(0)
+
+        def bm25(_):
+            p3 = p - p_dense - p_title
+            return (bm25_rows[p3], bm25_scores[p3], jnp.int32(2),
+                    jnp.int32(0), jnp.int32(0))
+
+        branches = []
+        branches.append(dense if p_dense else bm25)
+        branches.append(title if p_title else bm25)
+        branches.append(bm25)
+        phase = jnp.where(p < p_dense, 0, jnp.where(p < p_dense + p_title,
+                                                    1, 2))
+        return jax.lax.switch(phase, branches, None)
+
+    def accept_proposal(state, idx, score, path, qi, j):
+        seen, out_row, out_group, out_score, out_path, n_out, n_group = state
+        safe = jnp.clip(idx, 0, n - 1)
+
+        code = bundle_code[safe]
+        has_b = code >= 0
+        b_row = bundle_pad[jnp.maximum(code, 0)]
+        solo = jnp.full((mb,), -1, jnp.int32).at[0].set(idx)
+        mid = jnp.where(has_b, b_row, solo)                  # [MB]
+        mid_valid = mid >= 0
+        mid_len = mid_valid.sum().astype(jnp.int32)
+        seen = seen.at[jnp.where(mid_valid, mid, n)].set(True)
+        seen = seen.at[safe].set(True)
+
+        prev_buf = jnp.full((emc,), -1, jnp.int32)
+        next_buf = jnp.full((emc,), -1, jnp.int32)
+        pcnt = jnp.int32(0)
+        ncnt = jnp.int32(0)
+        ids_len = mid_len
+        if expand:
+            # probe tables: cand[:, :k*steps] prev walks, rest next walks,
+            # column t*k + j = step-t neighbor of hit j (ensemble._search_body)
+            active = (path == 0) & (score > trigger)
+            for _ in range(max(emc - 1, 0)):
+                top_ok = active & (ids_len < emc)
+                p_col = jnp.clip(pcnt, 0, steps - 1) * k + j
+                p_row = jnp.where(pcnt < steps, cand[qi, p_col], -1)
+                p_eff = jnp.where(pcnt < steps, eff[qi, p_col], 0.0)
+                p_safe = jnp.clip(p_row, 0, n - 1)
+                acc_p = (top_ok & (p_row >= 0) & (p_eff > accept)
+                         & ~seen[p_safe])
+                prev_buf = prev_buf.at[
+                    jnp.where(acc_p, pcnt, emc)].set(p_row, mode="drop")
+                seen = seen.at[jnp.where(acc_p, p_safe, n)].set(True)
+                pcnt = pcnt + acc_p
+                ids_len = ids_len + acc_p
+
+                # NOTE: the reference checks the size cap only at the loop
+                # top (ensembleRetriever.py:89), so prev+next accepted in
+                # the same iteration can exceed it by one — `top_ok` is NOT
+                # recomputed before the next-side probe, preserving that.
+                n_col = k * steps + jnp.clip(ncnt, 0, steps - 1) * k + j
+                n_row = jnp.where(ncnt < steps, cand[qi, n_col], -1)
+                n_eff = jnp.where(ncnt < steps, eff[qi, n_col], 0.0)
+                n_safe = jnp.clip(n_row, 0, n - 1)
+                acc_n = (top_ok & (n_row >= 0) & (n_eff > accept)
+                         & ~seen[n_safe])
+                next_buf = next_buf.at[
+                    jnp.where(acc_n, ncnt, emc)].set(n_row, mode="drop")
+                seen = seen.at[jnp.where(acc_n, n_safe, n)].set(True)
+                ncnt = ncnt + acc_n
+                ids_len = ids_len + acc_n
+                active = active & (acc_p | acc_n)
+
+        # emit: reversed prevs ++ mid ++ nexts
+        s = jnp.arange(eb, dtype=jnp.int32)
+        total = pcnt + mid_len + ncnt
+        prev_pick = prev_buf[jnp.clip(pcnt - 1 - s, 0, emc - 1)]
+        mid_pick = mid[jnp.clip(s - pcnt, 0, mb - 1)]
+        next_pick = next_buf[jnp.clip(s - pcnt - mid_len, 0, emc - 1)]
+        row_s = jnp.where(s < pcnt, prev_pick,
+                          jnp.where(s < pcnt + mid_len, mid_pick, next_pick))
+        write = jnp.where(s < total, n_out + s, cap)        # cap slot drops
+        write = jnp.where(write < cap, write, cap)
+        out_row = out_row.at[write].set(row_s, mode="drop")
+        out_group = out_group.at[write].set(n_group, mode="drop")
+        out_score = out_score.at[write].set(score.astype(_F32), mode="drop")
+        out_path = out_path.at[write].set(path, mode="drop")
+        return (seen, out_row, out_group, out_score, out_path,
+                n_out + total, n_group + 1)
+
+    def body(carry):
+        p, state = carry
+        idx, score, path, qi, j = decode(p)
+        seen = state[0]
+        safe = jnp.clip(idx, 0, n - 1)
+        fresh = (idx >= 0) & (idx < n) & ~seen[safe]
+        state = jax.lax.cond(
+            fresh,
+            lambda st: accept_proposal(st, idx, score, path, qi, j),
+            lambda st: st, state)
+        return p + 1, state
+
+    def cond(carry):
+        p, state = carry
+        return (p < p_total) & (state[5] < cap)
+
+    init = (
+        jnp.zeros((n + 1,), bool),
+        jnp.full((cap,), -1, jnp.int32),
+        jnp.zeros((cap,), jnp.int32),
+        jnp.zeros((cap,), _F32),
+        jnp.zeros((cap,), jnp.int32),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+    _, out_row, out_group, out_score, out_path, n_out, n_group = state
+    return out_row, out_group, out_score, out_path, jnp.minimum(n_out, cap)
+
+
+# ---------------------------------------------------------------------------
+# rerank pair assembly + greedy selection
+# ---------------------------------------------------------------------------
+def _assemble_pairs(out_row, prefix, prefix_len, passage_toks, passage_len,
+                    *, seq, pad_id, sep_id, passage_max_length):
+    """Build [C, seq] cross-encoder rows on device:
+    [cls + query + sep](prefix) + passage[:budget] + sep.
+    Mirrors EncoderReranker.encode_pairs_cached exactly."""
+    cap = out_row.shape[0]
+    lp = passage_toks.shape[1]
+    safe = jnp.maximum(out_row, 0)
+    ptoks = passage_toks[safe]                       # [C, LP]
+    budget = jnp.maximum(passage_max_length - prefix_len - 1, 0)
+    plen = jnp.minimum(passage_len[safe], budget)    # [C]
+    pos = jnp.arange(seq, dtype=jnp.int32)[None, :]  # [1, seq]
+    gather = jnp.clip(pos - prefix_len, 0, lp - 1)
+    shifted = jnp.take_along_axis(ptoks, jnp.broadcast_to(
+        gather, (cap, seq)), axis=1)
+    in_prefix = pos < prefix_len
+    in_passage = (pos >= prefix_len) & (pos < prefix_len + plen[:, None])
+    at_sep = pos == prefix_len + plen[:, None]
+    pre = jnp.broadcast_to(prefix[None, :seq], (cap, seq))
+    ids = jnp.where(in_prefix, pre,
+                    jnp.where(in_passage, shifted,
+                              jnp.where(at_sep, sep_id, pad_id)))
+    mask = (pos < prefix_len + plen[:, None] + 1).astype(jnp.int32)
+    invalid = out_row < 0
+    # invalid slots: attend to position 0 only (keeps softmax well-defined)
+    mask = jnp.where(invalid[:, None], (pos == 0).astype(jnp.int32), mask)
+    ids = jnp.where(invalid[:, None], pad_id, ids)
+    return ids, mask
+
+
+def _rank_chunk_device(combined, out_group, valid, sim, *,
+                       chunk_topk, sim_threshold):
+    """Greedy bundle-capped selection (rerank.fusion.rank_chunk) on device.
+    Returns (selected group ids [chunk_topk], count) — host reverses.
+
+    Preserved quirk: the similarity check indexes the candidate-level matrix
+    with *group ids* (vllmManager.py:476-480); within the capped list group
+    ids are < cap because each group emits at least one row."""
+    cap = combined.shape[0]
+    neg = jnp.where(valid, -combined, jnp.inf)
+    _, order = jax.lax.sort(
+        (neg, jnp.arange(cap, dtype=jnp.int32)), num_keys=2)
+    bsize = (valid[None, :]
+             & (out_group[:, None] == out_group[None, :])).sum(
+        axis=1).astype(jnp.int32)
+
+    def body(r, st):
+        sel, cnt, size = st
+        i = order[r]
+        ok = valid[i]
+        g = out_group[i]
+        in_sel = jnp.any(sel == g)
+        over = size + bsize[i] > chunk_topk
+        sims = sim[i, jnp.clip(sel, 0, cap - 1)]
+        simhit = jnp.any((jnp.arange(chunk_topk) < cnt)
+                         & (sims > sim_threshold))
+        acc = ok & ~in_sel & ~over & ~simhit
+        sel = sel.at[jnp.where(acc, cnt, chunk_topk)].set(g, mode="drop")
+        return (sel, cnt + acc, size + jnp.where(acc, bsize[i], 0))
+
+    sel0 = jnp.full((chunk_topk,), -1, jnp.int32)
+    sel, cnt, _ = jax.lax.fori_loop(0, cap, body,
+                                    (sel0, jnp.int32(0), jnp.int32(0)))
+    return sel, cnt
+
+
+# ---------------------------------------------------------------------------
+# the serve path
+# ---------------------------------------------------------------------------
+class FusedServePath:
+    """One-readback retrieve+rerank for a corpus + encoder + cross-encoder.
+
+    Holds device-resident state (embeddings, metadata arrays, padded CSR
+    maps, pre-tokenized passage matrix) and a single jitted program per
+    (num_queries,) shape. ``serve()`` performs host BM25 + tokenization,
+    one dispatch, one device_get, then formats reference-schema chunk dicts.
+    """
+
+    def __init__(self, corpus: CorpusIndex, reranker, encoder=None,
+                 embed_fn=None, bm25=None, *,
+                 k: int = 10, ts_k: Optional[int] = None,
+                 bm25_k: Optional[int] = None,
+                 enable_expand: bool = True, depth: int = 2048,
+                 expand_trigger: float = 0.72, expand_accept: float = 0.66,
+                 expand_max_chunks: int = 4,
+                 rerank_cap: int = 50, chunk_topk: int = 5,
+                 sim_threshold: float = 0.9) -> None:
+        if encoder is None and embed_fn is None:
+            raise ValueError("need encoder or embed_fn")
+        self.corpus = corpus
+        self.reranker = reranker
+        self.encoder = encoder
+        self.embed_fn = embed_fn
+        self.bm25 = bm25
+        self.k = min(k, corpus.num_chunks)
+        t = len(corpus.title_texts)
+        self.ts_k = min(ts_k if ts_k is not None else k, t)
+        self.bm25_k = (bm25_k if bm25_k is not None else k) if bm25 else 0
+        self.enable_expand = enable_expand
+        self.depth = depth
+        self.trigger = expand_trigger
+        self.accept = expand_accept
+        self.emc = expand_max_chunks
+        self.rerank_cap = rerank_cap
+        self.chunk_topk = chunk_topk
+        self.sim_threshold = sim_threshold
+
+        n = corpus.num_chunks
+        self._emb = jnp.asarray(normalize_rows(corpus.embeddings))
+        ts = corpus.ts_embeddings
+        self._ts_emb = (jnp.asarray(normalize_rows(ts))
+                        if ts is not None and len(ts)
+                        else self._emb[:1])
+        self._prev = jnp.asarray(corpus.prev_idx.astype(np.int32))
+        self._next = jnp.asarray(corpus.next_idx.astype(np.int32))
+        self._bundle_code = jnp.asarray(corpus.bundle_code.astype(np.int32))
+        bpad, _ = _padded_members(corpus.bundle_indptr, corpus.bundle_members,
+                                  len(corpus.bundle_names))
+        tpad, _ = _padded_members(corpus.title_indptr, corpus.title_members,
+                                  len(corpus.title_texts))
+        self._bundle_pad = jnp.asarray(bpad)
+        self._title_pad = jnp.asarray(tpad)
+        self._mt = int(tpad.shape[1]) if self.ts_k > 0 else 0
+        self._date_days = jnp.asarray(corpus.date_days.astype(np.float32))
+
+        # pre-tokenized passage matrix [N, LP] + lengths
+        rr = reranker
+        toks = [rr.tokenize_passage(t)[: rr.passage_max_length]
+                for t in corpus.texts]
+        lp = max(max((len(t) for t in toks), default=1), 1)
+        pmat = np.full((n, lp), rr.arch.pad_id, np.int32)
+        plen = np.zeros((n,), np.int32)
+        for i, t in enumerate(toks):
+            pmat[i, : len(t)] = t
+            plen[i] = len(t)
+        self._passage_toks = jnp.asarray(pmat)
+        self._passage_len = jnp.asarray(plen)
+        self._plen_max = int(plen.max()) if n else 0
+
+        hf = getattr(rr.tokenizer, "hf", None)
+        if hf is not None:
+            self._cls = hf.cls_token_id if hf.cls_token_id is not None else 0
+            self._sep = hf.sep_token_id if hf.sep_token_id is not None else 2
+        else:
+            self._cls, self._sep = rr.tokenizer.cls_id, rr.tokenizer.sep_id
+        self._seq = max(-(-rr.passage_max_length // 64) * 64, 64)
+
+        self._jit = jax.jit(
+            self._body,
+            static_argnames=("num_q", "with_encoder", "seq"))
+
+    # -- the fused program --------------------------------------------------
+    def _body(self, enc_params, enc_ids, enc_mask, q_emb_in, rr_params,
+              prefix, prefix_len, bm25_rows, bm25_scores, qtime_days,
+              *, num_q, with_encoder, seq):
+        if with_encoder:
+            q_emb = self.encoder.module.apply(enc_params, enc_ids, enc_mask)
+            q_emb = q_emb.astype(_F32)
+        else:
+            q_emb = q_emb_in
+        steps = self.emc - 1
+        top_s, top_i, ts_s, ts_i, cand, eff = _search_body(
+            self._emb, self._ts_emb, q_emb, self._prev, self._next,
+            self.k if self.k > 0 else 1,
+            self.ts_k if self.ts_k > 0 else 1,
+            steps, self.depth, self.enable_expand)
+        if self.ts_k <= 0:
+            ts_s = jnp.full((1,), -jnp.inf, _F32)
+            ts_i = jnp.zeros((1,), jnp.int32)
+
+        out_row, out_group, out_score, out_path, n_out = _fuse(
+            top_s if self.k > 0 else top_s[:, :0],
+            top_i if self.k > 0 else top_i[:, :0],
+            ts_s, ts_i, cand, eff, bm25_rows, bm25_scores,
+            self._bundle_code, self._bundle_pad, self._title_pad,
+            k=self.k, ts_k=self.ts_k, mt=self._mt, bm25_k=self.bm25_k,
+            steps=steps, expand=self.enable_expand, trigger=self.trigger,
+            accept=self.accept, emc=self.emc, cap=self.rerank_cap)
+
+        valid = out_row >= 0
+        ids, mask = _assemble_pairs(
+            out_row, prefix[:seq], prefix_len, self._passage_toks,
+            self._passage_len, seq=seq,
+            pad_id=self.reranker.arch.pad_id, sep_id=self._sep,
+            passage_max_length=self.reranker.passage_max_length)
+        logits = self.reranker.module.apply(rr_params, ids, mask)
+        logits = logits.astype(_F32)
+
+        safe = jnp.maximum(out_row, 0)
+        emb_c = self._emb[safe].astype(_F32)
+        sim = jnp.matmul(emb_c, emb_c.T,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=_F32)
+        tscores = jnp.maximum(
+            0.0, 1.0 - jnp.abs(qtime_days - self._date_days[safe]) / 365.0)
+        combined = logits + tscores
+        sel, sel_cnt = _rank_chunk_device(
+            combined, out_group, valid, sim,
+            chunk_topk=self.chunk_topk, sim_threshold=self.sim_threshold)
+        return (out_row, out_group, out_score, out_path, n_out,
+                logits, tscores, sel, sel_cnt)
+
+    # -- host orchestration --------------------------------------------------
+    def _encoder_tokens(self, inputs: List[str]):
+        from ..models.encoder import _bucket_length
+
+        enc = self.encoder
+        batch = enc.tokenizer(inputs, enc.max_length)
+        seq = batch["input_ids"].shape[1]
+        bucket = _bucket_length(seq, enc.max_length)
+        pad = bucket - seq
+        ids = np.pad(batch["input_ids"], ((0, 0), (0, pad)),
+                     constant_values=enc.arch.pad_id)
+        mask = np.pad(batch["attention_mask"], ((0, 0), (0, pad)))
+        return jnp.asarray(ids), jnp.asarray(mask)
+
+    def _query_prefix(self, query: str):
+        rr = self.reranker
+        hf = getattr(rr.tokenizer, "hf", None)
+        if hf is not None:
+            q_ids = hf(query, add_special_tokens=False, truncation=True,
+                       max_length=rr.query_max_length)["input_ids"]
+        else:
+            from ..models.tokenizer import basic_tokens
+
+            q_ids = [rr.tokenizer.token_id(t)
+                     for t in basic_tokens(query)][: rr.query_max_length]
+        prefix = [self._cls] + list(q_ids) + [self._sep]
+        out = np.full((self._seq,), rr.arch.pad_id, np.int32)
+        out[: len(prefix)] = prefix
+        return jnp.asarray(out), np.int32(len(prefix))
+
+    def _bm25_inputs(self, query: str):
+        kb = self.bm25_k
+        rows = np.full((max(kb, 1),), -1, np.int32)
+        scores = np.zeros((max(kb, 1),), np.float32)
+        if kb > 0:
+            ids, sc = self.bm25.invoke(query, kb)
+            m = min(kb, len(ids))
+            rows[:m] = np.asarray(ids[:m], np.int32)
+            scores[:m] = np.asarray(sc[:m], np.float32)
+        return jnp.asarray(rows), jnp.asarray(scores)
+
+    def enqueue(self, query: str, hyde_chunks: Sequence[str],
+                query_time) -> Tuple:
+        """Host prep + async dispatch; returns (device outputs, token) —
+        no host readback. Use finish() to complete. Lets a server enqueue a
+        whole wave of requests and pay ONE transport round-trip for all."""
+        from ..rerank.fusion import _to_days
+
+        inputs = [query] + list(hyde_chunks)
+        with profiler.span("serve_host_prep"):
+            prefix, prefix_len = self._query_prefix(query)
+            bm25_rows, bm25_scores = self._bm25_inputs(query)
+            qdays = np.float32(_to_days(query_time))
+            # static seq bucket from this query's prefix length and the
+            # corpus-wide max passage length (the classic path buckets the
+            # same way per batch, EncoderReranker.score_tokens)
+            budget = max(
+                self.reranker.passage_max_length - int(prefix_len) - 1, 0)
+            row_max = int(prefix_len) + min(self._plen_max, budget) + 1
+            seq = min(self._seq, max(-(-row_max // 64) * 64, 64))
+            if self.encoder is not None:
+                ids, mask = self._encoder_tokens(inputs)
+                out = self._jit(self.encoder.params, ids, mask, None,
+                                self.reranker.params, prefix, prefix_len,
+                                bm25_rows, bm25_scores, qdays,
+                                num_q=len(inputs), with_encoder=True,
+                                seq=seq)
+            else:
+                q_emb = normalize_rows(
+                    np.asarray(self.embed_fn(inputs), np.float32))
+                out = self._jit(None, None, None, jnp.asarray(q_emb),
+                                self.reranker.params, prefix, prefix_len,
+                                bm25_rows, bm25_scores, qdays,
+                                num_q=len(inputs), with_encoder=False,
+                                seq=seq)
+        return out
+
+    def finish(self, out) -> Tuple[List[Dict], List[int], Dict]:
+        """ONE host readback, then build reference-schema outputs."""
+        with profiler.span("serve_readback"):
+            host = jax.device_get(out)
+        return self._format(host)
+
+    @profiler.profile_function(name="fused_serve")
+    def serve(self, query: str, hyde_chunks: Sequence[str], query_time
+              ) -> Tuple[List[Dict], List[int], Dict]:
+        """retrieve + rerank + select in one dispatch and one readback.
+
+        Returns (candidate chunk dicts (capped at rerank_cap), selected
+        bundle ids reversed (rank_chunk contract), diagnostics)."""
+        return self.finish(self.enqueue(query, hyde_chunks, query_time))
+
+    def serve_wave(self, requests: Sequence[Tuple[str, Sequence[str], object]]
+                   ) -> List[Tuple[List[Dict], List[int], Dict]]:
+        """Serve B concurrent requests with ONE transport round-trip total:
+        enqueue every request's program (dispatch is async/free), then a
+        single device_get over all outputs. This is the TPU serving shape —
+        the reference serializes every session behind a reranker lock
+        (vllmChatService.py:88-90)."""
+        outs = [self.enqueue(q, h, t) for q, h, t in requests]
+        with profiler.span("serve_wave_readback"):
+            host = jax.device_get(outs)
+        return [self._format(h) for h in host]
+
+    def _format(self, host_out) -> Tuple[List[Dict], List[int], Dict]:
+        (out_row, out_group, out_score, out_path, n_out, logits,
+         tscores, sel, sel_cnt) = host_out
+        chunks: List[Dict] = []
+        for i in range(int(n_out)):
+            r = int(out_row[i])
+            if r < 0:
+                continue
+            chunks.append({
+                "retriever": PATH_NAMES[int(out_path[i])],
+                "score": float(out_score[i]),
+                "page_content": self.corpus.texts[r],
+                "metadata": self.corpus.metadata(r),
+                "bundle_id": int(out_group[i]),
+                "_row": r,
+            })
+        selected = [int(g) for g in sel[: int(sel_cnt)]][::-1]
+        diag = {"logits": logits[: int(n_out)],
+                "time_scores": tscores[: int(n_out)],
+                "n_candidates": int(n_out)}
+        return chunks, selected, diag
+
+    def answer_context(self, query: str, hyde_chunks: Sequence[str],
+                       query_time, min_bundle_chars: int = 50):
+        """Full get_rag_content equivalent (vllmChatService.py:32-70)."""
+        chunks, sel, diag = self.serve(query, hyde_chunks, query_time)
+        content, times, selected = select_content(
+            chunks, sel, min_bundle_chars=min_bundle_chars)
+        return content, times, selected, chunks, diag
