@@ -52,6 +52,72 @@ def make_synth_corpus(n, rng):
     return records, titles
 
 
+def bench_1m_retrieval(iters: int = 10, n: int = 1_000_000, dim: int = 384):
+    """Large-corpus retrieval p50 (expansion on): the engine's streaming
+    search path (chunked top-k + scores_at + rank_of, no [Q, N]
+    materialization) over a 1M-row corpus — FAISS depth-2048 semantics at a
+    scale where the naive rank broadcast would need ~1 GB of intermediates
+    (BASELINE config #5 direction; single chip here, ICI-sharded variant in
+    parallel/mesh.py)."""
+    import time
+
+    import numpy as np
+
+    from veritasfi_tpu.ingest.corpus import CorpusIndex, normalize_rows
+    from veritasfi_tpu.models.hash_embedder import HashEmbedder
+    from veritasfi_tpu.retrieval.ensemble import EnsembleRetriever
+
+    rng = np.random.default_rng(1)
+    # arrays directly (1M ChunkRecord objects would dominate build time)
+    prev = np.arange(-1, n - 1, dtype=np.int32)
+    nxt = np.arange(1, n + 1, dtype=np.int32)
+    prev[::5] = -1
+    nxt[4::5] = -1
+    nxt[-1] = -1
+    num_titles = 4096
+    title_code = np.where(np.arange(n) % 2 == 0,
+                          np.arange(n) % num_titles, -1).astype(np.int32)
+    from veritasfi_tpu.ingest.corpus import _csr_from_codes
+
+    t_indptr, t_members = _csr_from_codes(title_code, num_titles)
+    bundle_code = np.full(n, -1, np.int32)
+    b_indptr, b_members = _csr_from_codes(bundle_code, 0)
+    index = CorpusIndex(
+        texts=[f"c{i}" for i in range(n)],
+        doc_ids=[str(i) for i in range(n)],
+        filenames=["f"] * n, page_numbers=[1] * n,
+        dates=["2024-01-15"] * n,
+        bundle_names=[], title_texts=[f"T{i}" for i in range(num_titles)],
+        modalities=["text"] * n,
+        global_id=np.arange(n, dtype=np.int32),
+        date_days=np.full(n, 19738, np.int32),
+        prev_idx=prev, next_idx=nxt,
+        bundle_code=bundle_code, title_code=title_code,
+        bundle_indptr=b_indptr, bundle_members=b_members,
+        title_indptr=t_indptr, title_members=t_members,
+        embeddings=normalize_rows(
+            rng.standard_normal((n, dim), np.float32)),
+        ts_embeddings=normalize_rows(
+            rng.standard_normal((num_titles, dim), np.float32)),
+    )
+    emb = HashEmbedder(dim=dim)
+    engine = EnsembleRetriever(index, emb.encode, bm25=None, k=10,
+                               enable_expand=True, depth=2048)
+    query = "quarterly revenue growth delivery guidance"
+    hyde = ["revenue grew strongly in the quarter",
+            "table of quarterly revenue by region",
+            "cash flow and capex guidance improved"]
+    engine.invoke(query, hyde)   # compile
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        engine.invoke(query, hyde)
+        lat.append((time.perf_counter() - t0) * 1000.0)
+    lat.sort()
+    return {"corpus_size": n, "p50_ms": round(lat[len(lat) // 2], 3),
+            "expansion": True, "path": "streaming"}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--corpus-size", type=int, default=10_000)
@@ -67,6 +133,8 @@ def main():
                              "(sweep on v5e: B=8 best; B=16/32 saturate)")
     parser.add_argument("--qps-queries", type=int, default=48)
     parser.add_argument("--skip-qps", action="store_true")
+    parser.add_argument("--skip-1m", action="store_true",
+                        help="skip the 1M-row streaming retrieval row")
     parser.add_argument("--classic", action="store_true",
                         help="use the two-readback path (host fusion between "
                              "search and rerank) instead of FusedServePath")
@@ -99,13 +167,23 @@ def main():
         rng.normal(size=(len(titles), dim)).astype(np.float32))
     bm25 = BM25Index.build(index.texts, index.doc_ids)
 
-    encoder = TextEncoder(preset="bge-small-en", dtype=jnp.bfloat16,
-                          max_length=256)
+    import dataclasses
+
+    from veritasfi_tpu.models.encoder import ENCODER_PRESETS
+    from veritasfi_tpu.models.encoder_reranker import (
+        RERANKER_ENCODER_PRESETS)
+
+    # serving-perf arch: tanh gelu (erf costs ~5 ms/fwd on this TPU; the
+    # delta is below bf16 rounding — models/encoder.py gelu_impl note)
+    enc_arch = dataclasses.replace(ENCODER_PRESETS["bge-small-en"],
+                                   gelu_impl="tanh")
+    rr_arch = dataclasses.replace(
+        RERANKER_ENCODER_PRESETS["bge-reranker-base"], gelu_impl="tanh")
+    encoder = TextEncoder(arch=enc_arch, dtype=jnp.bfloat16, max_length=256)
     engine = EnsembleRetriever(index, encoder.encode, bm25=bm25, k=10,
                                enable_expand=True, depth=2048,
                                encoder=encoder)
-    reranker = EncoderReranker(preset="bge-reranker-base",
-                               dtype=jnp.bfloat16,
+    reranker = EncoderReranker(arch=rr_arch, dtype=jnp.bfloat16,
                                passage_max_length=args.seq)
 
     query = "What was the quarterly revenue growth and delivery guidance?"
@@ -239,6 +317,8 @@ def main():
         result["detail"]["qps"] = round(qps, 2)
         result["detail"]["concurrency"] = args.concurrency
         result["detail"]["vs_baseline_qps"] = round(qps / reference_qps, 1)
+    if not args.skip_1m:
+        result["detail"]["corpus_1m"] = bench_1m_retrieval()
     print(json.dumps(result))
 
 

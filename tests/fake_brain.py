@@ -33,7 +33,7 @@ class ScriptedBrain:
                     "ANSWER: second hypothetical answer\n\n"
                     "ANSWER: [Table Level] third")
 
-        if "Merge them into a single cohesive response" in system:
+        if "Combine them into one coherent reply" in system:
             return "MERGED: " + user[:40]
 
         if "summarizes conversation history" in system:

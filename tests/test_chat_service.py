@@ -154,3 +154,49 @@ def test_rerank_candidate_cap(tmp_path):
                       rerank_max_candidates=5)
     svc.generate_response_async("revenue?", "s1")
     assert scored and all(n <= 5 for n in scored)
+
+
+def test_async_path_fused_batcher_matches_classic(tmp_path):
+    """The wave-batched single-readback serve path must produce the same
+    answer and rag_info as the classic retrieve->rank_chunk leg when both
+    use the same cross-encoder."""
+    from veritasfi_tpu.models.encoder_reranker import EncoderReranker
+    from veritasfi_tpu.retrieval.fused_serve import FusedServePath
+    from veritasfi_tpu.serving.retrieval_batcher import RetrievalBatcher
+
+    idx, bm25 = make_corpus(tmp_path, seed=13)
+    reranker = EncoderReranker(preset="tiny-test", passage_max_length=64)
+    eng = EnsembleRetriever(idx, EMB.encode, bm25=bm25, k=5)
+
+    def scorer(pairs):
+        rows = [reranker.encode_pair(q, p) for q, p in pairs]
+        return reranker.score_tokens(rows)
+
+    def fused_scorer(q, texts, emb):
+        rows = reranker.encode_pairs_cached(q, texts)
+        return reranker.score_and_sim(rows, emb)
+
+    def mk(batcher):
+        brain = ScriptedBrain(rewrittens=["zeekr revenue question rewritten"])
+        return ChatService(
+            FakeLLM(brain), "m", [eng], scorer, fused_scorer=fused_scorer,
+            rerank_topk=5, rerank_max_candidates=12,
+            retrieval_batcher=batcher)
+
+    classic = mk(None)
+    fsp = FusedServePath(idx, reranker, embed_fn=EMB.encode, bm25=bm25,
+                         k=5, enable_expand=False, rerank_cap=12,
+                         chunk_topk=5)
+    rb = RetrievalBatcher(fsp, max_batch=4, max_wait_ms=5.0)
+    fused = mk(rb)
+    try:
+        q = "what is zeekr revenue?"
+        a1, _, info1, rew1, _, ret1, _ = classic.generate_response_async(q, "x")
+        a2, _, info2, rew2, _, ret2, _ = fused.generate_response_async(q, "x")
+        assert a1 == a2
+        assert rew1 == rew2
+        assert info1 == info2
+        assert ([c["_row"] for c in ret1[0][:12]]
+                == [c["_row"] for c in ret2[0]])
+    finally:
+        rb.close()

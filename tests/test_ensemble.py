@@ -144,3 +144,34 @@ def test_similarity_mtx_rows_matches_text(tmp_path):
     a = eng.compute_similarity_mtx_rows(rows)
     b = eng.compute_similarity_mtx([idx.texts[r] for r in rows])
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_streaming_search_body_matches_dense(tmp_path):
+    """_search_body_streaming (large-corpus path: chunked top-k + scores_at
+    + rank_of) must be bit-identical to _search_body."""
+    import jax
+    import jax.numpy as jnp
+
+    from veritasfi_tpu.ingest.corpus import normalize_rows
+    from veritasfi_tpu.retrieval.ensemble import (_search_body,
+                                                  _search_body_streaming)
+
+    rng = np.random.default_rng(5)
+    n, d, q = 500, 32, 3
+    corpus = jnp.asarray(normalize_rows(rng.normal(size=(n, d))))
+    ts = jnp.asarray(normalize_rows(rng.normal(size=(17, d))))
+    qe = jnp.asarray(normalize_rows(rng.normal(size=(q, d))))
+    prev = jnp.asarray(
+        np.where(np.arange(n) % 7 == 0, -1, np.arange(n) - 1).astype(np.int32))
+    nxt = jnp.asarray(
+        np.where(np.arange(n) % 5 == 0, -1, (np.arange(n) + 1) % n).astype(
+            np.int32))
+    for expand in (True, False):
+        a = jax.device_get(_search_body(
+            corpus, ts, qe, prev, nxt, 8, 4, 3, 100, expand))
+        b = jax.device_get(_search_body_streaming(
+            corpus, ts, qe, prev, nxt, 8, 4, 3, 100, expand, block=128))
+        for x, y, name in zip(a, b, ["top_s", "top_i", "ts_s", "ts_i",
+                                     "cand", "eff"]):
+            np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-6,
+                                       err_msg=name)

@@ -3,6 +3,7 @@ stats, e2e artifacts."""
 
 import json
 import math
+import os
 
 import numpy as np
 import pytest
@@ -239,3 +240,45 @@ def test_stress_test_threads():
                       warm_up_s=0.1)
     assert out["total_inference_calls"] > 0
     assert out["overall_rate"] > 0
+
+
+def test_plot_experiments(tmp_path):
+    """Chart emission parity with the reference collectors (grouped bars of
+    avg_hit_rate / avg_chunk across versions x experiments)."""
+    from veritasfi_tpu.evals.retrieval_eval import (collect_experiments,
+                                                    plot_experiments)
+
+    for version in ("20_chunks", "40_chunks"):
+        for exp in ("faiss", "faiss_bm25"):
+            d = tmp_path / "root" / version / exp
+            d.mkdir(parents=True)
+            (d / "statistic.json").write_text(json.dumps({
+                "avg_hit_rate": 0.5, "avg_chunk": 12.0, "num_samples": 4}))
+    rows = collect_experiments(str(tmp_path / "root"))
+    paths = plot_experiments(rows, str(tmp_path / "charts"))
+    assert len(paths) == 2
+    for p in paths:
+        assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+def test_rewrite_dataset_parallel_matches_serial():
+    """Thread-pool fan-out (reference: datasets.map num_proc=16) keeps
+    dataset order and per-sample outputs."""
+    from fake_brain import ScriptedBrain
+    from veritasfi_tpu.evals.retrieval_eval import rewrite_dataset
+    from veritasfi_tpu.serving.chat_manager import ChatManager
+    from veritasfi_tpu.serving.llm_client import FakeLLM
+
+    samples = [{"question": f"question {i}?", "evidences": [f"e{i}"]}
+               for i in range(7)]
+
+    def factory():
+        return ChatManager("rw", FakeLLM(ScriptedBrain()), "m",
+                           scorer=lambda pairs: [0.0] * len(pairs))
+
+    serial = rewrite_dataset(samples, chat_manager=factory())
+    parallel = rewrite_dataset(samples, num_workers=3,
+                               chat_manager_factory=factory)
+    assert [r.question for r in parallel] == [r.question for r in serial]
+    assert [r.rewrittens for r in parallel] == [r.rewrittens for r in serial]
+    assert [r.need_rag for r in parallel] == [r.need_rag for r in serial]

@@ -186,3 +186,101 @@ def test_answer_context_matches_select_content():
     c2, s2, _ = fused.serve("revenue", [], QUERY_TIME)
     content2, times2, selected2 = select_content(c2, s2)
     assert content == content2 and times == times2
+
+
+def test_fused_serve_decoder_reranker():
+    """Decoder (gemma-family yes-logit) pair assembly + scoring parity."""
+    from veritasfi_tpu.models.reranker import CrossEncoderReranker
+
+    rng = np.random.default_rng(21)
+    n = 150
+    index = synth_corpus(n, rng)
+    import jax.numpy as jnp
+
+    encoder = TextEncoder(preset="tiny-test", dtype=jnp.float32,
+                          max_length=64)
+    d = encoder.encode(["probe"]).shape[1]
+    index.embeddings = normalize_rows(
+        rng.normal(size=(n, d)).astype(np.float32))
+    index.ts_embeddings = normalize_rows(rng.normal(
+        size=(index.ts_embeddings.shape[0], d)).astype(np.float32))
+    bm25 = BM25Index.build(index.texts, index.doc_ids)
+    reranker = CrossEncoderReranker(preset="tiny-test", dtype=jnp.float32,
+                                    passage_max_length=64)
+    engine = EnsembleRetriever(index, encoder.encode, bm25=bm25, k=5,
+                               enable_expand=True, depth=60, encoder=encoder)
+    engine.expand_trigger = 0.05
+    engine.expand_accept = 0.02
+    cap = 16
+    fused = FusedServePath(index, reranker, encoder=encoder, bm25=bm25, k=5,
+                           enable_expand=True, depth=60, expand_trigger=0.05,
+                           expand_accept=0.02, rerank_cap=cap)
+
+    query, hyde = "revenue margin europe", ["delivery store china"]
+    # classic oracle with the decoder reranker
+    chunks_o = engine.invoke(query, hyde)[:cap]
+    rows = [reranker.encode_pair(query, c["page_content"])
+            for c in chunks_o]
+    scores_o = reranker.score_tokens(rows)
+    emb = normalize_rows(index.embeddings)[[c["_row"] for c in chunks_o]]
+    import jax
+
+    sim_o = np.asarray(jax.device_get(
+        reranker._score_sim(reranker.params,
+                            *_pad_rows(rows, reranker.arch.pad_id),
+                            jnp.asarray(emb))[1]))
+    tscores = chunk_time_scores(chunks_o, QUERY_TIME)
+    sel_o = rank_chunk(chunks_o, scores_o, tscores, sim_o, chunk_topk=5)
+
+    chunks_f, sel_f, diag = fused.serve(query, hyde, QUERY_TIME)
+    assert [c["_row"] for c in chunks_f] == [c["_row"] for c in chunks_o]
+    np.testing.assert_allclose(diag["logits"][: len(chunks_o)], scores_o,
+                               rtol=2e-4, atol=2e-4)
+    assert sel_f == sel_o
+
+
+def _pad_rows(rows, pad_id):
+    import jax.numpy as jnp
+
+    seq = max(len(r) for r in rows)
+    ids = np.full((len(rows), seq), pad_id, np.int32)
+    mask = np.zeros((len(rows), seq), np.int32)
+    for i, r in enumerate(rows):
+        ids[i, : len(r)] = r
+        mask[i, : len(r)] = 1
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+def test_retrieval_batcher_concurrent_matches_serial():
+    from concurrent.futures import ThreadPoolExecutor
+
+    from veritasfi_tpu.serving.retrieval_batcher import RetrievalBatcher
+
+    rng = np.random.default_rng(31)
+    n = 100
+    index = synth_corpus(n, rng)
+    import jax.numpy as jnp
+
+    encoder = TextEncoder(preset="tiny-test", dtype=jnp.float32,
+                          max_length=64)
+    d = encoder.encode(["probe"]).shape[1]
+    index.embeddings = normalize_rows(
+        rng.normal(size=(n, d)).astype(np.float32))
+    index.ts_embeddings = normalize_rows(rng.normal(
+        size=(index.ts_embeddings.shape[0], d)).astype(np.float32))
+    reranker = EncoderReranker(preset="tiny-test", passage_max_length=64)
+    fused = FusedServePath(index, reranker, encoder=encoder, bm25=None, k=5,
+                           enable_expand=False, rerank_cap=12)
+    batcher = RetrievalBatcher(fused, max_batch=4, max_wait_ms=20.0)
+    try:
+        queries = [(f"revenue tok{i} margin", [f"cash tok{i+1}"]) for i in range(6)]
+        serial = [fused.serve(q, h, QUERY_TIME) for q, h in queries]
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            futs = [ex.submit(batcher.retrieve, q, h, QUERY_TIME, 60)
+                    for q, h in queries]
+            batched = [f.result(60) for f in futs]
+        for (c1, s1, _), (c2, s2, _) in zip(serial, batched):
+            assert [c["_row"] for c in c1] == [c["_row"] for c in c2]
+            assert s1 == s2
+    finally:
+        batcher.close()

@@ -106,6 +106,11 @@ class ServingConfig:
     num_hypo: int = 3              # vllmManager.py:240
     bearer_token: str = ""
     finnhub_api_key: str = ""
+    # Single-readback fused retrieve+rerank path for the async/stream
+    # answer legs, wave-batched across sessions (retrieval_batcher.py).
+    # Requires rerank.max_candidates (the device program's candidate cap);
+    # falls back to the classic two-dispatch path when off or unavailable.
+    fused_serve: bool = True
 
 
 @dataclass

@@ -1,0 +1,193 @@
+"""Deterministic quality-parity run: the full retrieval-quality pipeline +
+reranker IR metrics on a fixed fixture corpus, checked against committed
+golden numbers.
+
+Why this exists: the image ships no model checkpoints, so recall@10 /
+NDCG@10 parity against the reference's real BGE/gemma weights cannot be
+*measured* here — but the metric machinery can be proven end-to-end and
+pinned. This harness runs, with the deterministic hash embedder and a
+seeded corpus:
+
+  stage 1  query rewrite (3-line protocol, scripted LLM)
+  stage 3  recall collection through the EnsembleRetriever
+  stage 4  hit-rate judging (cos >= threshold) + aggregation
+  reranker NDCG/MRR/P/R over rerank orderings (relevance = cosine >= 0.95)
+
+and compares every number to `tests/golden/quality_v1.json`. The same
+functions run the real-weight recipe (see RECIPES.md): point
+`Config.encoder.model_name` / `Config.rerank.model_name` at local HF
+checkpoint dirs (models/hf_loader.py) and feed the reference eval JSONL.
+
+Run:  python -m veritasfi_tpu.evals.quality_parity [--write-golden] [--out F]
+Reference metric machinery being mirrored: step3_mul.py:355-378,
+evaluate.py:196-217.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "tests",
+                           "golden", "quality_v1.json")
+
+
+def build_fixture(seed: int = 0):
+    """Seeded corpus with evidence-bearing chunks: 40 'fact' chunks whose
+    text contains a question's evidence sentence, 160 distractors."""
+    from ..ingest.contract import ChunkRecord, hash_content
+    from ..ingest.corpus import build_corpus_index
+    from ..models.hash_embedder import HashEmbedder
+    from ..retrieval.bm25 import BM25Index
+
+    rng = np.random.default_rng(seed)
+    topics = ["revenue", "margin", "deliveries", "stores", "battery",
+              "capex", "cash flow", "guidance"]
+    facts, records = [], []
+    gid = 0
+    for i in range(40):
+        topic = topics[i % len(topics)]
+        fact = (f"the {topic} for segment {i} was "
+                f"{rng.integers(10, 999)} million in 2024")
+        facts.append((f"What was the {topic} for segment {i}?", fact))
+        content = (f"Quarterly report section {i}. {fact}. Management "
+                   f"commentary follows the usual format.")
+        records.append(ChunkRecord(
+            content=content, filename=f"doc{i % 6}.json",
+            page_number=i + 1, date_published="2024-03-31",
+            doc_id=hash_content(content), global_id=gid,
+            title_summary=f"Topic {topic}"))
+        gid += 1
+    vocab = [f"w{j}" for j in range(120)]
+    for i in range(160):
+        content = (f"filler section {i}: "
+                   + " ".join(rng.choice(vocab, size=24)))
+        records.append(ChunkRecord(
+            content=content, filename=f"doc{i % 6}.json",
+            page_number=100 + i, date_published="2023-12-31",
+            doc_id=hash_content(content), global_id=gid))
+        gid += 1
+    titles = sorted({r.title_summary for r in records if r.title_summary})
+    emb = HashEmbedder(dim=256)
+    index = build_corpus_index(records, titles, embed_fn=emb.encode)
+    bm25 = BM25Index.build(index.texts, index.doc_ids)
+    return index, bm25, emb, facts
+
+
+def run_pipeline(seed: int = 0) -> Dict:
+    from ..evals.reranker_eval import (calculate_ndcg, calculate_precision,
+                                       calculate_recall, compute_rr,
+                                       relevance_by_similarity)
+    from ..evals.retrieval_eval import (aggregate_hit_stats, hit_rate_eval,
+                                        rewrite_dataset)
+    from ..models.encoder_reranker import EncoderReranker
+    from ..retrieval.ensemble import EnsembleRetriever
+    from ..serving.chat_manager import ChatManager
+    from ..serving.llm_client import FakeLLM
+
+    index, bm25, emb, facts = build_fixture(seed)
+    retriever = EnsembleRetriever(index, emb.encode, bm25=bm25, k=10,
+                                  faiss_k=10, bm25_k=10, faiss_ts_k=5)
+
+    # -- stage 1: rewrite (identity rewrite via the scripted fake LLM) ----
+    samples = [{"question": q, "evidences": [fact]} for q, fact in facts]
+    manager = ChatManager("qp", FakeLLM(), "m",
+                          scorer=lambda pairs: [0.0] * len(pairs))
+    records = rewrite_dataset(samples, chat_manager=manager)
+
+    # -- stage 3: recall collection --------------------------------------
+    for rec in records:
+        for rewritten in rec.rewrittens:
+            for chunk in retriever.invoke(rewritten, []):
+                rec.chunks.append({"content": chunk["page_content"],
+                                   "retriever": chunk["retriever"],
+                                   "score": chunk["score"],
+                                   "doc_id": chunk["metadata"]["doc_id"]})
+
+    # -- stage 4: hit-rate (string judge is exact here; cos judged too) --
+    results_str = hit_rate_eval(records, emb.encode, method="string")
+    stats_str = aggregate_hit_stats(results_str)
+    results_cos = hit_rate_eval(records, emb.encode, method="cos",
+                                sim_threshold=0.9)
+    stats_cos = aggregate_hit_stats(results_cos)
+
+    # -- reranker IR metrics over rerank orderings -----------------------
+    reranker = EncoderReranker(preset="tiny-test", passage_max_length=128,
+                               seed=0)
+    ndcgs, rrs, precs, recs = [], [], [], []
+    for (question, fact), rec in zip(facts[:16], records[:16]):
+        texts = [c["content"] for c in rec.chunks][:20]
+        if not texts:
+            continue
+        scores = np.asarray(reranker.compute_score(
+            [[question, t] for t in texts], batch_size=8))
+        order = np.argsort(-scores, kind="stable")
+        ranked = [texts[i] for i in order]
+        rel = relevance_by_similarity(ranked, [fact], emb.encode,
+                                      threshold=0.95)
+        ndcgs.append(calculate_ndcg(rel, k=10))
+        rrs.append(compute_rr(rel))
+        precs.append(calculate_precision(rel, k=10))
+        recs.append(calculate_recall(rel, int(sum(rel)) or 1, k=10))
+
+    return {
+        "fixture": {"chunks": index.num_chunks, "queries": len(facts),
+                    "seed": seed, "embedder": "hash-256",
+                    "reranker": "tiny-test(random, seed 0)"},
+        "retrieval": {
+            "hit_rate_string": round(stats_str["avg_hit_rate"], 6),
+            "hit_rate_cos@0.9": round(stats_cos["avg_hit_rate"], 6),
+            "avg_chunk": round(stats_str["avg_chunk"], 6),
+            "num_samples": stats_str["num_samples"],
+        },
+        "reranker": {
+            "ndcg@10": round(float(np.mean(ndcgs)), 6),
+            "mrr": round(float(np.mean(rrs)), 6),
+            "precision@10": round(float(np.mean(precs)), 6),
+            "recall@10": round(float(np.mean(recs)), 6),
+        },
+    }
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--write-golden", action="store_true")
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--tolerance", type=float, default=1e-4)
+    args = parser.parse_args(argv)
+
+    result = run_pipeline()
+    golden_path = os.path.abspath(GOLDEN_PATH)
+    if args.write_golden:
+        with open(golden_path, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"golden written: {golden_path}")
+    else:
+        with open(golden_path) as f:
+            golden = json.load(f)
+        mismatches = []
+        for section in ("retrieval", "reranker"):
+            for key, want in golden[section].items():
+                got = result[section][key]
+                if isinstance(want, float):
+                    if abs(got - want) > args.tolerance:
+                        mismatches.append((section, key, want, got))
+                elif got != want:
+                    mismatches.append((section, key, want, got))
+        result["golden_check"] = ("ok" if not mismatches
+                                  else [list(m) for m in mismatches])
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    if not args.write_golden and result["golden_check"] != "ok":
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

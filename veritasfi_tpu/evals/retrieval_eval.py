@@ -47,11 +47,50 @@ class RewriteRecord:
 # ---------------------------------------------------------------------------
 # Stage 1: query rewrite
 # ---------------------------------------------------------------------------
-def rewrite_dataset(samples: Sequence[Dict], chat_manager,
-                    checkpoint_path: Optional[str] = None
+def rewrite_dataset(samples: Sequence[Dict], chat_manager=None,
+                    checkpoint_path: Optional[str] = None,
+                    num_workers: int = 1,
+                    chat_manager_factory: Optional[Callable] = None
                     ) -> List[RewriteRecord]:
-    """Adds rewrittens/query_time/need_rag via the 3-line protocol."""
-    out: List[RewriteRecord] = []
+    """Adds rewrittens/query_time/need_rag via the 3-line protocol.
+
+    The stage is LLM-RPC-bound; the reference fans it out with
+    ``datasets.map(num_proc=16)`` (query_rewrite.py:141-206). Here
+    ``num_workers > 1`` + ``chat_manager_factory`` fan the RPCs out over a
+    thread pool with one ChatManager per worker thread (ChatManager keeps
+    per-call state, so managers must not be shared across threads).
+    Results keep dataset order; checkpointing stays incremental."""
+    if num_workers > 1:
+        if chat_manager_factory is None:
+            raise ValueError("num_workers > 1 requires chat_manager_factory "
+                             "(one ChatManager per worker thread)")
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        local = threading.local()
+
+        def work(sample: Dict) -> RewriteRecord:
+            mgr = getattr(local, "mgr", None)
+            if mgr is None:
+                mgr = local.mgr = chat_manager_factory()
+            rec = RewriteRecord(question=sample["question"],
+                                evidences=list(sample.get("evidences", [])))
+            rec.rewrittens = mgr.if_query_rag(rec.question, "")
+            rec.query_time = mgr.query_time.strftime("%Y-%m-%d")
+            rec.need_rag = mgr.need_rag
+            return rec
+
+        out: List[RewriteRecord] = []
+        with ThreadPoolExecutor(num_workers) as ex:
+            for rec in ex.map(work, samples):   # in order; workers run ahead
+                out.append(rec)
+                if checkpoint_path:
+                    _save_records(out, checkpoint_path)
+        return out
+
+    if chat_manager is None:
+        raise ValueError("chat_manager required for the serial path")
+    out = []
     for sample in samples:
         rec = RewriteRecord(question=sample["question"],
                             evidences=list(sample.get("evidences", [])))
@@ -229,3 +268,44 @@ def collect_experiments(root: str, out_csv: Optional[str] = None) -> List[Dict]:
             writer.writeheader()
             writer.writerows(rows)
     return rows
+
+
+def plot_experiments(rows: List[Dict], out_dir: str,
+                     metrics: Sequence[str] = ("avg_hit_rate", "avg_chunk")
+                     ) -> List[str]:
+    """Grouped bar charts of each metric across versions x experiments —
+    one PNG per metric, mirroring the reference collectors' matplotlib
+    output (collect_all_datasets.py:15-103, collect_financebench.py:10-84).
+    Returns the written paths."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if not rows:
+        return []
+    versions = sorted({r["version"] for r in rows})
+    experiments = sorted({r["experiment"] for r in rows})
+    lookup = {(r["version"], r["experiment"]): r for r in rows}
+    os.makedirs(out_dir, exist_ok=True)
+    written: List[str] = []
+    width = 0.8 / max(len(experiments), 1)
+    x = np.arange(len(versions))
+    for metric in metrics:
+        fig, ax = plt.subplots(figsize=(max(6, 1.5 * len(versions)), 4))
+        for e_i, experiment in enumerate(experiments):
+            vals = [
+                (lookup.get((v, experiment)) or {}).get(metric) or 0.0
+                for v in versions]
+            ax.bar(x + e_i * width, vals, width, label=experiment)
+        ax.set_xticks(x + 0.4 - width / 2)
+        ax.set_xticklabels(versions, rotation=30, ha="right")
+        ax.set_ylabel(metric)
+        ax.set_title(f"{metric} by version and experiment")
+        ax.legend(fontsize=8)
+        fig.tight_layout()
+        path = os.path.join(out_dir, f"{metric}.png")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        written.append(path)
+    return written

@@ -1,0 +1,176 @@
+"""Server-level stress: requests through the aiohttp front, not engine calls.
+
+The reference's serving bottleneck is the global reranker lock — every
+session's retrieve->rerank serializes on one GPU (reference:
+src/utils/vllmChatService.py:88-90); its measured retrieve+rerank step is
+4.0 s (stress_theory.js:5), i.e. 0.25 QPS. This harness drives the real
+HTTP server (POST /v1/chat/async) at a given concurrency with a FakeLLM
+backend, so the measured number is the serving stack itself: session
+management, memory bank, wave-batched fused retrieval+rerank, and answer
+orchestration — everything but the external chat LLM.
+
+Run (writes a JSON artifact):
+    python -m veritasfi_tpu.evals.server_stress --corpus-size 10000 \
+        --concurrency 8 --requests 64 --out SERVER_STRESS.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import statistics
+import time
+from typing import List, Optional
+
+REFERENCE_RETRIEVE_RERANK_S = 4.0   # stress_theory.js:5
+
+
+def build_test_stack(corpus_size: int, seed: int = 0):
+    """Synthetic-corpus stack: random-weight bge-small encoder +
+    bge-reranker-base, FakeLLM, fused serve path on."""
+    import numpy as np
+
+    from ..config import Config
+    from ..ingest.corpus import build_corpus_index, normalize_rows
+    from ..models.encoder import TextEncoder
+    from ..models.encoder_reranker import EncoderReranker
+    from ..retrieval.bm25 import BM25Index
+    from ..stack import build_stack
+
+    import jax.numpy as jnp
+
+    try:
+        from bench import make_synth_corpus  # repo-root bench fixtures
+    except ImportError:
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))))
+        from bench import make_synth_corpus
+
+    rng = np.random.default_rng(seed)
+    records, titles = make_synth_corpus(corpus_size, rng)
+    index = build_corpus_index(records, titles, embed_fn=None)
+    dim = 384
+    index.embeddings = normalize_rows(
+        rng.normal(size=(index.num_chunks, dim)).astype(np.float32))
+    index.ts_embeddings = normalize_rows(
+        rng.normal(size=(len(titles), dim)).astype(np.float32))
+    bm25 = BM25Index.build(index.texts, index.doc_ids)
+
+    encoder = TextEncoder(preset="bge-small-en", dtype=jnp.bfloat16,
+                          max_length=256)
+    reranker = EncoderReranker(preset="bge-reranker-base",
+                               dtype=jnp.bfloat16, passage_max_length=256)
+
+    config = Config()
+    config.rerank.max_candidates = 50
+    config.llm.base_url = ""          # FakeLLM
+    stack = build_stack(config, collections={}, embed_fn=encoder.encode,
+                        reranker=reranker)
+    stack.engine.register_collection("stress", index, bm25)
+    retriever = stack.engine.create_retriever(10, "stress",
+                                              enable_expand=True)
+    stack.chat_service.retrievers = [retriever]
+
+    # wire the fused path over the synthetic collection
+    from ..retrieval.fused_serve import FusedServePath
+    from ..serving.retrieval_batcher import RetrievalBatcher
+
+    serve_path = FusedServePath(
+        index, reranker, encoder=None, embed_fn=encoder.encode, bm25=bm25,
+        k=10, enable_expand=True, depth=2048, rerank_cap=50, chunk_topk=5)
+    batcher = RetrievalBatcher(serve_path, max_batch=16, max_wait_ms=3.0)
+    stack.chat_service.retrieval_batcher = batcher
+    stack.retrieval_batcher = batcher
+    return stack
+
+
+async def run_stress(port: int, concurrency: int, total: int,
+                     warmup: int = 4) -> dict:
+    import aiohttp
+
+    url = f"http://127.0.0.1:{port}/v1/chat/async"
+    payload = {"question": "What was the quarterly revenue growth and "
+                           "delivery guidance?"}
+    latencies: List[float] = []
+
+    async with aiohttp.ClientSession() as session:
+
+        async def one(i: int, record: bool) -> None:
+            body = dict(payload, session_id=f"s{i % concurrency}")
+            t0 = time.perf_counter()
+            async with session.post(url, json=body) as resp:
+                assert resp.status == 200, await resp.text()
+                await resp.json()
+            if record:
+                latencies.append((time.perf_counter() - t0) * 1000.0)
+
+        await asyncio.gather(*(one(i, False) for i in range(warmup)))
+        t0 = time.perf_counter()
+        sem = asyncio.Semaphore(concurrency)
+
+        async def bounded(i: int) -> None:
+            async with sem:
+                await one(i, True)
+
+        await asyncio.gather(*(bounded(i) for i in range(total)))
+        wall = time.perf_counter() - t0
+
+    qps = total / wall
+    return {
+        "metric": "server_qps",
+        "value": round(qps, 2),
+        "unit": "req/s",
+        "vs_baseline": round(qps * REFERENCE_RETRIEVE_RERANK_S, 1),
+        "detail": {
+            "endpoint": "/v1/chat/async",
+            "concurrency": concurrency,
+            "requests": total,
+            "p50_ms": round(statistics.median(latencies), 1),
+            "p90_ms": round(sorted(latencies)[int(0.9 * len(latencies))], 1),
+            "wall_s": round(wall, 2),
+        },
+    }
+
+
+async def main_async(args) -> dict:
+    from aiohttp import web
+
+    from ..serving.server import create_app
+
+    stack = build_test_stack(args.corpus_size)
+    app = create_app(stack, bearer_token="")
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, "127.0.0.1", args.port)
+    await site.start()
+    try:
+        result = await run_stress(args.port, args.concurrency, args.requests)
+    finally:
+        await runner.cleanup()
+        stack.close()
+    return result
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--corpus-size", type=int, default=10_000)
+    parser.add_argument("--concurrency", type=int, default=8)
+    parser.add_argument("--requests", type=int, default=64)
+    parser.add_argument("--port", type=int, default=18321)
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
+
+    result = asyncio.run(main_async(args))
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

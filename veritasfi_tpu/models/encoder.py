@@ -43,6 +43,15 @@ class EncoderArch:
     pos_offset: int = 0           # 2 for (XLM-)RoBERTa position numbering
     layer_norm_eps: float = 1e-12
     pooling: str = "cls"          # cls | mean
+    # performance knobs:
+    #  * attn_impl "pallas" = single-kernel VMEM-resident attention
+    #    (ops/pallas_attention.py); numerics match xla to ~1e-4.
+    #  * gelu_impl "tanh" = tanh-approximate gelu. On this TPU the erf
+    #    lowering costs ~5 ms per [50,256,3072]x12 forward vs ~0.6 ms for
+    #    tanh (measured); |tanh-erf| <= 1e-3 on O(1) inputs, at the bf16
+    #    rounding floor. "erf" matches HF exactly (default).
+    attn_impl: str = "xla"        # xla | pallas
+    gelu_impl: str = "erf"        # erf | tanh
 
 
 ENCODER_PRESETS: Dict[str, EncoderArch] = {
@@ -74,13 +83,25 @@ class _SelfAttention(nn.Module):
         q = dense("query")(x).reshape(*x.shape[:-1], a.heads, head_dim)
         k = dense("key")(x).reshape(*x.shape[:-1], a.heads, head_dim)
         v = dense("value")(x).reshape(*x.shape[:-1], a.heads, head_dim)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(head_dim)
-        neg = jnp.finfo(jnp.float32).min
-        scores = jnp.where(mask[:, None, None, :], scores, neg)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        if a.attn_impl == "pallas":
+            # single-kernel VMEM-resident attention (masks are contiguous
+            # prefixes — right-padded tokenization throughout this package)
+            from ..ops.pallas_attention import short_seq_mha
+
+            lengths = mask.astype(jnp.int32).sum(axis=-1)
+            ctx = short_seq_mha(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), lengths,
+                interpret=jax.default_backend() != "tpu")
+            ctx = ctx.transpose(0, 2, 1, 3)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / math.sqrt(head_dim)
+            neg = jnp.finfo(jnp.float32).min
+            scores = jnp.where(mask[:, None, None, :], scores, neg)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         ctx = ctx.reshape(*x.shape[:-1], a.hidden)
         return nn.Dense(a.hidden, dtype=self.dtype, name="out")(ctx)
 
@@ -96,7 +117,7 @@ class _Layer(nn.Module):
         x = nn.LayerNorm(epsilon=a.layer_norm_eps, dtype=jnp.float32,
                          name="attention_ln")(x + attn).astype(self.dtype)
         h = nn.Dense(a.intermediate, dtype=self.dtype, name="intermediate")(x)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=a.gelu_impl == "tanh")
         h = nn.Dense(a.hidden, dtype=self.dtype, name="output")(h)
         x = nn.LayerNorm(epsilon=a.layer_norm_eps, dtype=jnp.float32,
                          name="output_ln")(x + h).astype(self.dtype)

@@ -89,14 +89,98 @@ def _search_body(corpus, ts_emb, q_emb, prev_idx, next_idx,
     cand = jnp.concatenate([walk(prev_idx), walk(next_idx)], axis=-1)
     safe = jnp.maximum(cand, 0)
     cand_s = jnp.take_along_axis(scores, safe, axis=-1)  # exact scores
-    # depth cutoff: rank = #{scores > s} computed from the same matrix
-    rank = (scores[:, :, None] > cand_s[:, None, :] + 1e-6).sum(axis=1)
+    # depth cutoff: rank = #{scores > s}, streamed in score blocks so the
+    # [Q, N, C] comparison intermediate never materializes (at 1M rows and
+    # C=60 neighbors that broadcast is ~240 MB per query batch)
+    rank = _rank_stream(scores, cand_s)
     eff = jnp.where((cand >= 0) & (rank < depth), cand_s, 0.0)
     return top_s, top_i, ts_s, ts_i, cand, eff
 
 
+def _rank_stream(scores, cand_s, block: int = 65536, tol: float = 1e-6):
+    """rank[q, c] = #{j : scores[q, j] > cand_s[q, c] + tol} via a scan over
+    corpus blocks; O(Q*block*C) live memory instead of O(Q*N*C)."""
+    q, n = scores.shape
+    if n <= block:
+        return (scores[:, :, None] > cand_s[:, None, :] + tol).sum(
+            axis=1).astype(jnp.int32)
+    nb = -(-n // block)
+    pad = nb * block - n
+    padded = jnp.pad(scores, ((0, 0), (0, pad)),
+                     constant_values=-jnp.inf) if pad else scores
+    blocks = jnp.moveaxis(padded.reshape(q, nb, block), 1, 0)
+
+    def step(carry, blk):
+        gt = blk[:, :, None] > cand_s[:, None, :] + tol
+        return carry + gt.sum(axis=1).astype(jnp.int32), None
+
+    init = jnp.zeros(cand_s.shape, jnp.int32)
+    ranks, _ = jax.lax.scan(step, init, blocks)
+    return ranks
+
+
+def _search_body_streaming(corpus, ts_emb, q_emb, prev_idx, next_idx,
+                           k, ts_k, steps, depth, expand, ts_rows=None,
+                           block: int = 262144):
+    """Large-corpus variant of ``_search_body``: never materializes the
+    [Q, N] score matrix. One streaming pass for the dense top-k
+    (ops.topk.dense_topk_chunked), exact neighbor scores by gather+dot
+    (scores_at), and a second streaming pass for the depth-cutoff ranks
+    (rank_of). Outputs are bit-identical to ``_search_body`` (same
+    tie-break, same 1e-6 rank tolerance); memory is O(Q*(k+C)) + one score
+    block, so BASELINE config #5 corpora (10M chunks) fit on one chip."""
+    from ..ops.topk import dense_topk_chunked, rank_of, scores_at
+
+    top_s, top_i = dense_topk_chunked(corpus, q_emb, k, block=block)
+
+    ts_q = q_emb[:1] if ts_rows is None else q_emb[ts_rows]
+    ts_s, ts_i = jax.lax.top_k(
+        _tie_break(jnp.matmul(ts_q, ts_emb.T,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)), ts_k)
+    if ts_rows is None:
+        ts_s, ts_i = ts_s[0], ts_i[0]
+
+    if not expand:
+        zero_i = jnp.zeros((q_emb.shape[0], 0), jnp.int32)
+        zero_s = jnp.zeros((q_emb.shape[0], 0), jnp.float32)
+        return top_s, top_i, ts_s, ts_i, zero_i, zero_s
+
+    def walk(table):
+        outs = []
+        cur = top_i
+        for _ in range(steps):
+            nxt = table[jnp.maximum(cur, 0)]
+            cur = jnp.where(cur >= 0, nxt, -1)
+            outs.append(cur)
+        return jnp.concatenate(outs, axis=-1)
+
+    cand = jnp.concatenate([walk(prev_idx), walk(next_idx)], axis=-1)
+    safe = jnp.maximum(cand, 0)
+    cand_s = scores_at(corpus, q_emb, safe)
+    rank = rank_of(corpus, q_emb, cand_s, block=block)
+    eff = jnp.where((cand >= 0) & (rank < depth), cand_s, 0.0)
+    return top_s, top_i, ts_s, ts_i, cand, eff
+
+
+# Above this many corpus rows, the fused search streams instead of
+# materializing [Q, N] scores (64-bit: 1M rows x 4 queries = 16 MB scores
+# but a 240 MB+ rank broadcast; streaming caps live memory at one block).
+STREAMING_THRESHOLD = 262144
+
+
+def _search_dispatch(corpus, ts_emb, q_emb, prev_idx, next_idx,
+                     k, ts_k, steps, depth, expand, ts_rows=None):
+    if corpus.shape[0] > STREAMING_THRESHOLD:
+        return _search_body_streaming(corpus, ts_emb, q_emb, prev_idx,
+                                      next_idx, k, ts_k, steps, depth,
+                                      expand, ts_rows=ts_rows)
+    return _search_body(corpus, ts_emb, q_emb, prev_idx, next_idx, k, ts_k,
+                        steps, depth, expand, ts_rows=ts_rows)
+
+
 _fused_search = jax.jit(
-    _search_body,
+    _search_dispatch,
     static_argnames=("k", "ts_k", "steps", "depth", "expand"))
 
 
@@ -178,10 +262,10 @@ class EnsembleRetriever:
                                   prev_idx, next_idx, k, ts_k, steps, depth,
                                   expand, ts_rows=None):
                 q_emb = module.apply(params, ids, mask)
-                return _search_body(corpus_emb, ts_emb,
-                                    q_emb.astype(jnp.float32), prev_idx,
-                                    next_idx, k, ts_k, steps, depth, expand,
-                                    ts_rows=ts_rows)
+                return _search_dispatch(corpus_emb, ts_emb,
+                                        q_emb.astype(jnp.float32), prev_idx,
+                                        next_idx, k, ts_k, steps, depth,
+                                        expand, ts_rows=ts_rows)
 
             self._embed_search = jax.jit(
                 embed_search_body,

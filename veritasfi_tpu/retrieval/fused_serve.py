@@ -38,7 +38,7 @@ import numpy as np
 from ..ingest.corpus import CorpusIndex, normalize_rows
 from ..rerank.fusion import select_content
 from ..utils.profiler import profiler
-from .ensemble import _search_body
+from .ensemble import _search_dispatch
 
 _F32 = jnp.float32
 PATH_NAMES = ("FAISS", "Title Summary", "BM25")
@@ -207,29 +207,38 @@ def _fuse(top_s, top_i, ts_s, ts_i, cand, eff, bm25_rows, bm25_scores,
 # ---------------------------------------------------------------------------
 # rerank pair assembly + greedy selection
 # ---------------------------------------------------------------------------
-def _assemble_pairs(out_row, prefix, prefix_len, passage_toks, passage_len,
-                    *, seq, pad_id, sep_id, passage_max_length):
+def _assemble_pairs(out_row, prefix, prefix_len, suffix, passage_toks,
+                    passage_len, budget, *, seq, pad_id):
     """Build [C, seq] cross-encoder rows on device:
-    [cls + query + sep](prefix) + passage[:budget] + sep.
-    Mirrors EncoderReranker.encode_pairs_cached exactly."""
+    prefix + passage[:budget] + suffix.
+
+    Covers both reranker families:
+      * encoder (EncoderReranker.encode_pairs_cached): prefix =
+        [cls]+query+[sep], suffix = [sep];
+      * decoder (CrossEncoderReranker.encode_pair): prefix =
+        [bos]+'A: {q}'+'\\n', suffix = '\\n'+instruction prompt.
+    ``budget`` (host scalar) is the family-specific passage token cap."""
     cap = out_row.shape[0]
     lp = passage_toks.shape[1]
     safe = jnp.maximum(out_row, 0)
     ptoks = passage_toks[safe]                       # [C, LP]
-    budget = jnp.maximum(passage_max_length - prefix_len - 1, 0)
-    plen = jnp.minimum(passage_len[safe], budget)    # [C]
+    plen = jnp.minimum(passage_len[safe], jnp.maximum(budget, 0))   # [C]
     pos = jnp.arange(seq, dtype=jnp.int32)[None, :]  # [1, seq]
     gather = jnp.clip(pos - prefix_len, 0, lp - 1)
     shifted = jnp.take_along_axis(ptoks, jnp.broadcast_to(
         gather, (cap, seq)), axis=1)
+    s_len = suffix.shape[0]
+    s_gather = jnp.clip(pos - prefix_len - plen[:, None], 0, s_len - 1)
+    suf = suffix[s_gather]                           # [C, seq]
     in_prefix = pos < prefix_len
     in_passage = (pos >= prefix_len) & (pos < prefix_len + plen[:, None])
-    at_sep = pos == prefix_len + plen[:, None]
+    total = prefix_len + plen[:, None] + s_len
+    in_suffix = (pos >= prefix_len + plen[:, None]) & (pos < total)
     pre = jnp.broadcast_to(prefix[None, :seq], (cap, seq))
     ids = jnp.where(in_prefix, pre,
                     jnp.where(in_passage, shifted,
-                              jnp.where(at_sep, sep_id, pad_id)))
-    mask = (pos < prefix_len + plen[:, None] + 1).astype(jnp.int32)
+                              jnp.where(in_suffix, suf, pad_id)))
+    mask = (pos < total).astype(jnp.int32)
     invalid = out_row < 0
     # invalid slots: attend to position 0 only (keeps softmax well-defined)
     mask = jnp.where(invalid[:, None], (pos == 0).astype(jnp.int32), mask)
@@ -332,10 +341,34 @@ class FusedServePath:
         self._mt = int(tpad.shape[1]) if self.ts_k > 0 else 0
         self._date_days = jnp.asarray(corpus.date_days.astype(np.float32))
 
-        # pre-tokenized passage matrix [N, LP] + lengths
+        # reranker family: decoder (gemma yes-logit) vs encoder (CLS logit)
         rr = reranker
-        toks = [rr.tokenize_passage(t)[: rr.passage_max_length]
-                for t in corpus.texts]
+        self._decoder = hasattr(rr, "yes_id")
+        if self._decoder:
+            from ..models.reranker import yes_logit_score
+
+            suffix = list(rr._sep_ids) + list(rr._prompt_ids)
+            toks = [rr._encode_raw("B: " + t)[: rr.passage_max_length]
+                    for t in corpus.texts]
+            self._score_fn = (
+                lambda p, i, m: yes_logit_score(rr.module, p, i, m, rr.yes_id))
+            seq_max = rr.passage_max_length + len(suffix)
+        else:
+            hf = getattr(rr.tokenizer, "hf", None)
+            if hf is not None:
+                self._cls = (hf.cls_token_id
+                             if hf.cls_token_id is not None else 0)
+                sep = hf.sep_token_id if hf.sep_token_id is not None else 2
+            else:
+                self._cls, sep = rr.tokenizer.cls_id, rr.tokenizer.sep_id
+            self._sep = sep
+            suffix = [sep]
+            toks = [rr.tokenize_passage(t)[: rr.passage_max_length]
+                    for t in corpus.texts]
+            self._score_fn = lambda p, i, m: rr.module.apply(p, i, m)
+            seq_max = rr.passage_max_length
+
+        # pre-tokenized passage matrix [N, LP] + lengths
         lp = max(max((len(t) for t in toks), default=1), 1)
         pmat = np.full((n, lp), rr.arch.pad_id, np.int32)
         plen = np.zeros((n,), np.int32)
@@ -345,14 +378,11 @@ class FusedServePath:
         self._passage_toks = jnp.asarray(pmat)
         self._passage_len = jnp.asarray(plen)
         self._plen_max = int(plen.max()) if n else 0
-
-        hf = getattr(rr.tokenizer, "hf", None)
-        if hf is not None:
-            self._cls = hf.cls_token_id if hf.cls_token_id is not None else 0
-            self._sep = hf.sep_token_id if hf.sep_token_id is not None else 2
-        else:
-            self._cls, self._sep = rr.tokenizer.cls_id, rr.tokenizer.sep_id
-        self._seq = max(-(-rr.passage_max_length // 64) * 64, 64)
+        self._suffix_host = suffix
+        self._seq = max(-(-seq_max // 64) * 64, 64)
+        self._suffix = jnp.asarray(
+            np.asarray(suffix, np.int32) if suffix
+            else np.asarray([rr.arch.pad_id], np.int32))
 
         self._jit = jax.jit(
             self._body,
@@ -360,7 +390,7 @@ class FusedServePath:
 
     # -- the fused program --------------------------------------------------
     def _body(self, enc_params, enc_ids, enc_mask, q_emb_in, rr_params,
-              prefix, prefix_len, bm25_rows, bm25_scores, qtime_days,
+              prefix, prefix_len, budget, bm25_rows, bm25_scores, qtime_days,
               *, num_q, with_encoder, seq):
         if with_encoder:
             q_emb = self.encoder.module.apply(enc_params, enc_ids, enc_mask)
@@ -368,7 +398,7 @@ class FusedServePath:
         else:
             q_emb = q_emb_in
         steps = self.emc - 1
-        top_s, top_i, ts_s, ts_i, cand, eff = _search_body(
+        top_s, top_i, ts_s, ts_i, cand, eff = _search_dispatch(
             self._emb, self._ts_emb, q_emb, self._prev, self._next,
             self.k if self.k > 0 else 1,
             self.ts_k if self.ts_k > 0 else 1,
@@ -388,12 +418,10 @@ class FusedServePath:
 
         valid = out_row >= 0
         ids, mask = _assemble_pairs(
-            out_row, prefix[:seq], prefix_len, self._passage_toks,
-            self._passage_len, seq=seq,
-            pad_id=self.reranker.arch.pad_id, sep_id=self._sep,
-            passage_max_length=self.reranker.passage_max_length)
-        logits = self.reranker.module.apply(rr_params, ids, mask)
-        logits = logits.astype(_F32)
+            out_row, prefix[:seq], prefix_len, self._suffix,
+            self._passage_toks, self._passage_len, budget, seq=seq,
+            pad_id=self.reranker.arch.pad_id)
+        logits = self._score_fn(rr_params, ids, mask).astype(_F32)
 
         safe = jnp.maximum(out_row, 0)
         emb_c = self._emb[safe].astype(_F32)
@@ -424,20 +452,30 @@ class FusedServePath:
         return jnp.asarray(ids), jnp.asarray(mask)
 
     def _query_prefix(self, query: str):
+        """(padded prefix tokens, prefix_len, passage budget) — the
+        family-specific pair layout around the gathered passage tokens."""
         rr = self.reranker
-        hf = getattr(rr.tokenizer, "hf", None)
-        if hf is not None:
-            q_ids = hf(query, add_special_tokens=False, truncation=True,
-                       max_length=rr.query_max_length)["input_ids"]
+        pml = rr.passage_max_length
+        if self._decoder:
+            # [bos] 'A: {q}' '\n' ... (CrossEncoderReranker.encode_pair)
+            q_ids = rr._encode_raw(f"A: {query}")[: pml * 3 // 4]
+            prefix = [rr.arch.bos_id] + list(q_ids) + list(rr._sep_ids)
+            budget = pml - len(q_ids) - 1 - len(rr._sep_ids)
         else:
-            from ..models.tokenizer import basic_tokens
+            hf = getattr(rr.tokenizer, "hf", None)
+            if hf is not None:
+                q_ids = hf(query, add_special_tokens=False, truncation=True,
+                           max_length=rr.query_max_length)["input_ids"]
+            else:
+                from ..models.tokenizer import basic_tokens
 
-            q_ids = [rr.tokenizer.token_id(t)
-                     for t in basic_tokens(query)][: rr.query_max_length]
-        prefix = [self._cls] + list(q_ids) + [self._sep]
+                q_ids = [rr.tokenizer.token_id(t)
+                         for t in basic_tokens(query)][: rr.query_max_length]
+            prefix = [self._cls] + list(q_ids) + [self._sep]
+            budget = pml - len(q_ids) - 3
         out = np.full((self._seq,), rr.arch.pad_id, np.int32)
         out[: len(prefix)] = prefix
-        return jnp.asarray(out), np.int32(len(prefix))
+        return jnp.asarray(out), np.int32(len(prefix)), np.int32(budget)
 
     def _bm25_inputs(self, query: str):
         kb = self.bm25_k
@@ -459,21 +497,20 @@ class FusedServePath:
 
         inputs = [query] + list(hyde_chunks)
         with profiler.span("serve_host_prep"):
-            prefix, prefix_len = self._query_prefix(query)
+            prefix, prefix_len, budget = self._query_prefix(query)
             bm25_rows, bm25_scores = self._bm25_inputs(query)
             qdays = np.float32(_to_days(query_time))
             # static seq bucket from this query's prefix length and the
             # corpus-wide max passage length (the classic path buckets the
             # same way per batch, EncoderReranker.score_tokens)
-            budget = max(
-                self.reranker.passage_max_length - int(prefix_len) - 1, 0)
-            row_max = int(prefix_len) + min(self._plen_max, budget) + 1
+            row_max = (int(prefix_len) + min(self._plen_max, max(budget, 0))
+                       + len(self._suffix_host))
             seq = min(self._seq, max(-(-row_max // 64) * 64, 64))
             if self.encoder is not None:
                 ids, mask = self._encoder_tokens(inputs)
                 out = self._jit(self.encoder.params, ids, mask, None,
                                 self.reranker.params, prefix, prefix_len,
-                                bm25_rows, bm25_scores, qdays,
+                                budget, bm25_rows, bm25_scores, qdays,
                                 num_q=len(inputs), with_encoder=True,
                                 seq=seq)
             else:
@@ -481,7 +518,7 @@ class FusedServePath:
                     np.asarray(self.embed_fn(inputs), np.float32))
                 out = self._jit(None, None, None, jnp.asarray(q_emb),
                                 self.reranker.params, prefix, prefix_len,
-                                bm25_rows, bm25_scores, qdays,
+                                budget, bm25_rows, bm25_scores, qdays,
                                 num_q=len(inputs), with_encoder=False,
                                 seq=seq)
         return out

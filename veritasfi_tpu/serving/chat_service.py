@@ -84,6 +84,7 @@ class ChatService:
         # (vllmChatService.py:279) but disabled it in the async/stream
         # paths (:371); use_hyde controls the sync path only.
         use_hyde: bool = True,
+        retrieval_batcher=None,           # RetrievalBatcher | None
     ) -> None:
         self.llm = llm
         self.model_name = model_name
@@ -103,6 +104,7 @@ class ChatService:
         self.table_top_n = table_top_n
         self.vector_top_n = vector_top_n
         self.use_hyde = use_hyde
+        self.retrieval_batcher = retrieval_batcher
 
         self.api_chat_manager: Dict[str, Dict] = {}
         self.api_chat_manager_lock = threading.Lock()
@@ -203,12 +205,23 @@ class ChatService:
     def _retrieve_context(self, chat_manager: ChatManager, rewritten: str,
                           hypo_chunks: List[str],
                           all_retrieved_content: List) -> Tuple[str, Optional[str]]:
-        retriever = self.retrievers[0]
-        retriever_content = retriever.invoke(rewritten, hypo_chunks)
-        all_retrieved_content.append(retriever_content)
-        rag_context, timeinfo_list = get_rag_content(
-            chat_manager, retriever_content, rewritten,
-            chat_manager.query_time, retriever)
+        if self.retrieval_batcher is not None:
+            # single-readback fused path, wave-batched across sessions:
+            # retrieval + rerank + selection ran on device in one program
+            chunks, sel, _ = self.retrieval_batcher.retrieve(
+                rewritten, hypo_chunks, chat_manager.query_time, timeout=120)
+            all_retrieved_content.append(chunks)
+            with profiler.span("rerank"):
+                rag_context, timeinfo_list, selected = select_content(
+                    chunks, sel)
+                chat_manager.add_rag_info(rewritten, selected)
+        else:
+            retriever = self.retrievers[0]
+            retriever_content = retriever.invoke(rewritten, hypo_chunks)
+            all_retrieved_content.append(retriever_content)
+            rag_context, timeinfo_list = get_rag_content(
+                chat_manager, retriever_content, rewritten,
+                chat_manager.query_time, retriever)
         rag_docu_time = (select_most_recent_time(timeinfo_list)
                          if timeinfo_list else None)
         return rag_context, rag_docu_time

@@ -142,15 +142,16 @@ def get_qa_template(question: str, context: str, lang: str,
 
 
 def get_modify_answer_prompt(question: str, qa_pairs: str, lang: str) -> str:
-    """Merge sub-answers into one response (reference qa.py:140-157)."""
+    """Merge sub-answers into one response (same role as reference
+    qa.py:140-157; wording is our own — downstream parsing only requires
+    free-form text in ``lang``)."""
     return f"""Instructions:
-You are given multiple answers to related questions. Merge them into a single cohesive response to the original question. Ensure that:
-
-1. The response is clear and concise.
-2. Repeated information appears only once.
-3. All important information from the individual answers is preserved.
-4. The flow is natural and logical.
-5. The answer directly addresses the original question.
+Below are answers to sub-questions derived from one user question. Combine \
+them into one coherent reply to the original question. Requirements: keep \
+it tight and readable; state each fact once even if several sub-answers \
+repeat it; do not drop any substantive detail a sub-answer contributed; \
+order the material so it reads naturally; and make sure the final text \
+answers the question as originally asked.
 
 Original Question: {question}
 

@@ -117,6 +117,7 @@ class Stack:
     batcher: ContinuousBatcher
     chat_service: ChatService
     llm: object
+    retrieval_batcher: object = None
 
     def scorer(self, pairs):
         rows = [self.reranker.encode_pair(q, p) for q, p in pairs]
@@ -133,6 +134,8 @@ class Stack:
 
     def close(self) -> None:
         self.batcher.close()
+        if self.retrieval_batcher is not None:
+            self.retrieval_batcher.close()
         close = getattr(self.llm, "close", None)
         if close:
             close()
@@ -176,8 +179,34 @@ def build_stack(config: Optional[Config] = None,
     tools = (FinnhubTools(config.serving.finnhub_api_key)
              if config.serving.finnhub_api_key else None)
 
+    retrieval_batcher = None
+    if (config.serving.fused_serve and retrievers
+            and config.rerank.max_candidates):
+        try:
+            from .retrieval.fused_serve import FusedServePath
+            from .serving.retrieval_batcher import RetrievalBatcher
+
+            r0 = retrievers[0]
+            serve_path = FusedServePath(
+                r0.corpus, reranker, embed_fn=engine.embed_fn, bm25=r0.bm25,
+                k=r0.faiss_k, ts_k=r0.faiss_ts_k, bm25_k=r0.bm25_k,
+                enable_expand=r0.enable_expand, depth=r0.depth,
+                expand_trigger=r0.expand_trigger,
+                expand_accept=r0.expand_accept,
+                expand_max_chunks=r0.expand_max_chunks,
+                rerank_cap=config.rerank.max_candidates,
+                chunk_topk=config.rerank.rerank_topk,
+                sim_threshold=config.rerank.similar_threshold)
+            retrieval_batcher = RetrievalBatcher(serve_path)
+            logger.info("fused single-readback serve path enabled "
+                        "(cap=%d)", config.rerank.max_candidates)
+        except Exception:
+            logger.warning("fused serve path unavailable; using the classic "
+                           "two-dispatch path", exc_info=True)
+
     stack = Stack(config=config, engine=engine, reranker=reranker,
-                  batcher=batcher, chat_service=None, llm=llm)
+                  batcher=batcher, chat_service=None, llm=llm,
+                  retrieval_batcher=retrieval_batcher)
     stack.chat_service = ChatService(
         llm, config.llm.model_name, retrievers, stack.scorer,
         fused_scorer=stack.fused_scorer,
@@ -188,5 +217,6 @@ def build_stack(config: Optional[Config] = None,
         company=company or CompanyProfile(), tools=tools,
         seq_threshold=mb.seq_threshold, bm25_threshold=mb.bm25_threshold,
         db_top_n=mb.db_top_n, table_top_n=mb.table_top_n,
-        vector_top_n=mb.vector_top_n)
+        vector_top_n=mb.vector_top_n,
+        retrieval_batcher=retrieval_batcher)
     return stack
