@@ -186,6 +186,26 @@ def main():
     reranker = EncoderReranker(arch=rr_arch, dtype=jnp.bfloat16,
                                passage_max_length=args.seq)
 
+    # bf16-resident weights: halves weight HBM traffic and removes the
+    # per-forward f32->bf16 cast of the 250k-row embedding table
+    def _to_bf16(t):
+        return t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t
+
+    encoder.params = jax.tree.map(_to_bf16, encoder.params)
+    reranker.params = jax.tree.map(_to_bf16, reranker.params)
+
+    # native C++ BM25 for the serve path's host leg when built (identical
+    # scores; tests/test_native_bm25.py)
+    serve_bm25 = bm25
+    try:
+        from veritasfi_tpu.native.bm25_native import (NativeBM25,
+                                                      native_available)
+
+        if native_available():
+            serve_bm25 = NativeBM25(index.texts, index.doc_ids)
+    except Exception:
+        pass
+
     query = "What was the quarterly revenue growth and delivery guidance?"
     hyde = [
         "Revenue grew strongly in the quarter driven by premium segment "
@@ -205,7 +225,7 @@ def main():
         from veritasfi_tpu.retrieval.fused_serve import FusedServePath
 
         fused = FusedServePath(
-            index, reranker, encoder=encoder, bm25=bm25, k=10,
+            index, reranker, encoder=encoder, bm25=serve_bm25, k=10,
             enable_expand=True, depth=2048,
             rerank_cap=args.rerank_pairs or 50, chunk_topk=5)
 

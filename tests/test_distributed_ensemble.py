@@ -5,6 +5,9 @@ import numpy as np
 import pytest
 
 from test_ensemble import EMB, make_corpus, strip_rows
+from veritasfi_tpu.ingest.contract import ChunkRecord, hash_content
+from veritasfi_tpu.ingest.corpus import build_corpus_index
+from veritasfi_tpu.models.hash_embedder import HashEmbedder
 from veritasfi_tpu.parallel import make_mesh
 from veritasfi_tpu.retrieval.ensemble import EnsembleRetriever
 
@@ -56,3 +59,56 @@ def test_engine_retriever_with_mesh(tmp_path):
     retriever = engine.create_retriever(4, "c", mesh=mesh)
     out = retriever.invoke("chunk 3 text topic", [])
     assert out and retriever.mesh is mesh
+
+
+def test_sharded_invoke_batch_matches_invoke():
+    """invoke_batch under a corpus mesh (per-request ts_rows through
+    distributed_fused_search) must equal sequential invoke — including the
+    title path, which has no ts_dense object under a mesh."""
+    import jax
+
+    from veritasfi_tpu.parallel import make_mesh
+
+    emb = HashEmbedder(dim=64)
+    records = []
+    for i in range(96):
+        content = f"chunk {i}: metric{i % 13} quarter growth value{i % 7}"
+        records.append(ChunkRecord(
+            content=content, filename=f"f{i % 4}.json", page_number=i + 1,
+            date_published="2024-01-15", doc_id=hash_content(content),
+            global_id=i, title_summary=f"Topic {i % 9}"))
+    titles = sorted({r.title_summary for r in records})
+    index = build_corpus_index(records, titles, embed_fn=emb.encode)
+    mesh = make_mesh([("corpus", len(jax.devices()))])
+    eng = EnsembleRetriever(index, emb.encode, k=4, mesh=mesh)
+    requests = [(f"metric{i} quarter", [f"growth value{i}"])
+                for i in range(3)]
+    batched = eng.invoke_batch(requests)
+    serial = [eng.invoke(q, h) for q, h in requests]
+    assert [[c["_row"] for c in r] for r in batched] == \
+           [[c["_row"] for c in r] for r in serial]
+
+
+def test_distributed_topk_dcn_ici_tuple_axis():
+    """2D ('dcn', 'corpus') sharding merges identically to 1D."""
+    import jax
+    import jax.numpy as jnp
+
+    from veritasfi_tpu.ops.topk import dense_topk
+    from veritasfi_tpu.parallel import make_mesh
+    from veritasfi_tpu.parallel.mesh import distributed_topk, shard_corpus
+
+    n_dev = len(jax.devices())
+    if n_dev % 2:
+        return
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(n_dev * 16, 32)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    q = rng.normal(size=(3, 32)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    mesh = make_mesh([("dcn", 2), ("corpus", n_dev // 2)])
+    arr, n = shard_corpus(corpus, mesh, axis=("dcn", "corpus"))
+    s_d, i_d = distributed_topk(arr, jnp.asarray(q), 8, mesh, n,
+                                axis=("dcn", "corpus"))
+    s_1, i_1 = dense_topk(jnp.asarray(corpus), jnp.asarray(q), 8)
+    np.testing.assert_array_equal(np.asarray(i_d), np.asarray(i_1))

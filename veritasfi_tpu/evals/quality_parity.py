@@ -53,9 +53,11 @@ def build_fixture(seed: int = 0):
         topic = topics[i % len(topics)]
         fact = (f"the {topic} for segment {i} was "
                 f"{rng.integers(10, 999)} million in 2024")
-        facts.append((f"What was the {topic} for segment {i}?", fact))
         content = (f"Quarterly report section {i}. {fact}. Management "
                    f"commentary follows the usual format.")
+        # (question, evidence sentence, ground-truth chunk text)
+        facts.append((f"What was the {topic} for segment {i}?", fact,
+                      content))
         records.append(ChunkRecord(
             content=content, filename=f"doc{i % 6}.json",
             page_number=i + 1, date_published="2024-03-31",
@@ -94,7 +96,8 @@ def run_pipeline(seed: int = 0) -> Dict:
                                   faiss_k=10, bm25_k=10, faiss_ts_k=5)
 
     # -- stage 1: rewrite (identity rewrite via the scripted fake LLM) ----
-    samples = [{"question": q, "evidences": [fact]} for q, fact in facts]
+    samples = [{"question": q, "evidences": [fact]}
+               for q, fact, _ in facts]
     manager = ChatManager("qp", FakeLLM(), "m",
                           scorer=lambda pairs: [0.0] * len(pairs))
     records = rewrite_dataset(samples, chat_manager=manager)
@@ -119,15 +122,19 @@ def run_pipeline(seed: int = 0) -> Dict:
     reranker = EncoderReranker(preset="tiny-test", passage_max_length=128,
                                seed=0)
     ndcgs, rrs, precs, recs = [], [], [], []
-    for (question, fact), rec in zip(facts[:16], records[:16]):
+    shuffle_rng = np.random.default_rng(99)
+    for (question, fact, gt_text), rec in zip(facts[:16], records[:16]):
         texts = [c["content"] for c in rec.chunks][:20]
         if not texts:
             continue
+        # shuffle so the metrics measure the reranker's ordering, not the
+        # retrieval order it would otherwise inherit through stable sort
+        shuffle_rng.shuffle(texts)
         scores = np.asarray(reranker.compute_score(
             [[question, t] for t in texts], batch_size=8))
         order = np.argsort(-scores, kind="stable")
         ranked = [texts[i] for i in order]
-        rel = relevance_by_similarity(ranked, [fact], emb.encode,
+        rel = relevance_by_similarity(ranked, [gt_text], emb.encode,
                                       threshold=0.95)
         ndcgs.append(calculate_ndcg(rel, k=10))
         rrs.append(compute_rr(rel))

@@ -44,13 +44,19 @@ class HashTokenizer:
         self.sep_id = sep_id % vocab_size
         self._reserved = {self.pad_id, self.cls_id, self.sep_id}
         self._span = vocab_size - 200  # keep low ids free for specials
+        self._id_cache: Dict[str, int] = {}
 
     def token_id(self, token: str) -> int:
+        tid = self._id_cache.get(token)
+        if tid is not None:
+            return tid
         tid = 200 + _fnv1a(token) % self._span
         # avoid colliding with specials (can't happen with span>=200 offset,
         # but keep the guard for tiny vocabs)
         while tid in self._reserved:
             tid = (tid + 1) % self.vocab_size
+        if len(self._id_cache) < 1_000_000:
+            self._id_cache[token] = tid
         return tid
 
     def __call__(self, texts: List[str], max_length: int) -> Dict[str, np.ndarray]:

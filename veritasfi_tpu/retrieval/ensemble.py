@@ -330,8 +330,8 @@ class EnsembleRetriever:
 
         Per-request outputs are identical to sequential ``invoke`` calls.
         """
-        if self.mesh is not None or not requests:
-            return [self.invoke(q, h) for q, h in requests]
+        if not requests:
+            return []
 
         all_inputs: List[str] = []
         spans: List[Tuple[int, int]] = []
@@ -343,9 +343,11 @@ class EnsembleRetriever:
 
         with profiler.span("fused_search_batch"):
             ts_idx_arr = jnp.asarray(np.asarray(ts_rows, np.int32))
-            if self.encoder is not None:
+            if self.encoder is not None and self.mesh is None:
                 search = self._search_tokens(all_inputs, ts_rows=ts_idx_arr)
             else:
+                # under a mesh, embedding runs on host; the batched search
+                # itself runs sharded (distributed_fused_search ts_rows)
                 q_emb = normalize_rows(
                     np.asarray(self.embed_fn(all_inputs), np.float32))
                 search = self._search(q_emb, ts_rows=ts_idx_arr)
@@ -367,7 +369,10 @@ class EnsembleRetriever:
             if self.faiss_k > 0 and self.num_chunk:
                 bundle_cnt = self._dense_path(nq, sub, seen_ids, chunk_list,
                                               bundle_cnt)
-            if self.faiss_ts_k > 0 and self.ts_dense is not None:
+            run_ts = self.faiss_ts_k > 0 and (
+                self._has_ts if self.mesh is not None
+                else self.ts_dense is not None)
+            if run_ts:
                 bundle_cnt = self._title_path(sub, seen_ids, chunk_list,
                                               bundle_cnt)
             if self.bm25_k > 0 and self.bm25 is not None:
@@ -404,7 +409,7 @@ class EnsembleRetriever:
     def _search(self, q_emb: np.ndarray, ts_rows=None) -> Dict[str, np.ndarray]:
         """One fused device call for all dense paths of this request."""
         if self.mesh is not None:
-            return self._search_distributed(q_emb)
+            return self._search_distributed(q_emb, ts_rows=ts_rows)
         ts_emb, prev_dev, next_dev, k, ts_k = self._search_args()
         out = _fused_search(
             self.dense.corpus, ts_emb, jnp.asarray(q_emb), prev_dev, next_dev,
@@ -412,7 +417,8 @@ class EnsembleRetriever:
             self.enable_expand, ts_rows=ts_rows)
         return self._post_search(out, q_emb.shape[0])
 
-    def _search_distributed(self, q_emb: np.ndarray) -> Dict[str, np.ndarray]:
+    def _search_distributed(self, q_emb: np.ndarray,
+                            ts_rows=None) -> Dict[str, np.ndarray]:
         from ..parallel.mesh import distributed_fused_search
 
         if not hasattr(self, "_prev_dev"):
@@ -425,7 +431,7 @@ class EnsembleRetriever:
             self._sharded_corpus, self._ts_replicated, jnp.asarray(q_emb),
             self._prev_dev, self._next_dev, k, ts_k,
             self.expand_max_chunks - 1, self.depth, self.enable_expand,
-            self.mesh, self._valid_n, self.corpus_axis)
+            self.mesh, self._valid_n, self.corpus_axis, ts_rows=ts_rows)
         return self._post_search(out, q_emb.shape[0])
 
     def _search_tokens(self, inputs: List[str],

@@ -499,13 +499,17 @@ class FusedServePath:
         with profiler.span("serve_host_prep"):
             prefix, prefix_len, budget = self._query_prefix(query)
             bm25_rows, bm25_scores = self._bm25_inputs(query)
-            qdays = np.float32(_to_days(query_time))
             # static seq bucket from this query's prefix length and the
             # corpus-wide max passage length (the classic path buckets the
             # same way per batch, EncoderReranker.score_tokens)
-            row_max = (int(prefix_len) + min(self._plen_max, max(budget, 0))
+            row_max = (int(prefix_len) + min(self._plen_max, max(int(budget), 0))
                        + len(self._suffix_host))
             seq = min(self._seq, max(-(-row_max // 64) * 64, 64))
+            # jnp scalars: raw np scalars push pjit off its C++ fast path
+            # (~1 ms of python dispatch per call)
+            qdays = jnp.asarray(np.float32(_to_days(query_time)))
+            prefix_len = jnp.asarray(prefix_len)
+            budget = jnp.asarray(budget)
             if self.encoder is not None:
                 ids, mask = self._encoder_tokens(inputs)
                 out = self._jit(self.encoder.params, ids, mask, None,
