@@ -60,16 +60,37 @@ def build_test_stack(corpus_size: int, seed: int = 0):
         rng.normal(size=(len(titles), dim)).astype(np.float32))
     bm25 = BM25Index.build(index.texts, index.doc_ids)
 
-    encoder = TextEncoder(preset="bge-small-en", dtype=jnp.bfloat16,
-                          max_length=256)
-    reranker = EncoderReranker(preset="bge-reranker-base",
-                               dtype=jnp.bfloat16, passage_max_length=256)
+    import dataclasses
+
+    import jax
+
+    from ..models.encoder import ENCODER_PRESETS
+    from ..models.encoder_reranker import RERANKER_ENCODER_PRESETS
+
+    # serving-perf arch (same as bench.py): tanh gelu + bf16-resident params
+    enc_arch = dataclasses.replace(ENCODER_PRESETS["bge-small-en"],
+                                   gelu_impl="tanh")
+    rr_arch = dataclasses.replace(
+        RERANKER_ENCODER_PRESETS["bge-reranker-base"], gelu_impl="tanh")
+    encoder = TextEncoder(arch=enc_arch, dtype=jnp.bfloat16, max_length=256)
+    reranker = EncoderReranker(arch=rr_arch, dtype=jnp.bfloat16,
+                               passage_max_length=256)
+
+    def _to_bf16(t):
+        return t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t
+
+    encoder.params = jax.tree.map(_to_bf16, encoder.params)
+    reranker.params = jax.tree.map(_to_bf16, reranker.params)
+
+    from ..serving.llm_client import FakeLLM, ProtocolResponder
 
     config = Config()
     config.rerank.max_candidates = 50
-    config.llm.base_url = ""          # FakeLLM
+    config.llm.base_url = ""
+    # protocol-faithful offline LLM so the FULL RAG path runs (rewrite ->
+    # retrieve -> rerank -> answer); without it need_rag=False short-circuits
     stack = build_stack(config, collections={}, embed_fn=encoder.encode,
-                        reranker=reranker)
+                        reranker=reranker, llm=FakeLLM(ProtocolResponder()))
     stack.engine.register_collection("stress", index, bm25)
     retriever = stack.engine.create_retriever(10, "stress",
                                               enable_expand=True)
@@ -79,8 +100,16 @@ def build_test_stack(corpus_size: int, seed: int = 0):
     from ..retrieval.fused_serve import FusedServePath
     from ..serving.retrieval_batcher import RetrievalBatcher
 
+    serve_bm25 = bm25
+    try:
+        from ..native.bm25_native import NativeBM25, native_available
+
+        if native_available():
+            serve_bm25 = NativeBM25(index.texts, index.doc_ids)
+    except Exception:
+        pass
     serve_path = FusedServePath(
-        index, reranker, encoder=None, embed_fn=encoder.encode, bm25=bm25,
+        index, reranker, encoder=encoder, bm25=serve_bm25,
         k=10, enable_expand=True, depth=2048, rerank_cap=50, chunk_topk=5)
     batcher = RetrievalBatcher(serve_path, max_batch=16, max_wait_ms=3.0)
     stack.chat_service.retrieval_batcher = batcher

@@ -11,6 +11,7 @@ no mocks/fake backends at all — SURVEY.md §4).
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Iterator, List, Optional, Union
 
@@ -234,3 +235,40 @@ class FakeLLM:
 
     def close(self) -> None:
         pass
+
+
+class ProtocolResponder:
+    """Protocol-faithful offline responder for FakeLLM: implements the wire
+    contracts the serving stack parses (3-line rewrite, "ANSWER:" HyDE,
+    merge, summary, final QA) without an external LLM server — used by the
+    server stress harness and offline demos so the full RAG path (rewrite
+    -> retrieve -> rerank -> answer) runs end-to-end.
+    """
+
+    _QUESTION_RE = re.compile(r"Question: (.*?)\n\nCurrent time:", re.S)
+
+    def __init__(self, date: str = "2024-06-01", need_rag: bool = True):
+        self.date = date
+        self.need_rag = need_rag
+
+    def __call__(self, messages, **kwargs):
+        system = next((m["content"] for m in messages
+                       if isinstance(m, dict) and m.get("role") == "system"),
+                      "")
+        user = next((m["content"] for m in reversed(messages)
+                     if isinstance(m, dict) and m.get("role") == "user"), "")
+        if "categorizes and rewrites user queries" in user or \
+                "categorizes and rewrites user queries" in system:
+            m = self._QUESTION_RE.search(user)
+            question = m.group(1).strip() if m else user[:120]
+            line3 = "YES" if self.need_rag else "NO"
+            return (json.dumps([question]) + "\n" + self.date + "\n" + line3)
+        if "hypothetical answers" in system:
+            return ("ANSWER: first hypothetical answer\n\n"
+                    "ANSWER: second hypothetical answer\n\n"
+                    "ANSWER: [Table Level] third")
+        if "Combine them into one coherent reply" in system:
+            return "Merged answer covering every sub-question."
+        if "summarizes conversation history" in system:
+            return "Summary of the conversation so far."
+        return "Answer based on the provided context."
