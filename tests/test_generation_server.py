@@ -1,0 +1,105 @@
+"""GenerationServer: continuous batching must reproduce solo generations."""
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from veritasfi_tpu.models.reranker import CrossEncoderReranker
+from veritasfi_tpu.serving.generation_server import GenerationServer
+
+
+@pytest.fixture(scope="module")
+def decoder():
+    rr = CrossEncoderReranker(preset="tiny-test", dtype=jnp.float32)
+    return rr
+
+
+def prompts(rr, n):
+    return [rr._encode_raw(f"question {i} about metric {i % 3} value")
+            for i in range(n)]
+
+
+def solo_generate(rr, prompt, max_new=12):
+    from veritasfi_tpu.models.generate import Generator
+
+    gen = Generator(rr.module, rr.params, max_prompt_len=64,
+                    max_new_tokens=max_new, cache_dtype=jnp.float32)
+    return gen.generate_tokens([prompt], max_new_tokens=max_new,
+                               eos_id=-1)[0]
+
+
+def test_concurrent_matches_solo(decoder):
+    rr = decoder
+    rows = prompts(rr, 3)
+    solo = [solo_generate(rr, r) for r in rows]
+    server = GenerationServer(rr.module, rr.params, slots=3, window=128,
+                              chunk=4, max_prompt_len=64,
+                              cache_dtype=jnp.float32)
+    try:
+        with ThreadPoolExecutor(3) as ex:
+            futs = [ex.submit(server.generate, r, 12, -1) for r in rows]
+            got = [f.result(120) for f in futs]
+        assert got == solo, (got, solo)
+    finally:
+        server.close()
+
+
+def test_join_mid_flight(decoder):
+    """A request admitted while another decodes must produce the same
+    tokens as its solo run (slot isolation)."""
+    rr = decoder
+    rows = prompts(rr, 2)
+    solo = [solo_generate(rr, r, max_new=16) for r in rows]
+    server = GenerationServer(rr.module, rr.params, slots=2, window=128,
+                              chunk=2, max_prompt_len=64,
+                              cache_dtype=jnp.float32)
+    try:
+        req0 = server.submit(rows[0], 16, -1)
+        # wait until request 0 produced its first token, then join
+        req0.tokens.get(timeout=120)
+        req1 = server.submit(rows[1], 16, -1)
+        got1 = req1.result.result(120)
+        got0_full = req0.result.result(120)
+        assert got0_full == solo[0]
+        assert got1 == solo[1]
+    finally:
+        server.close()
+
+
+def test_streaming_order_and_eos(decoder):
+    rr = decoder
+    row = prompts(rr, 1)[0]
+    solo = solo_generate(rr, row, max_new=10)
+    server = GenerationServer(rr.module, rr.params, slots=2, window=128,
+                              chunk=3, max_prompt_len=64,
+                              cache_dtype=jnp.float32)
+    try:
+        streamed = list(server.stream(row, max_new_tokens=10, eos_id=-1))
+        assert streamed == solo
+        # eos stops generation without emitting the eos token itself
+        eos_tok = solo[1]
+        stopped = server.generate(row, max_new_tokens=10, eos_id=eos_tok)
+        assert stopped == solo[: solo.index(eos_tok)]
+    finally:
+        server.close()
+
+
+def test_slot_reuse_after_finish(decoder):
+    """More requests than slots: later ones reuse freed slots cleanly."""
+    rr = decoder
+    rows = prompts(rr, 4)
+    solo = [solo_generate(rr, r, max_new=8) for r in rows]
+    server = GenerationServer(rr.module, rr.params, slots=2, window=128,
+                              chunk=4, max_prompt_len=64,
+                              cache_dtype=jnp.float32)
+    try:
+        with ThreadPoolExecutor(4) as ex:
+            futs = [ex.submit(server.generate, r, 8, -1) for r in rows]
+            got = [f.result(180) for f in futs]
+        assert got == solo
+    finally:
+        server.close()

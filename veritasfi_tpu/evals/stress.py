@@ -105,3 +105,62 @@ def retrieval_throughput(retriever, queries: Sequence[str],
         "mean_latency_s": statistics.mean(latencies),
         "num_samples": n_samples,
     }
+
+
+def generation_stress(n_requests: int = 8, slots: int = 4,
+                      max_new: int = 64, chunk: int = 8,
+                      preset: str = "gemma-mini") -> dict:
+    """Continuous-batching generation throughput + time-to-first-token with
+    the local JAX backend (serving/generation_server.py). The reference
+    delegates generation to an external vLLM process; this measures the
+    first-party equivalent: N concurrent streams sharing decode programs.
+
+    ``preset``: DECODER_PRESETS key ('gemma-mini' = a scaled-down gemma
+    shape for bench plumbing; real checkpoints load via models/hf_loader).
+    """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax.numpy as jnp
+
+    from ..models.reranker import DECODER_PRESETS, CrossEncoderReranker
+    from ..serving.generation_server import GenerationServer
+
+    arch_name = preset if preset in DECODER_PRESETS else "tiny-test"
+    rr = CrossEncoderReranker(preset=arch_name, dtype=jnp.bfloat16)
+    server = GenerationServer(rr.module, rr.params, slots=slots,
+                              window=512, chunk=chunk, max_prompt_len=256)
+    prompts = [rr._encode_raw(f"Summarize quarterly metric {i} performance "
+                              f"and guidance for the segment.")
+               for i in range(n_requests)]
+    ttft: list = []
+    counts: list = []
+
+    def run(p):
+        t0 = time.perf_counter()
+        n = 0
+        for j, _ in enumerate(server.stream(p, max_new_tokens=max_new,
+                                            eos_id=-1)):
+            if j == 0:
+                ttft.append((time.perf_counter() - t0) * 1000.0)
+            n += 1
+        counts.append(n)
+
+    # warm (compile prefill buckets + decode program)
+    server.generate(prompts[0], max_new_tokens=4, eos_id=-1)
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(n_requests) as ex:
+        list(ex.map(run, prompts))
+    wall = time.perf_counter() - t0
+    ttft.sort()
+    return {
+        "metric": "generation_tokens_per_s",
+        "value": round(sum(counts) / wall, 1),
+        "detail": {
+            "requests": n_requests, "slots": slots, "chunk": chunk,
+            "max_new": max_new, "wall_s": round(wall, 2),
+            "ttft_p50_ms": round(ttft[len(ttft) // 2], 1),
+            "ttft_p90_ms": round(ttft[int(0.9 * len(ttft))], 1),
+            "arch": arch_name,
+        },
+    }

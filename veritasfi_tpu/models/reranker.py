@@ -55,6 +55,11 @@ DECODER_PRESETS: Dict[str, DecoderArch] = {
                              kv_heads=2, head_dim=16, intermediate=128),
     # bge-reranker-v2-gemma backbone (google/gemma-2b)
     "gemma-2b": DecoderArch(),
+    # scaled-down gemma shape (~150M params) for generation benches on
+    # hardware without checkpoints
+    "gemma-mini": DecoderArch(vocab_size=32_768, hidden=1024, layers=8,
+                              heads=8, kv_heads=1, head_dim=128,
+                              intermediate=4096),
     # bge-reranker-v2-minicpm-layerwise-class sizes could be added similarly.
 }
 
@@ -149,19 +154,31 @@ class _Attention(nn.Module):
 
         if cache is not None:
             ck, cv, key_mask = cache
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype), (0, cache_offset, 0, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype), (0, cache_offset, 0, 0))
+            per_row = jnp.ndim(cache_offset) == 1
+            if per_row:
+                # continuous-batching decode: each row writes its own cache
+                # slot (t must be 1). Causality is enforced by key_mask
+                # alone — ring/rolling windows overwrite old slots, so
+                # physical position no longer orders time (attention is a
+                # set operation; order is irrelevant).
+                rows = jnp.arange(b)
+                ck = ck.at[rows, cache_offset].set(k[:, 0].astype(ck.dtype))
+                cv = cv.at[rows, cache_offset].set(v[:, 0].astype(cv.dtype))
+                full = key_mask[:, None, None, :]
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k.astype(ck.dtype), (0, cache_offset, 0, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v.astype(cv.dtype), (0, cache_offset, 0, 0))
+                key_pos = jnp.arange(ck.shape[1])
+                q_pos = cache_offset + jnp.arange(t)
+                causal = key_pos[None, :] <= q_pos[:, None]    # [t, L]
+                full = causal[None, None] & key_mask[:, None, None, :]
             new_cache = (ck, cv, key_mask)
             kk = jnp.repeat(ck, rep, axis=2)
             vv = jnp.repeat(cv, rep, axis=2)
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, kk.astype(q.dtype),
                                 preferred_element_type=jnp.float32) * scale
-            key_pos = jnp.arange(ck.shape[1])
-            q_pos = cache_offset + jnp.arange(t)
-            causal = key_pos[None, :] <= q_pos[:, None]        # [t, L]
-            full = causal[None, None] & key_mask[:, None, None, :]
             scores = jnp.where(full, scores, jnp.finfo(jnp.float32).min)
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs,

@@ -1,0 +1,300 @@
+"""Continuous-batching generation server with a rolling KV window.
+
+The reference leaves generation to an external vLLM process; this module is
+the first-party TPU equivalent of vLLM's scheduler for the in-process
+backend (SURVEY §7.4, VERDICT r1 item 7): concurrent requests decode in ONE
+device program per step-chunk instead of serializing whole generations.
+
+Design (TPU-first — static shapes throughout):
+  * SLOTS, not a dynamic batch: a fixed [S, W] KV cache; each slot hosts
+    one request. Joins = a prefill program that writes one slot's cache
+    rows; leaves = the slot's key-mask rows cleared. No recompilation as
+    occupancy changes.
+  * ROLLING window: writes go to ``offset % window``, so a slot's memory is
+    bounded at W tokens regardless of generation length (sliding-window
+    attention; RoPE positions stay absolute). This is the TPU-native
+    answer to paged KV: block tables would gather pages back into a dense
+    [S, W] view every step on TPU (same bandwidth, extra copies), so the
+    win paging buys on GPUs — memory bounding — is had here by the ring.
+  * CHUNKED decode: each program advances every active slot ``chunk``
+    tokens (lax.scan) and the host reads back [chunk, S] tokens in ONE
+    transfer — the host<->device round-trip (~28 ms on this relay)
+    amortizes over chunk x occupancy tokens. Streaming granularity is one
+    chunk.
+  * Caches are DONATED to the step program (in-place update; no [S, W]
+    copy per chunk).
+
+Per-request sampling params are supported (eos per slot in-program;
+max_new/temperature host-side — temperature/top_p are server-level,
+matching the reference's fixed temperature=0/top_p=0.8 serving config).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.generate import _sample, left_pad
+from ..utils.profiler import profiler
+
+
+@dataclass
+class _Request:
+    prompt: List[int]
+    max_new: int
+    eos_id: int
+    tokens: "queue.Queue"
+    result: Future
+    emitted: List[int] = field(default_factory=list)
+
+
+_END = object()
+
+
+class GenerationServer:
+    """Slot-based continuous batching over a FlaxDecoderLM."""
+
+    def __init__(self, module, params, *, slots: int = 4, window: int = 1024,
+                 chunk: int = 8, max_prompt_len: int = 512,
+                 temperature: float = 0.0, top_p: float = 0.8,
+                 cache_dtype=jnp.bfloat16, seed: int = 0) -> None:
+        self.module = module
+        self.params = params
+        self.arch = module.arch
+        self.slots = slots
+        self.window = window
+        self.chunk = chunk
+        self.max_prompt_len = min(max_prompt_len, window)
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
+        self.cache_dtype = cache_dtype
+
+        a = self.arch
+        self._cache = [
+            (jnp.zeros((slots, window, a.kv_heads, a.head_dim), cache_dtype),
+             jnp.zeros((slots, window, a.kv_heads, a.head_dim), cache_dtype),
+             jnp.zeros((slots, window), bool))
+            for _ in range(a.layers)]
+        self._tok = jnp.zeros((slots,), jnp.int32)
+        self._pos = jnp.zeros((slots,), jnp.int32)
+        self._off = jnp.zeros((slots,), jnp.int32)
+        self._rng = jax.random.PRNGKey(seed)
+
+        # host-side slot bookkeeping
+        self._slot_req: List[Optional[_Request]] = [None] * slots
+        self._produced = [0] * slots
+        self._active = np.zeros((slots,), bool)
+        self._eos = np.zeros((slots,), np.int32)
+
+        self._prefill_jit = jax.jit(self._prefill_impl)
+        self._decode_jit = jax.jit(
+            self._decode_impl, donate_argnums=(1,),
+            static_argnames=("chunk",))
+
+        self._queue: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._wake = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="generation-server")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    # device programs
+    # ------------------------------------------------------------------
+    def _prefill_impl(self, params, cache, ids, mask, rng, slot):
+        """Run the prompt through the model with a fresh batch-1 cache and
+        write the result into ``slot`` of the global cache; returns the
+        sampled first token and next position."""
+        p = ids.shape[1]
+        a = self.arch
+        local = [
+            (jnp.zeros((1, self.window, a.kv_heads, a.head_dim),
+                       self.cache_dtype),
+             jnp.zeros((1, self.window, a.kv_heads, a.head_dim),
+                       self.cache_dtype),
+             jnp.zeros((1, self.window), bool).at[:, :p].set(
+                 mask.astype(bool)))
+            for _ in range(a.layers)]
+        positions = jnp.maximum(jnp.cumsum(mask, axis=-1) - 1, 0)
+        logits, local = self.module.apply(
+            params, ids, mask, cache=local, cache_offset=0,
+            positions=positions)
+        tok = _sample(logits[:, -1, :], rng, self.temperature, self.top_p)
+        new_cache = []
+        for (gk, gv, gm), (lk, lv, lm) in zip(cache, local):
+            gk = jax.lax.dynamic_update_slice(gk, lk.astype(gk.dtype),
+                                              (slot, 0, 0, 0))
+            gv = jax.lax.dynamic_update_slice(gv, lv.astype(gv.dtype),
+                                              (slot, 0, 0, 0))
+            gm = jax.lax.dynamic_update_slice(gm, lm, (slot, 0))
+            new_cache.append((gk, gv, gm))
+        return new_cache, tok[0], positions[0, -1] + 1
+
+    def _decode_impl(self, params, cache, tok, pos, off, active, eos, rng,
+                     *, chunk: int):
+        """Advance every active slot ``chunk`` tokens in one program."""
+        s = tok.shape[0]
+        rows = jnp.arange(s)
+
+        def step(carry, _):
+            cache, tok, pos, off, rng, live = carry
+            slot_pos = off % self.window
+            cache = [(k, v, km.at[rows, slot_pos].set(
+                km[rows, slot_pos] | live)) for k, v, km in cache]
+            logits, cache = self.module.apply(
+                params, tok[:, None], jnp.ones((s, 1), jnp.int32),
+                cache=cache, cache_offset=slot_pos,
+                positions=pos[:, None])
+            rng, key = jax.random.split(rng)
+            nxt = _sample(logits[:, -1, :], key, self.temperature,
+                          self.top_p)
+            nxt = jnp.where(live, nxt, self.arch.pad_id)
+            live = live & (nxt != eos)
+            return (cache, nxt, pos + 1, off + 1, rng, live), nxt
+
+        init = (cache, tok, pos, off, rng, active)
+        (cache, tok, pos, off, rng, live), toks = jax.lax.scan(
+            step, init, None, length=chunk)
+        return cache, tok, pos, off, rng, live, toks.T   # [S, chunk]
+
+    # ------------------------------------------------------------------
+    # host scheduler
+    # ------------------------------------------------------------------
+    def _admit(self) -> bool:
+        admitted = False
+        while True:
+            free = [i for i in range(self.slots) if not self._active[i]]
+            if not free:
+                return admitted
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return admitted
+            if req is _END:
+                self._closed = True
+                return admitted
+            slot = free[0]
+            row = req.prompt[-self.max_prompt_len:]
+            ids, mask = left_pad([row], self.arch.pad_id)
+            bucket = 1 << max(4, (ids.shape[1] - 1).bit_length())
+            pad = bucket - ids.shape[1]
+            if pad:
+                ids = np.pad(ids, ((0, 0), (pad, 0)),
+                             constant_values=self.arch.pad_id)
+                mask = np.pad(mask, ((0, 0), (pad, 0)))
+            self._rng, key = jax.random.split(self._rng)
+            self._cache, tok0_d, pos0_d = self._prefill_jit(
+                self.params, self._cache, jnp.asarray(ids),
+                jnp.asarray(mask), key, jnp.int32(slot))
+            # one transfer for both scalars (each host read costs a full
+            # device round-trip on this relay); the cache write offset is
+            # the padded prompt length, known host-side
+            tok0, pos0 = (int(x) for x in jax.device_get((tok0_d, pos0_d)))
+            self._tok = self._tok.at[slot].set(tok0)
+            self._pos = self._pos.at[slot].set(pos0)
+            self._off = self._off.at[slot].set(ids.shape[1])
+            self._slot_req[slot] = req
+            self._produced[slot] = 0
+            self._active[slot] = True
+            self._eos[slot] = req.eos_id
+            self._emit(slot, tok0)
+            admitted = True
+
+    def _emit(self, slot: int, tok: int) -> None:
+        req = self._slot_req[slot]
+        if req is None:
+            return
+        if tok == req.eos_id or self._produced[slot] >= req.max_new:
+            self._finish(slot)
+            return
+        req.emitted.append(tok)
+        req.tokens.put(tok)
+        self._produced[slot] += 1
+        if self._produced[slot] >= req.max_new:
+            self._finish(slot)
+
+    def _finish(self, slot: int) -> None:
+        req = self._slot_req[slot]
+        if req is None:
+            return
+        req.tokens.put(_END)
+        if not req.result.done():
+            req.result.set_result(list(req.emitted))
+        self._slot_req[slot] = None
+        self._active[slot] = False
+        # clear the slot's key mask so a future tenant starts clean
+        self._cache = [(k, v, km.at[slot].set(False))
+                       for k, v, km in self._cache]
+
+    def _loop(self) -> None:
+        while True:
+            self._admit()
+            if self._closed and not self._active.any():
+                return
+            if not self._active.any():
+                try:
+                    req = self._queue.get(timeout=0.05)
+                except queue.Empty:
+                    continue
+                if req is _END:
+                    self._closed = True
+                    continue
+                self._queue.queue.appendleft(req)   # re-admit via _admit
+                continue
+            with profiler.span("generation_chunk"):
+                active = jnp.asarray(self._active)
+                eos = jnp.asarray(self._eos)
+                (self._cache, self._tok, self._pos, self._off, self._rng,
+                 live, toks) = self._decode_jit(
+                    self.params, self._cache, self._tok, self._pos,
+                    self._off, active, eos, self._rng, chunk=self.chunk)
+                toks = np.asarray(toks)            # ONE readback per chunk
+            for slot in range(self.slots):
+                if not self._active[slot]:
+                    continue
+                for t in toks[slot]:
+                    self._emit(slot, int(t))
+                    if not self._active[slot]:
+                        break
+
+    # ------------------------------------------------------------------
+    # client surface
+    # ------------------------------------------------------------------
+    def submit(self, prompt: List[int], max_new_tokens: int = 256,
+               eos_id: Optional[int] = None) -> _Request:
+        if self._closed:
+            raise RuntimeError("generation server closed")
+        eos = eos_id if eos_id is not None else self.arch.bos_id + 1
+        req = _Request(prompt=list(prompt), max_new=max_new_tokens,
+                       eos_id=int(eos), tokens=queue.Queue(),
+                       result=Future())
+        self._queue.put(req)
+        return req
+
+    def stream(self, prompt: List[int], max_new_tokens: int = 256,
+               eos_id: Optional[int] = None,
+               timeout: float = 300.0) -> Iterator[int]:
+        """Yield token ids as decode chunks complete."""
+        req = self.submit(prompt, max_new_tokens, eos_id)
+        while True:
+            tok = req.tokens.get(timeout=timeout)
+            if tok is _END:
+                return
+            yield tok
+
+    def generate(self, prompt: List[int], max_new_tokens: int = 256,
+                 eos_id: Optional[int] = None,
+                 timeout: float = 300.0) -> List[int]:
+        return self.submit(prompt, max_new_tokens, eos_id).result.result(
+            timeout)
+
+    def close(self) -> None:
+        self._queue.put(_END)
+        self._thread.join(timeout=10)

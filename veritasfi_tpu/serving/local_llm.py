@@ -31,7 +31,13 @@ class LocalChatBackend:
                  tokenizer=None, max_new_tokens: int = 256,
                  max_prompt_len: int = 1024, eos_id: Optional[int] = None,
                  template: Optional[Dict[str, str]] = None,
-                 stream_chunk: int = 8) -> None:
+                 stream_chunk: int = 8,
+                 continuous_batching: bool = False, slots: int = 4,
+                 window: int = 1024, decode_chunk: int = 8) -> None:
+        """``continuous_batching``: serve generations through a
+        GenerationServer — concurrent chat() calls share decode steps in
+        one device program (slot-based, rolling KV window) instead of
+        serializing whole generations (serving/generation_server.py)."""
         # accept either a CrossEncoderReranker-style wrapper (module, params,
         # tokenizer) or a raw module + params + tokenizer
         if hasattr(reranker_or_module, "module"):
@@ -45,9 +51,17 @@ class LocalChatBackend:
         self.tokenizer = tokenizer
         self.template = template or _DEFAULT_TEMPLATE
         self.stream_chunk = stream_chunk
+        self.max_new_tokens = max_new_tokens
         self.generator = Generator(module, params,
                                    max_prompt_len=max_prompt_len,
                                    max_new_tokens=max_new_tokens)
+        self.server = None
+        if continuous_batching:
+            from .generation_server import GenerationServer
+
+            self.server = GenerationServer(
+                module, params, slots=slots, window=window,
+                chunk=decode_chunk, max_prompt_len=max_prompt_len)
         hf = getattr(tokenizer, "hf", None)
         if eos_id is not None:
             self.eos_id = eos_id
@@ -89,9 +103,14 @@ class LocalChatBackend:
         prompt = self.render_prompt(messages)
         if stream:
             return self._stream_iter(prompt, temperature, top_p)
-        tokens = self.generator.generate_tokens(
-            [prompt], temperature=temperature, top_p=top_p,
-            eos_id=self.eos_id)[0]
+        if self.server is not None:
+            tokens = self.server.generate(prompt,
+                                          max_new_tokens=self.max_new_tokens,
+                                          eos_id=self.eos_id)
+        else:
+            tokens = self.generator.generate_tokens(
+                [prompt], temperature=temperature, top_p=top_p,
+                eos_id=self.eos_id)[0]
         text = self._decode(tokens)
         return ChatCompletion(
             choices=[Choice(message=Message(content=text))],
@@ -104,11 +123,17 @@ class LocalChatBackend:
         """True incremental streaming: tokens decode as they are sampled;
         deltas are the text suffix new since the last yield (so multi-token
         characters decode correctly)."""
+        if self.server is not None:
+            source = self.server.stream(prompt,
+                                        max_new_tokens=self.max_new_tokens,
+                                        eos_id=self.eos_id)
+        else:
+            source = self.generator.generate_stream(
+                prompt, temperature=temperature, top_p=top_p,
+                eos_id=self.eos_id)
         tokens: List[int] = []
         emitted = ""
-        for tok in self.generator.generate_stream(
-                prompt, temperature=temperature, top_p=top_p,
-                eos_id=self.eos_id):
+        for tok in source:
             tokens.append(tok)
             text = self._decode(tokens)
             if len(text) > len(emitted):
@@ -125,4 +150,5 @@ class LocalChatBackend:
                          **kwargs)
 
     def close(self) -> None:
-        pass
+        if self.server is not None:
+            self.server.close()
