@@ -8,12 +8,12 @@ VMEM scratch — the [Q, N] score matrix never exists in HBM, so the kernel
 runs at HBM-bandwidth speed-of-light for exact search (one pass over the
 corpus) with O(Q*k) state.
 
-Merge strategy: Mosaic has no sort/top_k primitive, so each block's top-k is
-extracted by k iterated (max, argmax, mask) sweeps — exact, because every
-global top-k element is inside its own block's top-k. The block candidates
-are then merged with the running buffer by another k sweeps over a [Q, 2k]
-tile. Extraction cost is ~k VPU passes per block against D MAC columns of
-MXU work, so for k <= 64 and D >= 256 the kernel stays memory-bound.
+Merge strategy: Mosaic has no sort/top_k primitive. The running [Q, k]
+buffer is kept SORTED descending; per corpus block, a while_loop pops only
+the candidates that actually beat their query's current k-th best
+(typically 1-2 per contributing block, thanks to the block-skip test) and
+insertion-sorts each into the buffer with a roll-shift — extraction cost is
+O(#improving candidates) VPU passes, not O(k) fixed sweeps.
 
 Tie-break: extraction picks the first (lowest-column) maximum explicitly
 (Mosaic's argmax does not guarantee first-match on ties), and the running
@@ -26,12 +26,13 @@ k-th best (a strict-greater test — exact under FAISS tie rules, since a
 later-block tie always loses to the buffered lower index), so after the
 first blocks the kernel is matmul/HBM-bound.
 
-Measured on one v5e chip (N=1M, D=384, Q=8, K=16, through the axon relay
-whose dispatch RTT is ~25-30 ms): pallas fp32 37 ms / bf16 36 ms vs XLA
-full-materialize 33 ms and XLA chunked 35 ms — all within noise of the
-RTT + HBM floor. The engine defaults to the XLA path at bench scales; this
-kernel is the O(Q*k)-memory variant for corpora where the [Q, N] score
-buffer (or an fp32 corpus copy) doesn't fit alongside serving state.
+Measured on one v5e chip (N=1M, D=384, Q=8, K=16; device compute after
+subtracting the ~28 ms relay round-trip): pallas bf16 2.0 ms (vs its
+0.95 ms k=1 HBM+matmul floor), pallas fp32 5.0 ms (fp32 MXU multipass),
+XLA chunked fp32 3.4-5.9 ms across runs. The bf16 kernel beats XLA
+chunked outright; the engine's default stays the fp32 XLA path because
+recall parity with fp32 FAISS requires fp32 scores (SURVEY §7.3) — the
+kernel is the speed/memory option for bf16-resident corpora.
 """
 
 from __future__ import annotations
@@ -45,37 +46,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -3.4e38  # plain float so the kernel doesn't capture a traced constant
-
-
-def _extract_topk(scores, idx_of, k: int):
-    """k iterated (max, argmax, mask) sweeps, fully in registers.
-
-    ``idx_of`` maps score columns to corpus indices ([Q, width] int32).
-    Returns (vals [Q, k], idxs [Q, k]) descending, first-max (lowest index)
-    tie order. Column writes use masked selects, not dynamic lane stores
-    (Mosaic requires 128-aligned lane slicing).
-    """
-    q, width = scores.shape
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (q, width), 1)
-    col_k = jax.lax.broadcasted_iota(jnp.int32, (q, k), 1)
-    vals0 = jnp.full((q, k), NEG, jnp.float32)
-    idxs0 = jnp.full((q, k), 2_147_483_647, jnp.int32)
-
-    def body(j, carry):
-        s, vals, idxs = carry
-        m = jnp.max(s, axis=1)
-        # first-max column (Mosaic argmax does not guarantee first-match on
-        # ties, which would break FAISS ascending-index tie order)
-        is_max = s >= m[:, None]
-        am = jnp.min(jnp.where(is_max, col_w, 2_147_483_647), axis=1)
-        onehot = col_w == am[:, None]
-        picked = jnp.sum(jnp.where(onehot, idx_of, 0), axis=1)
-        vals = jnp.where(col_k == j, m[:, None], vals)
-        idxs = jnp.where(col_k == j, picked[:, None], idxs)
-        return jnp.where(onehot, NEG, s), vals, idxs
-
-    _, vals, idxs = jax.lax.fori_loop(0, k, body, (scores, vals0, idxs0))
-    return vals, idxs
 
 
 def _mips_kernel(n_ref, q_ref, blk_ref, out_s_ref, out_i_ref,
@@ -101,24 +71,60 @@ def _mips_kernel(n_ref, q_ref, blk_ref, out_s_ref, out_i_ref,
     corpus_idx = col + base
     s = jnp.where(corpus_idx < n_ref[0], s, NEG)
 
-    # skip the O(k)-sweep extraction whenever this block cannot contribute:
-    # extraction wrote best_s in descending order, so column k-1 is each
-    # query's current k-th best. After the first few blocks almost every
-    # block is skipped (P[block contributes] ~ Q*k*block/N_seen), leaving
-    # the kernel matmul/HBM-bound.
+    # skip the merge whenever this block cannot contribute: the buffer is
+    # kept sorted descending, so column k-1 is each query's current k-th
+    # best. After the first blocks almost every block is skipped
+    # (P[block contributes] ~ Q*k/blocks_seen), leaving the kernel
+    # matmul/HBM-bound.
     block_max = jnp.max(s, axis=1)            # [Q]
     kth = best_s[:, k - 1]
     could_contribute = jnp.any(block_max > kth)
 
     @pl.when(could_contribute)
     def _merge():
-        cand_s, cand_i = _extract_topk(s, corpus_idx, k)
-        # merge with running buffer (buffer first => lower index wins ties)
-        m_s = jnp.concatenate([best_s[:], cand_s], axis=1)
-        m_i = jnp.concatenate([best_i[:], cand_i], axis=1)
-        new_s, new_i = _extract_topk(m_s, m_i, k)
-        best_s[:] = new_s
-        best_i[:] = new_i
+        # INSERTION merge: extract only candidates that actually beat their
+        # query's k-th best (typically 1-2 per contributing block), not a
+        # fixed 2k sweeps. Each iteration pops the per-query max and
+        # insertion-sorts it into the [Q, k] buffer with a roll-shift —
+        # O(#improving candidates) VPU passes per block instead of O(k).
+        q = s.shape[0]
+        width = s.shape[1]
+        col_w = jax.lax.broadcasted_iota(jnp.int32, (q, width), 1)
+        col_k = jax.lax.broadcasted_iota(jnp.int32, (q, k), 1)
+
+        def cond(carry):
+            sc, bs, bi = carry
+            return jnp.any(jnp.max(sc, axis=1) > bs[:, k - 1])
+
+        def body(carry):
+            sc, bs, bi = carry
+            m = jnp.max(sc, axis=1)                       # [Q]
+            # first (lowest-column) max — FAISS ascending-index tie order
+            is_max = sc >= m[:, None]
+            am = jnp.min(jnp.where(is_max, col_w, 2_147_483_647), axis=1)
+            onehot = col_w == am[:, None]
+            picked = jnp.sum(jnp.where(onehot, corpus_idx, 0), axis=1)
+            sc = jnp.where(onehot, NEG, sc)
+            # insert after all buffer entries with score >= m (buffer
+            # entries carry lower corpus indices — earlier blocks/columns)
+            ins = m > bs[:, k - 1]                        # [Q]
+            pos = jnp.sum((bs >= m[:, None]).astype(jnp.int32), axis=1)
+            rolled_s = pltpu.roll(bs, 1, axis=1)
+            rolled_i = pltpu.roll(bi, 1, axis=1)
+            new_s = jnp.where(col_k < pos[:, None], bs,
+                              jnp.where(col_k == pos[:, None], m[:, None],
+                                        rolled_s))
+            new_i = jnp.where(col_k < pos[:, None], bi,
+                              jnp.where(col_k == pos[:, None],
+                                        picked[:, None], rolled_i))
+            bs = jnp.where(ins[:, None], new_s, bs)
+            bi = jnp.where(ins[:, None], new_i, bi)
+            return sc, bs, bi
+
+        _, new_bs, new_bi = jax.lax.while_loop(
+            cond, body, (s, best_s[:], best_i[:]))
+        best_s[:] = new_bs
+        best_i[:] = new_bi
 
     @pl.when(step == num_steps - 1)
     def _finalize():
