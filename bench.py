@@ -155,10 +155,11 @@ def main():
                              " bge-reranker-base scoring top-50 per query);"
                              " 0 = rerank everything retrieval returns")
     parser.add_argument("--seq", type=int, default=256)
-    parser.add_argument("--concurrency", type=int, default=8,
-                        help="micro-batch size for the QPS measurement "
-                             "(sweep on v5e: B=8 best; B=16/32 saturate)")
-    parser.add_argument("--qps-queries", type=int, default=48)
+    parser.add_argument("--concurrency", type=int, default=16,
+                        help="wave size for the QPS measurement (sweep on "
+                             "v5e: ~46 QPS at B=8, ~49.5 at B=12-16 — the "
+                             "ceiling is the ~19 ms/request device compute)")
+    parser.add_argument("--qps-queries", type=int, default=64)
     parser.add_argument("--skip-qps", action="store_true")
     parser.add_argument("--skip-1m", action="store_true",
                         help="skip the 1M-row streaming retrieval row")
