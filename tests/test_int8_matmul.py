@@ -1,0 +1,43 @@
+"""Dynamic int8 matmul (interpret mode on CPU) vs f32 reference."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from veritasfi_tpu.ops.int8_matmul import dynamic_int8_matmul
+
+
+def test_dynamic_int8_matmul_accuracy():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(40, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(128, 256)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(256,)), jnp.float32)
+    out = dynamic_int8_matmul(a, w, bias=b, interpret=True)
+    ref = a @ w + b
+    # dynamic per-row/per-col int8: ~1% relative error budget
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).mean()
+    assert err.mean() < 0.02 * scale + 0.02
+    assert out.shape == (40, 256)
+
+
+def test_int8_mlp_layer_close_to_xla():
+    import dataclasses
+
+    from veritasfi_tpu.models.encoder import ENCODER_PRESETS
+    from veritasfi_tpu.models.encoder_reranker import (
+        FlaxCrossEncoderClassifier)
+
+    rng = np.random.default_rng(1)
+    base = ENCODER_PRESETS["tiny-test"]
+    ids = jnp.asarray(rng.integers(3, 900, size=(4, 32)), jnp.int32)
+    mask = jnp.ones((4, 32), jnp.int32)
+    m_xla = FlaxCrossEncoderClassifier(base, dtype=jnp.float32)
+    params = m_xla.init(__import__("jax").random.PRNGKey(0), ids,
+                        jnp.ones_like(ids))
+    out_xla = m_xla.apply(params, ids, mask)
+    m_int8 = FlaxCrossEncoderClassifier(
+        dataclasses.replace(base, mlp_impl="int8"), dtype=jnp.float32)
+    out_int8 = m_int8.apply(params, ids, mask)     # same param tree
+    np.testing.assert_allclose(np.asarray(out_int8), np.asarray(out_xla),
+                               rtol=0.15, atol=0.15)

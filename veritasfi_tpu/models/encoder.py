@@ -52,6 +52,12 @@ class EncoderArch:
     #    rounding floor. "erf" matches HF exactly (default).
     attn_impl: str = "xla"        # xla | pallas
     gelu_impl: str = "erf"        # erf | tanh
+    #  * mlp_impl "int8" routes the MLP GEMMs (2/3 of forward FLOPs)
+    #    through the dynamic int8 Pallas kernel (ops/int8_matmul.py).
+    #    The raw kernel is 1.47x the bf16 MXU rate, but with per-call
+    #    weight quantization the end-to-end forward is currently a wash
+    #    (see ops/int8_matmul.py STATUS) — kept off by default.
+    mlp_impl: str = "xla"         # xla | int8
 
 
 ENCODER_PRESETS: Dict[str, EncoderArch] = {
@@ -106,6 +112,29 @@ class _SelfAttention(nn.Module):
         return nn.Dense(a.hidden, dtype=self.dtype, name="out")(ctx)
 
 
+class _Int8Dense(nn.Module):
+    """nn.Dense-compatible layer whose GEMM runs through the dynamic int8
+    Pallas kernel (same param names/shapes as nn.Dense, so checkpoints are
+    interchangeable). The flattened [B*T, F] shape feeds the MXU's int8
+    path; quantization is per activation row / per output column."""
+
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.int8_matmul import dynamic_int8_matmul
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        flat = x.reshape(-1, x.shape[-1]).astype(self.dtype)
+        out = dynamic_int8_matmul(
+            flat, kernel.astype(self.dtype), bias=bias,
+            interpret=jax.default_backend() != "tpu")
+        return out.reshape(*x.shape[:-1], self.features)
+
+
 class _Layer(nn.Module):
     arch: EncoderArch
     dtype: Any
@@ -116,9 +145,16 @@ class _Layer(nn.Module):
         attn = _SelfAttention(a, self.dtype, name="attention")(x, mask)
         x = nn.LayerNorm(epsilon=a.layer_norm_eps, dtype=jnp.float32,
                          name="attention_ln")(x + attn).astype(self.dtype)
-        h = nn.Dense(a.intermediate, dtype=self.dtype, name="intermediate")(x)
-        h = nn.gelu(h, approximate=a.gelu_impl == "tanh")
-        h = nn.Dense(a.hidden, dtype=self.dtype, name="output")(h)
+        if a.mlp_impl == "int8":
+            h = _Int8Dense(a.intermediate, self.dtype,
+                           name="intermediate")(x)
+            h = nn.gelu(h, approximate=a.gelu_impl == "tanh")
+            h = _Int8Dense(a.hidden, self.dtype, name="output")(h)
+        else:
+            h = nn.Dense(a.intermediate, dtype=self.dtype,
+                         name="intermediate")(x)
+            h = nn.gelu(h, approximate=a.gelu_impl == "tanh")
+            h = nn.Dense(a.hidden, dtype=self.dtype, name="output")(h)
         x = nn.LayerNorm(epsilon=a.layer_norm_eps, dtype=jnp.float32,
                          name="output_ln")(x + h).astype(self.dtype)
         return x

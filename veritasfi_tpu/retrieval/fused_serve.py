@@ -28,7 +28,6 @@ tested against that oracle in tests/test_fused_serve.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax

@@ -35,7 +35,7 @@ import queue
 import threading
 from concurrent.futures import Future
 from dataclasses import dataclass, field
-from typing import Any, Dict, Iterator, List, Optional
+from typing import Iterator, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -100,7 +100,6 @@ class GenerationServer:
 
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
-        self._wake = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="generation-server")
         self._thread.start()
