@@ -21,6 +21,21 @@ def test_dynamic_int8_matmul_accuracy():
     assert out.shape == (40, 256)
 
 
+def test_prequant_matches_dynamic():
+    from veritasfi_tpu.ops.int8_matmul import (prequant_int8_matmul,
+                                               quantize_weight)
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(size=(24, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(128, 256)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(256,)), jnp.float32)
+    w8, sw = quantize_weight(w)
+    out_pre = prequant_int8_matmul(a, w8, sw, bias=b, interpret=True)
+    out_dyn = dynamic_int8_matmul(a, w, bias=b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_dyn),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_int8_mlp_layer_close_to_xla():
     import dataclasses
 
@@ -36,8 +51,10 @@ def test_int8_mlp_layer_close_to_xla():
     params = m_xla.init(__import__("jax").random.PRNGKey(0), ids,
                         jnp.ones_like(ids))
     out_xla = m_xla.apply(params, ids, mask)
+    from veritasfi_tpu.models.encoder import quantize_mlp_params
+
     m_int8 = FlaxCrossEncoderClassifier(
         dataclasses.replace(base, mlp_impl="int8"), dtype=jnp.float32)
-    out_int8 = m_int8.apply(params, ids, mask)     # same param tree
+    out_int8 = m_int8.apply(quantize_mlp_params(params), ids, mask)
     np.testing.assert_allclose(np.asarray(out_int8), np.asarray(out_xla),
                                rtol=0.15, atol=0.15)

@@ -57,12 +57,31 @@ def main(argv=None) -> int:
     p_ret.add_argument("--sim-threshold", type=float, default=0.9)
     p_ret.add_argument("--use-hyde", action="store_true")
 
+    p_col = sub.add_parser(
+        "collect", help="tabulate + chart statistic.json trees "
+                        "(reference collect_*.py parity)")
+    p_col.add_argument("--root", required=True,
+                       help="directory of <version>/<experiment>/"
+                            "statistic.json")
+    p_col.add_argument("--out-csv", default=None)
+    p_col.add_argument("--charts", default=None,
+                       help="directory for grouped-bar PNGs "
+                            "(avg_hit_rate / avg_chunk)")
+
     args = parser.parse_args(argv)
     logging.basicConfig(level=args.log_level)
 
     from .config import load_config
 
     config = load_config(args.config)
+
+    if args.cmd == "collect":
+        from .evals.retrieval_eval import collect_experiments, plot_experiments
+
+        rows = collect_experiments(args.root, out_csv=args.out_csv)
+        charts = plot_experiments(rows, args.charts) if args.charts else []
+        print(json.dumps({"rows": len(rows), "charts": charts}))
+        return 0
 
     if args.cmd == "ingest":
         from .engine import RAGEngine

@@ -53,10 +53,10 @@ class EncoderArch:
     attn_impl: str = "xla"        # xla | pallas
     gelu_impl: str = "erf"        # erf | tanh
     #  * mlp_impl "int8" routes the MLP GEMMs (2/3 of forward FLOPs)
-    #    through the dynamic int8 Pallas kernel (ops/int8_matmul.py).
-    #    The raw kernel is 1.47x the bf16 MXU rate, but with per-call
-    #    weight quantization the end-to-end forward is currently a wash
-    #    (see ops/int8_matmul.py STATUS) — kept off by default.
+    #    through the int8 Pallas kernel with pre-quantized weights
+    #    (ops/int8_matmul.py). The raw kernel is 1.47x the bf16 MXU rate
+    #    but currently loses embedded (fusion barriers around the custom
+    #    calls — see the module's STATUS note); kept off by default.
     mlp_impl: str = "xla"         # xla | int8
 
 
@@ -113,26 +113,58 @@ class _SelfAttention(nn.Module):
 
 
 class _Int8Dense(nn.Module):
-    """nn.Dense-compatible layer whose GEMM runs through the dynamic int8
-    Pallas kernel (same param names/shapes as nn.Dense, so checkpoints are
-    interchangeable). The flattened [B*T, F] shape feeds the MXU's int8
-    path; quantization is per activation row / per output column."""
+    """Dense layer with PRE-QUANTIZED int8 weights (params: kernel_q int8
+    [K, N] + scale f32 [1, N] + bias). Only the per-row activation
+    quantization runs per forward; the GEMM hits the MXU's int8 path
+    (ops/int8_matmul.py). Convert an f32 checkpoint's MLP kernels with
+    ``quantize_mlp_params``."""
 
     features: int
     dtype: Any
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.int8_matmul import dynamic_int8_matmul
+        from ..ops.int8_matmul import prequant_int8_matmul
 
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (x.shape[-1], self.features))
+        k_in = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q",
+            lambda rng, shape: jnp.zeros(shape, jnp.int8),
+            (k_in, self.features))
+        scale = self.param("scale", nn.initializers.ones,
+                           (1, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        flat = x.reshape(-1, x.shape[-1]).astype(self.dtype)
-        out = dynamic_int8_matmul(
-            flat, kernel.astype(self.dtype), bias=bias,
+        flat = x.reshape(-1, k_in).astype(self.dtype)
+        out = prequant_int8_matmul(
+            flat, kernel_q, scale.astype(jnp.float32), bias=bias,
             interpret=jax.default_backend() != "tpu")
         return out.reshape(*x.shape[:-1], self.features)
+
+
+def quantize_mlp_params(params):
+    """Convert a standard (f32/bf16) encoder param tree to the
+    mlp_impl='int8' layout: each layer's intermediate/output Dense kernel
+    becomes (kernel_q int8, scale). Everything else passes through, so
+    HF-converted or trained checkpoints serve quantized unchanged."""
+    from ..ops.int8_matmul import quantize_weight
+
+    from collections.abc import Mapping
+
+    def walk(node):
+        if isinstance(node, Mapping):
+            out = {}
+            for name, sub in node.items():
+                if (name in ("intermediate", "output")
+                        and isinstance(sub, dict) and "kernel" in sub):
+                    w8, sw = quantize_weight(sub["kernel"])
+                    out[name] = {"kernel_q": w8, "scale": sw,
+                                 "bias": sub["bias"]}
+                else:
+                    out[name] = walk(sub)
+            return out
+        return node
+
+    return walk(params)
 
 
 class _Layer(nn.Module):

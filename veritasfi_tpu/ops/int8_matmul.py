@@ -14,13 +14,16 @@ Error is ~1e-2 relative on O(1) activations — acceptable for the serving
 rerank forward (scores feed an argsort; the perf arch documents the
 numerics delta, parity tests keep the exact default path).
 
-STATUS: with per-call dynamic weight quantization the end-to-end rerank
-forward measures a wash (14.7 vs 15.1 ms at [50,192]) — the quant passes
-eat the GEMM saving. The kernel itself delivers 1.47x on pre-quantized
-inputs; the win requires weights quantized ONCE at load (int8 kernel +
-scale in the param tree) with only the activation quant left per call —
-the round-3 follow-up. mlp_impl="int8" is therefore not the default
-anywhere yet.
+STATUS (measured on v5e, bge-reranker-base [50,192] forward):
+  * raw kernel on pre-quantized inputs: 256 T/s vs 174 T/s XLA bf16 (1.47x)
+  * dynamic weight+activation quant, embedded: wash (14.7 vs 15.1 ms)
+  * prequant weights + IN-KERNEL activation quant, embedded: still loses
+    (15.9 vs 14.6 ms) — the 24 pallas-call boundaries per forward break
+    XLA's epilogue fusion (bias/gelu/LN materialize to HBM around each
+    custom call), eating more than the MXU gain.
+Conclusion: int8 pays only as a FUSED MLP kernel (up-GEMM + gelu +
+down-GEMM in one pallas_call, activations never leaving VMEM) — the
+round-3 follow-up. mlp_impl="int8" stays off by default.
 """
 
 from __future__ import annotations
@@ -40,6 +43,92 @@ def _kernel(a_ref, w_ref, sa_ref, sw_ref, o_ref):
         preferred_element_type=jnp.int32)
     o_ref[:] = (acc.astype(jnp.float32)
                 * sa_ref[:] * sw_ref[:]).astype(o_ref.dtype)
+
+
+def quantize_weight(w, axis: int = 0):
+    """Per-output-column int8 weight quantization: (w8 int8, scale [1, N])."""
+    wf = jnp.asarray(w, jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=axis, keepdims=True),
+                     1e-6) / 127.0
+    w8 = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+    return w8, sw
+
+
+def _prequant_kernel(a_ref, w_ref, sw_ref, o_ref, a8_s, sa_s):
+    """bf16 activations quantized IN-KERNEL (once per M-block, cached in
+    VMEM scratch across the N grid dimension — the DMA of the unchanged A
+    block is also skipped by Mosaic), so activation HBM traffic equals the
+    plain bf16 GEMM's while the MXU runs at its int8 rate."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _quantize():
+        a = a_ref[:].astype(jnp.float32)
+        sa = jnp.maximum(jnp.max(jnp.abs(a), axis=1, keepdims=True),
+                         1e-6) / 127.0
+        a8_s[:] = jnp.clip(jnp.round(a / sa), -127, 127).astype(jnp.int8)
+        sa_s[:] = sa
+
+    acc = jax.lax.dot_general(
+        a8_s[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    o_ref[:] = (acc.astype(jnp.float32)
+                * sa_s[:] * sw_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_m", "block_n", "interpret"))
+def prequant_int8_matmul(a, w8, sw, bias=None, block_m: int = 512,
+                         block_n: int = 512, interpret: bool = False):
+    """a [M, K] (bf16/f32) @ pre-quantized w8 [K, N] (int8, per-column
+    scales sw). Weights quantize once at load (``quantize_weight``);
+    activations quantize inside the kernel — no extra HBM passes.
+    """
+    m, k = a.shape
+    n = w8.shape[1]
+    out_dtype = a.dtype
+
+    # VMEM budget: the A block (bf16) + its int8 scratch + pipeline double
+    # buffers all scale with K — cap bm so the kernel stays under the 16 MB
+    # scoped-vmem limit at large K (e.g. the 3072-wide down-projection)
+    bm_cap = max((1024 * 1024 // k) // 8 * 8, 64)
+    bm = min(block_m, bm_cap, max(-(-m // 8) * 8, 8))
+    bn = min(block_n, max(-(-n // 128) * 128, 128))
+    pad_m = -m % bm
+    pad_n = -n % bn
+    if pad_m:
+        a = jnp.pad(a, ((0, pad_m), (0, 0)))
+    if pad_n:
+        w8 = jnp.pad(w8, ((0, 0), (0, pad_n)))
+        sw = jnp.pad(sw, ((0, 0), (0, pad_n)))
+    mp, np_ = a.shape[0], w8.shape[1]
+
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        _prequant_kernel,
+        grid=(mp // bm, np_ // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=mem),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=mem),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=mem),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, k), jnp.int8),      # quantized A block
+            pltpu.VMEM((bm, 1), jnp.float32),   # per-row scales
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * np_,
+            bytes_accessed=mp * k * 2 + k * np_ + mp * np_ * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(a, w8, sw.astype(jnp.float32))
+    out = out[:m, :n]
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
 
 
 @functools.partial(jax.jit,
