@@ -163,6 +163,12 @@ def main():
     parser.add_argument("--skip-qps", action="store_true")
     parser.add_argument("--skip-1m", action="store_true",
                         help="skip the 1M-row streaming retrieval row")
+    parser.add_argument("--int8-rerank", action="store_true",
+                        help="run the reranker MLP on the fused int8 Pallas "
+                             "path (models/encoder_reranker.py::quantize_mlp"
+                             "). Wins ~2 ms standalone but LOSES ~5 ms/req "
+                             "inside the serve program on this relay "
+                             "(measured r2) — off by default")
     parser.add_argument("--classic", action="store_true",
                         help="use the two-readback path (host fusion between "
                              "search and rerank) instead of FusedServePath")
@@ -221,6 +227,11 @@ def main():
 
     encoder.params = jax.tree.map(_to_bf16, encoder.params)
     reranker.params = jax.tree.map(_to_bf16, reranker.params)
+
+    # fused int8 MLP rerank forward (both GEMMs at the MXU's int8 rate,
+    # intermediate activation VMEM-resident); opt-in — see --int8-rerank
+    if args.int8_rerank:
+        reranker.quantize_mlp()
 
     # native C++ BM25 for the serve path's host leg when built (identical
     # scores; tests/test_native_bm25.py)
@@ -358,6 +369,7 @@ def main():
             "candidates": n_chunks,
             "selected": n_sel,
             "queries_per_batch": 1 + len(hyde),
+            "int8_mlp_rerank": args.int8_rerank,
         },
     }
     if qps is not None:

@@ -36,6 +36,54 @@ def test_prequant_matches_dynamic():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fused_int8_mlp_matches_unfused():
+    """The single-kernel MLP == prequant GEMM -> gelu -> prequant GEMM."""
+    import jax
+
+    from veritasfi_tpu.ops.int8_matmul import (fused_int8_mlp,
+                                               prequant_int8_matmul,
+                                               quantize_weight)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(20, 64)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(64, 192)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(192,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(192, 64)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.float32)
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    fused = fused_int8_mlp(x, w1q, s1, b1, w2q, s2, b2, gelu_tanh=True,
+                           interpret=True)
+    h = prequant_int8_matmul(x, w1q, s1, bias=b1, interpret=True)
+    g = jax.nn.gelu(h, approximate=True)
+    unfused = prequant_int8_matmul(g, w2q, s2, bias=b2, interpret=True)
+    # identical GEMMs; the only delta is the extra dynamic quantization of
+    # g between the two GEMMs in the fused kernel
+    err = np.abs(np.asarray(fused) - np.asarray(unfused))
+    scale = np.abs(np.asarray(unfused)).mean()
+    assert err.mean() < 0.02 * scale + 0.02
+    assert fused.shape == (20, 64)
+
+
+def test_fused_int8_mlp_erf_gelu():
+    from veritasfi_tpu.ops.int8_matmul import fused_int8_mlp, quantize_weight
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(4, 128)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(128, 128)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(128, 128)) * 0.1, jnp.float32)
+    zeros = jnp.zeros((128,), jnp.float32)
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    out_t = fused_int8_mlp(x, w1q, s1, zeros, w2q, s2, zeros,
+                           gelu_tanh=True, interpret=True)
+    out_e = fused_int8_mlp(x, w1q, s1, zeros, w2q, s2, zeros,
+                           gelu_tanh=False, interpret=True)
+    # tanh-approx vs erf gelu differ by <=1e-3 per activation pre-GEMM2
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_e),
+                               rtol=0.05, atol=0.05)
+
+
 def test_int8_mlp_layer_close_to_xla():
     import dataclasses
 

@@ -52,11 +52,13 @@ class EncoderArch:
     #    rounding floor. "erf" matches HF exactly (default).
     attn_impl: str = "xla"        # xla | pallas
     gelu_impl: str = "erf"        # erf | tanh
-    #  * mlp_impl "int8" routes the MLP GEMMs (2/3 of forward FLOPs)
-    #    through the int8 Pallas kernel with pre-quantized weights
-    #    (ops/int8_matmul.py). The raw kernel is 1.47x the bf16 MXU rate
-    #    but currently loses embedded (fusion barriers around the custom
-    #    calls — see the module's STATUS note); kept off by default.
+    #  * mlp_impl "int8" routes each layer's WHOLE MLP (up-GEMM + gelu +
+    #    down-GEMM) through one fused int8 Pallas kernel with pre-quantized
+    #    weights (ops/int8_matmul.py::fused_int8_mlp): the MXU runs at its
+    #    int8 rate (1.47x bf16 measured) and the [*, intermediate]
+    #    activation never leaves VMEM. ~1e-2 relative score error from
+    #    double dynamic quantization; "xla" (exact) stays the default —
+    #    parity surfaces keep f32/bf16 numerics.
     mlp_impl: str = "xla"         # xla | int8
 
 
@@ -112,33 +114,27 @@ class _SelfAttention(nn.Module):
         return nn.Dense(a.hidden, dtype=self.dtype, name="out")(ctx)
 
 
-class _Int8Dense(nn.Module):
-    """Dense layer with PRE-QUANTIZED int8 weights (params: kernel_q int8
-    [K, N] + scale f32 [1, N] + bias). Only the per-row activation
-    quantization runs per forward; the GEMM hits the MXU's int8 path
-    (ops/int8_matmul.py). Convert an f32 checkpoint's MLP kernels with
-    ``quantize_mlp_params``."""
+class _Int8DenseParams(nn.Module):
+    """Param container for one pre-quantized Dense (kernel_q int8 [K, N] +
+    per-column scale f32 [1, N] + bias [N]) — the layout written by
+    ``quantize_mlp_params``. The compute itself runs in the FUSED int8 MLP
+    kernel (ops/int8_matmul.py::fused_int8_mlp), not per-GEMM: two separate
+    pallas calls per layer lose the MXU gain to fusion barriers (see the
+    STATUS note in ops/int8_matmul.py)."""
 
+    k_in: int
     features: int
-    dtype: Any
 
     @nn.compact
-    def __call__(self, x):
-        from ..ops.int8_matmul import prequant_int8_matmul
-
-        k_in = x.shape[-1]
+    def __call__(self):
         kernel_q = self.param(
             "kernel_q",
             lambda rng, shape: jnp.zeros(shape, jnp.int8),
-            (k_in, self.features))
+            (self.k_in, self.features))
         scale = self.param("scale", nn.initializers.ones,
                            (1, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        flat = x.reshape(-1, k_in).astype(self.dtype)
-        out = prequant_int8_matmul(
-            flat, kernel_q, scale.astype(jnp.float32), bias=bias,
-            interpret=jax.default_backend() != "tpu")
-        return out.reshape(*x.shape[:-1], self.features)
+        return kernel_q, scale, bias
 
 
 def quantize_mlp_params(params):
@@ -178,10 +174,18 @@ class _Layer(nn.Module):
         x = nn.LayerNorm(epsilon=a.layer_norm_eps, dtype=jnp.float32,
                          name="attention_ln")(x + attn).astype(self.dtype)
         if a.mlp_impl == "int8":
-            h = _Int8Dense(a.intermediate, self.dtype,
-                           name="intermediate")(x)
-            h = nn.gelu(h, approximate=a.gelu_impl == "tanh")
-            h = _Int8Dense(a.hidden, self.dtype, name="output")(h)
+            from ..ops.int8_matmul import fused_int8_mlp
+
+            w1q, s1, b1 = _Int8DenseParams(a.hidden, a.intermediate,
+                                           name="intermediate")()
+            w2q, s2, b2 = _Int8DenseParams(a.intermediate, a.hidden,
+                                           name="output")()
+            h = fused_int8_mlp(
+                x.reshape(-1, a.hidden).astype(self.dtype),
+                w1q, s1, b1, w2q, s2, b2,
+                gelu_tanh=a.gelu_impl == "tanh",
+                interpret=jax.default_backend() != "tpu",
+            ).reshape(x.shape)
         else:
             h = nn.Dense(a.intermediate, dtype=self.dtype,
                          name="intermediate")(x)
@@ -276,6 +280,20 @@ class TextEncoder:
     @property
     def dim(self) -> int:
         return self.arch.hidden
+
+    def quantize_mlp(self) -> "TextEncoder":
+        """Switch this encoder to the fused int8 MLP path in place:
+        pre-quantizes the MLP kernels (``quantize_mlp_params``) and rebuilds
+        the jitted forward with mlp_impl='int8'. ~1e-2 relative embedding
+        error; returns self for chaining."""
+        import dataclasses
+
+        if self.arch.mlp_impl != "int8":
+            self.arch = dataclasses.replace(self.arch, mlp_impl="int8")
+            self.module = FlaxEncoder(self.arch, dtype=self.module.dtype)
+            self.params = quantize_mlp_params(self.params)
+            self._forward = jax.jit(self.module.apply)
+        return self
 
     def encode(self, texts: List[str]) -> np.ndarray:
         if not texts:

@@ -21,9 +21,11 @@ STATUS (measured on v5e, bge-reranker-base [50,192] forward):
     (15.9 vs 14.6 ms) — the 24 pallas-call boundaries per forward break
     XLA's epilogue fusion (bias/gelu/LN materialize to HBM around each
     custom call), eating more than the MXU gain.
-Conclusion: int8 pays only as a FUSED MLP kernel (up-GEMM + gelu +
-down-GEMM in one pallas_call, activations never leaving VMEM) — the
-round-3 follow-up. mlp_impl="int8" stays off by default.
+Conclusion: int8 pays only as a FUSED MLP kernel — ``fused_int8_mlp``
+below runs quantize -> up-GEMM -> bias+gelu -> requantize -> down-GEMM ->
+bias in ONE pallas_call (12 boundaries per forward instead of 24, and the
+inter-GEMM activation never touches HBM). That is what mlp_impl="int8"
+now routes through.
 """
 
 from __future__ import annotations
@@ -129,6 +131,110 @@ def prequant_int8_matmul(a, w8, sw, bias=None, block_m: int = 512,
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                o_ref, *, gelu_tanh: bool):
+    """One transformer MLP block at the MXU's int8 rate, VMEM-resident:
+    the [bm, I] intermediate (the largest activation in the whole forward)
+    never reaches HBM, and bias/gelu/requantize fuse into the same program
+    instead of materializing around two separate custom calls."""
+    a = x_ref[:].astype(jnp.float32)
+    sa = jnp.maximum(jnp.max(jnp.abs(a), axis=1, keepdims=True),
+                     1e-6) / 127.0
+    a8 = jnp.clip(jnp.round(a / sa), -127, 127).astype(jnp.int8)
+    acc1 = jax.lax.dot_general(
+        a8, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    h = acc1.astype(jnp.float32) * sa * s1_ref[:] + b1_ref[:]
+    if gelu_tanh:
+        g = 0.5 * h * (1.0 + jnp.tanh(
+            0.7978845608028654 * (h + 0.044715 * h * h * h)))
+    else:
+        g = 0.5 * h * (1.0 + jax.lax.erf(h * 0.7071067811865476))
+    sg = jnp.maximum(jnp.max(jnp.abs(g), axis=1, keepdims=True),
+                     1e-6) / 127.0
+    g8 = jnp.clip(jnp.round(g / sg), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(
+        g8, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    o_ref[:] = (acc2.astype(jnp.float32) * sg * s2_ref[:]
+                + b2_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("gelu_tanh", "interpret"))
+def fused_int8_mlp(x, w1q, s1, b1, w2q, s2, b2, gelu_tanh: bool = True,
+                   interpret: bool = False):
+    """Transformer MLP (x @ W1 + b1 -> gelu -> @ W2 + b2) with both GEMMs
+    on the int8 MXU path and everything between them fused in VMEM.
+
+    x [M, K]; w1q [K, I] int8 with per-column scales s1 [1, I]; w2q [I, N]
+    int8 with scales s2 [1, N]; biases b1 [I], b2 [N]. Weights come from
+    ``quantize_weight`` (see ``models.encoder.quantize_mlp_params``).
+    Activations quantize dynamically per row inside the kernel.
+    """
+    m, k = x.shape
+    i_dim = w1q.shape[1]
+    n = w2q.shape[1]
+    out_dtype = x.dtype
+
+    # pad contraction/feature dims to MXU tiles; zero pads are exact
+    # no-ops through quantize/dot/gelu(0)=0 (pad scales are 1, biases 0)
+    pad_k = -k % 128
+    pad_i = -i_dim % 128
+    pad_n = -n % 128
+    if pad_k:
+        x = jnp.pad(x, ((0, 0), (0, pad_k)))
+        w1q = jnp.pad(w1q, ((0, pad_k), (0, 0)))
+    if pad_i:
+        w1q = jnp.pad(w1q, ((0, 0), (0, pad_i)))
+        s1 = jnp.pad(s1, ((0, 0), (0, pad_i)), constant_values=1.0)
+        b1 = jnp.pad(b1, (0, pad_i))
+        w2q = jnp.pad(w2q, ((0, pad_i), (0, 0)))
+    if pad_n:
+        w2q = jnp.pad(w2q, ((0, 0), (0, pad_n)))
+        s2 = jnp.pad(s2, ((0, 0), (0, pad_n)), constant_values=1.0)
+        b2 = jnp.pad(b2, (0, pad_n))
+    kp, ip, np_ = x.shape[1], w1q.shape[1], w2q.shape[1]
+
+    # block_m from a VMEM budget: weights are grid-invariant (loaded once);
+    # per-row cost ~ x (bf16, double-buffered) + f32 intermediate + int32
+    # accumulator + int8 copies + out (double-buffered)
+    weight_bytes = kp * ip + ip * np_
+    per_row = kp * 4 + ip * 10 + np_ * 4
+    bm_cap = max((12 * 1024 * 1024 - weight_bytes) // per_row, 8)
+    bm = min(512, bm_cap // 8 * 8, max(-(-m // 8) * 8, 8))
+    pad_m = -m % bm
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    mp = x.shape[0]
+
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, gelu_tanh=gelu_tanh),
+        grid=(mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, kp), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((kp, ip), lambda i: (0, 0), memory_space=mem),
+            pl.BlockSpec((1, ip), lambda i: (0, 0), memory_space=mem),
+            pl.BlockSpec((1, ip), lambda i: (0, 0), memory_space=mem),
+            pl.BlockSpec((ip, np_), lambda i: (0, 0), memory_space=mem),
+            pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=mem),
+            pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((bm, np_), lambda i: (i, 0),
+                               memory_space=mem),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * kp * ip + 2 * mp * ip * np_,
+            bytes_accessed=mp * kp * 2 + weight_bytes + mp * np_ * 2,
+            transcendentals=mp * ip),
+        interpret=interpret,
+    )(x, w1q, s1.astype(jnp.float32),
+      b1.reshape(1, -1).astype(jnp.float32),
+      w2q, s2.astype(jnp.float32),
+      b2.reshape(1, -1).astype(jnp.float32))
+    return out[:m, :n]
 
 
 @functools.partial(jax.jit,

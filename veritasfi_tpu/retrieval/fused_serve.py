@@ -385,12 +385,65 @@ class FusedServePath:
 
         self._jit = jax.jit(
             self._body,
-            static_argnames=("num_q", "with_encoder", "seq"))
+            static_argnames=("num_q", "enc_len", "with_encoder", "seq"))
+        # split variant: search+fuse+assemble and rerank+select as two
+        # CHAINED device programs (no host sync between them). Used when
+        # the reranker runs the fused int8 Pallas MLP: embedded in the
+        # mega-program the custom calls defeat XLA's whole-program
+        # scheduling (+5 ms/request measured); in their own program they
+        # beat bf16 by ~2 ms. Dispatch is async, so the extra program
+        # costs no transport round-trip — still ONE readback per request.
+        self._jit_search = jax.jit(
+            self._body_search,
+            static_argnames=("num_q", "enc_len", "with_encoder", "seq"))
+        self._jit_rerank = jax.jit(self._body_rerank)
+        # each host->device transfer costs ~0.3-0.5 ms of enqueue overhead
+        # on the relay (measured) — so every per-request input rides in TWO
+        # packed arrays (one int32, one float32) instead of eight
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._bm25_pool = ThreadPoolExecutor(max_workers=1)
 
     # -- the fused program --------------------------------------------------
-    def _body(self, enc_params, enc_ids, enc_mask, q_emb_in, rr_params,
-              prefix, prefix_len, budget, bm25_rows, bm25_scores, qtime_days,
-              *, num_q, with_encoder, seq):
+    def _unpack(self, pack_i, pack_f, *, num_q, enc_len, seq, with_encoder):
+        """Static-offset unpacking of the two packed input transfers.
+
+        int32 layout: [enc ids (num_q*enc_len)] [enc mask (num_q*enc_len)]
+                      [prefix (seq)] [bm25 rows (kb)] [prefix_len] [budget]
+        f32 layout:   [bm25 scores (kb)] [qdays] [q_emb (num_q*dim), no-enc]
+        """
+        kb = max(self.bm25_k, 1)
+        off = 0
+        enc_ids = enc_mask = q_emb = None
+        if with_encoder:
+            enc_ids = pack_i[off: off + num_q * enc_len].reshape(
+                num_q, enc_len)
+            off += num_q * enc_len
+            enc_mask = pack_i[off: off + num_q * enc_len].reshape(
+                num_q, enc_len)
+            off += num_q * enc_len
+        prefix = pack_i[off: off + seq]
+        off += seq
+        bm25_rows = pack_i[off: off + kb]
+        off += kb
+        prefix_len = pack_i[off]
+        budget = pack_i[off + 1]
+        bm25_scores = pack_f[:kb]
+        qtime_days = pack_f[kb]
+        if not with_encoder:
+            dim = self._emb.shape[1]
+            q_emb = pack_f[kb + 1: kb + 1 + num_q * dim].reshape(num_q, dim)
+        return (enc_ids, enc_mask, q_emb, prefix, prefix_len, budget,
+                bm25_rows, bm25_scores, qtime_days)
+
+    def _body_search(self, pack_i, pack_f, enc_params,
+                     *, num_q, enc_len, with_encoder, seq):
+        """Stage 1: encoder forward -> tripartite search -> device fusion
+        loop -> rerank pair assembly -> time scores."""
+        (enc_ids, enc_mask, q_emb_in, prefix, prefix_len, budget, bm25_rows,
+         bm25_scores, qtime_days) = self._unpack(
+            pack_i, pack_f, num_q=num_q, enc_len=enc_len, seq=seq,
+            with_encoder=with_encoder)
         if with_encoder:
             q_emb = self.encoder.module.apply(enc_params, enc_ids, enc_mask)
             q_emb = q_emb.astype(_F32)
@@ -415,24 +468,41 @@ class FusedServePath:
             steps=steps, expand=self.enable_expand, trigger=self.trigger,
             accept=self.accept, emc=self.emc, cap=self.rerank_cap)
 
-        valid = out_row >= 0
         ids, mask = _assemble_pairs(
-            out_row, prefix[:seq], prefix_len, self._suffix,
+            out_row, prefix, prefix_len, self._suffix,
             self._passage_toks, self._passage_len, budget, seq=seq,
             pad_id=self.reranker.arch.pad_id)
-        logits = self._score_fn(rr_params, ids, mask).astype(_F32)
+        safe = jnp.maximum(out_row, 0)
+        tscores = jnp.maximum(
+            0.0, 1.0 - jnp.abs(qtime_days - self._date_days[safe]) / 365.0)
+        return (out_row, out_group, out_score, out_path, n_out,
+                ids, mask, tscores)
 
+    def _body_rerank(self, rr_params, ids, mask, out_row, out_group,
+                     tscores):
+        """Stage 2: cross-encoder forward -> similarity -> greedy
+        bundle-capped selection."""
+        logits = self._score_fn(rr_params, ids, mask).astype(_F32)
+        valid = out_row >= 0
         safe = jnp.maximum(out_row, 0)
         emb_c = self._emb[safe].astype(_F32)
         sim = jnp.matmul(emb_c, emb_c.T,
                          precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=_F32)
-        tscores = jnp.maximum(
-            0.0, 1.0 - jnp.abs(qtime_days - self._date_days[safe]) / 365.0)
         combined = logits + tscores
         sel, sel_cnt = _rank_chunk_device(
             combined, out_group, valid, sim,
             chunk_topk=self.chunk_topk, sim_threshold=self.sim_threshold)
+        return logits, sel, sel_cnt
+
+    def _body(self, pack_i, pack_f, enc_params, rr_params,
+              *, num_q, enc_len, with_encoder, seq):
+        (out_row, out_group, out_score, out_path, n_out, ids, mask,
+         tscores) = self._body_search(
+            pack_i, pack_f, enc_params,
+            num_q=num_q, enc_len=enc_len, with_encoder=with_encoder, seq=seq)
+        logits, sel, sel_cnt = self._body_rerank(
+            rr_params, ids, mask, out_row, out_group, tscores)
         return (out_row, out_group, out_score, out_path, n_out,
                 logits, tscores, sel, sel_cnt)
 
@@ -448,11 +518,11 @@ class FusedServePath:
         ids = np.pad(batch["input_ids"], ((0, 0), (0, pad)),
                      constant_values=enc.arch.pad_id)
         mask = np.pad(batch["attention_mask"], ((0, 0), (0, pad)))
-        return jnp.asarray(ids), jnp.asarray(mask)
+        return ids.astype(np.int32), mask.astype(np.int32)
 
-    def _query_prefix(self, query: str):
-        """(padded prefix tokens, prefix_len, passage budget) — the
-        family-specific pair layout around the gathered passage tokens."""
+    def _query_prefix(self, query: str) -> Tuple[List[int], int]:
+        """(prefix token list, passage budget) — the family-specific pair
+        layout around the gathered passage tokens."""
         rr = self.reranker
         pml = rr.passage_max_length
         if self._decoder:
@@ -472,9 +542,7 @@ class FusedServePath:
                          for t in basic_tokens(query)][: rr.query_max_length]
             prefix = [self._cls] + list(q_ids) + [self._sep]
             budget = pml - len(q_ids) - 3
-        out = np.full((self._seq,), rr.arch.pad_id, np.int32)
-        out[: len(prefix)] = prefix
-        return jnp.asarray(out), np.int32(len(prefix)), np.int32(budget)
+        return prefix, budget
 
     def _bm25_inputs(self, query: str):
         kb = self.bm25_k
@@ -485,7 +553,7 @@ class FusedServePath:
             m = min(kb, len(ids))
             rows[:m] = np.asarray(ids[:m], np.int32)
             scores[:m] = np.asarray(sc[:m], np.float32)
-        return jnp.asarray(rows), jnp.asarray(scores)
+        return rows, scores
 
     def enqueue(self, query: str, hyde_chunks: Sequence[str],
                 query_time) -> Tuple:
@@ -496,34 +564,83 @@ class FusedServePath:
 
         inputs = [query] + list(hyde_chunks)
         with profiler.span("serve_host_prep"):
-            prefix, prefix_len, budget = self._query_prefix(query)
-            bm25_rows, bm25_scores = self._bm25_inputs(query)
+            # host BM25 overlaps tokenization: the native scorer is a
+            # ctypes call (GIL released), the pure-python fallback at least
+            # interleaves with the numpy packing work
+            bm25_fut = (self._bm25_pool.submit(self._bm25_inputs, query)
+                        if self.bm25_k > 0 else None)
+            prefix, budget = self._query_prefix(query)
             # static seq bucket from this query's prefix length and the
             # corpus-wide max passage length (the classic path buckets the
             # same way per batch, EncoderReranker.score_tokens)
-            row_max = (int(prefix_len) + min(self._plen_max, max(int(budget), 0))
+            row_max = (len(prefix) + min(self._plen_max, max(budget, 0))
                        + len(self._suffix_host))
             seq = min(self._seq, max(-(-row_max // 64) * 64, 64))
-            # jnp scalars: raw np scalars push pjit off its C++ fast path
-            # (~1 ms of python dispatch per call)
-            qdays = jnp.asarray(np.float32(_to_days(query_time)))
-            prefix_len = jnp.asarray(prefix_len)
-            budget = jnp.asarray(budget)
-            if self.encoder is not None:
+            num_q = len(inputs)
+            with_encoder = self.encoder is not None
+            if with_encoder:
                 ids, mask = self._encoder_tokens(inputs)
-                out = self._jit(self.encoder.params, ids, mask, None,
-                                self.reranker.params, prefix, prefix_len,
-                                budget, bm25_rows, bm25_scores, qdays,
-                                num_q=len(inputs), with_encoder=True,
-                                seq=seq)
+                enc_len = ids.shape[1]
+                q_emb = None
             else:
                 q_emb = normalize_rows(
                     np.asarray(self.embed_fn(inputs), np.float32))
-                out = self._jit(None, None, None, jnp.asarray(q_emb),
-                                self.reranker.params, prefix, prefix_len,
-                                budget, bm25_rows, bm25_scores, qdays,
-                                num_q=len(inputs), with_encoder=False,
-                                seq=seq)
+                ids = mask = None
+                enc_len = 0
+            if bm25_fut is not None:
+                bm25_rows, bm25_scores = bm25_fut.result()
+            else:
+                bm25_rows, bm25_scores = self._bm25_inputs(query)
+
+            # every per-request input rides in TWO transfers (~0.3-0.5 ms
+            # of enqueue overhead per transfer on the relay, measured)
+            kb = max(self.bm25_k, 1)
+            pack_i = np.empty(
+                (2 * num_q * enc_len + seq + kb + 2,), np.int32)
+            off = 0
+            if with_encoder:
+                pack_i[off: off + num_q * enc_len] = ids.ravel()
+                off += num_q * enc_len
+                pack_i[off: off + num_q * enc_len] = mask.ravel()
+                off += num_q * enc_len
+            pack_i[off: off + seq] = self.reranker.arch.pad_id
+            pack_i[off: off + min(len(prefix), seq)] = prefix[:seq]
+            off += seq
+            pack_i[off: off + kb] = bm25_rows
+            off += kb
+            pack_i[off] = len(prefix)
+            pack_i[off + 1] = budget
+            nf = kb + 1 + (0 if with_encoder else num_q * self._emb.shape[1])
+            pack_f = np.empty((nf,), np.float32)
+            pack_f[:kb] = bm25_scores
+            pack_f[kb] = np.float32(_to_days(query_time))
+            if not with_encoder:
+                pack_f[kb + 1:] = q_emb.ravel()
+            pack_i = jnp.asarray(pack_i)
+            pack_f = jnp.asarray(pack_f)
+
+            # Pallas custom calls (the int8 fused-MLP rerank) defeat XLA's
+            # whole-program scheduling inside the mega-program: run the
+            # rerank leg as a second CHAINED dispatch instead (async, no
+            # extra readback — measured +5 ms embedded vs -2 ms split).
+            split = getattr(self.reranker.arch, "mlp_impl", "xla") == "int8"
+            if split:
+                (out_row, out_group, out_score, out_path, n_out, rr_ids,
+                 rr_mask, tscores) = self._jit_search(
+                    pack_i, pack_f, self.encoder.params if with_encoder
+                    else None, num_q=num_q, enc_len=enc_len,
+                    with_encoder=with_encoder, seq=seq)
+                logits, sel, sel_cnt = self._jit_rerank(
+                    self.reranker.params, rr_ids, rr_mask, out_row,
+                    out_group, tscores)
+                out = (out_row, out_group, out_score, out_path, n_out,
+                       logits, tscores, sel, sel_cnt)
+            else:
+                out = self._jit(
+                    pack_i, pack_f,
+                    self.encoder.params if with_encoder else None,
+                    self.reranker.params, num_q=num_q, enc_len=enc_len,
+                    with_encoder=with_encoder, seq=seq)
         return out
 
     def finish(self, out) -> Tuple[List[Dict], List[int], Dict]:
