@@ -284,3 +284,38 @@ def test_retrieval_batcher_concurrent_matches_serial():
             assert s1 == s2
     finally:
         batcher.close()
+
+
+def test_serve_wave_batched_matches_serial():
+    """Cross-request batched rerank (ONE [B*cap, seq] forward + vmapped
+    selection) must reproduce per-request serve exactly, including the
+    power-of-two padding path (B=5 -> padded to 8)."""
+    rng = np.random.default_rng(77)
+    n = 120
+    index = synth_corpus(n, rng)
+    import jax.numpy as jnp
+
+    encoder = TextEncoder(preset="tiny-test", dtype=jnp.float32,
+                          max_length=64)
+    d = encoder.encode(["probe"]).shape[1]
+    index.embeddings = normalize_rows(
+        rng.normal(size=(n, d)).astype(np.float32))
+    index.ts_embeddings = normalize_rows(rng.normal(
+        size=(index.ts_embeddings.shape[0], d)).astype(np.float32))
+    bm25 = BM25Index.build(index.texts, index.doc_ids)
+    reranker = EncoderReranker(preset="tiny-test", passage_max_length=64)
+    fused = FusedServePath(index, reranker, encoder=encoder, bm25=bm25, k=5,
+                           enable_expand=True, depth=50,
+                           expand_trigger=0.05, expand_accept=0.02,
+                           rerank_cap=16)
+    requests = [(f"revenue tok{i} margin europe", [f"cash tok{i+2} store"],
+                 QUERY_TIME) for i in range(5)]
+    serial = [fused.serve(q, h, t) for q, h, t in requests]
+    wave = fused.serve_wave(requests)                  # batched rerank
+    legacy = fused.serve_wave(requests, batch_rerank=False)
+    for (c1, s1, d1), (c2, s2, d2), (c3, s3, _) in zip(serial, wave, legacy):
+        assert [c["_row"] for c in c1] == [c["_row"] for c in c2]
+        assert [c["_row"] for c in c1] == [c["_row"] for c in c3]
+        assert s1 == s2 == s3
+        np.testing.assert_allclose(d1["logits"], d2["logits"],
+                                   rtol=1e-5, atol=1e-6)

@@ -103,3 +103,44 @@ def test_slot_reuse_after_finish(decoder):
         assert got == solo
     finally:
         server.close()
+
+
+def test_chunked_prefill_matches_solo(decoder):
+    """prefill_chunk smaller than the prompt: the host-chunked prefill
+    (one compiled [1, C] program replayed) must reproduce greedy solo
+    generation exactly."""
+    rr = decoder
+    rows = prompts(rr, 2)
+    assert all(len(r) > 4 for r in rows)
+    solo = [solo_generate(rr, r) for r in rows]
+    server = GenerationServer(rr.module, rr.params, slots=2, window=128,
+                              chunk=4, max_prompt_len=64, prefill_chunk=4,
+                              cache_dtype=jnp.float32)
+    try:
+        got = [server.generate(r, 12, -1) for r in rows]
+        assert got == solo, (got, solo)
+    finally:
+        server.close()
+
+
+def test_per_slot_sampling_params(decoder):
+    """A greedy (temperature=0) request must be unaffected by a sampling
+    (temperature>0) request decoding in the neighbouring slot, and the
+    sampling request must actually diverge from greedy."""
+    rr = decoder
+    rows = prompts(rr, 2)
+    solo = [solo_generate(rr, r, max_new=16) for r in rows]
+    server = GenerationServer(rr.module, rr.params, slots=2, window=128,
+                              chunk=4, max_prompt_len=64,
+                              cache_dtype=jnp.float32, seed=5)
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            f_greedy = ex.submit(server.generate, rows[0], 16, -1)
+            f_sample = ex.submit(server.generate, rows[1], 16, -1, 1.5, 1.0)
+            greedy = f_greedy.result(120)
+            sampled = f_sample.result(120)
+        assert greedy == solo[0], (greedy, solo[0])
+        assert sampled != solo[1]  # ~zero chance of 16 greedy matches at T=1.5
+        assert len(sampled) > 0
+    finally:
+        server.close()

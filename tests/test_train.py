@@ -116,3 +116,34 @@ def test_mesh_sharded_training_step():
     assert all(np.isfinite(l) for l in losses)
     # warmup step 0 has lr=0, so compare after the schedule kicks in
     assert losses[-1] < losses[0]
+
+
+def test_cli_train_reranker(tmp_path):
+    """End-to-end CLI training run: JSONL data -> LoRA steps -> checkpoint."""
+    import json as _json
+
+    from veritasfi_tpu.cli import main
+
+    data = tmp_path / "train.jsonl"
+    rows = [{"query": f"metric {i} question",
+             "pos": [f"passage answering metric {i}"],
+             "neg": [f"unrelated text {j}" for j in range(3)]}
+            for i in range(4)]
+    data.write_text("\n".join(_json.dumps(r) for r in rows))
+    out = tmp_path / "ckpt"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["train-reranker", "--data", str(data),
+                   "--out-dir", str(out), "--steps", "2",
+                   "--groups-per-batch", "1", "--group-size", "4",
+                   "--preset", "tiny-test", "--lr", "1e-3"])
+    assert rc == 0
+    res = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["steps"] == 2
+    assert res["final_loss"] is not None
+    import os
+
+    assert os.path.isdir(res["checkpoint"])

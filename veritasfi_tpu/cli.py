@@ -23,6 +23,69 @@ import logging
 import sys
 
 
+def _train_reranker(args) -> int:
+    """CLI front of train.reranker_lora (reference: torchrun +
+    FlagEmbedding run.py via train_bge_rr.sh:7-39)."""
+    import dataclasses
+
+    from .models.reranker import DECODER_PRESETS
+    from .train.reranker_lora import (LoRATrainConfig, RerankerTrainer,
+                                      anonymize_company)
+
+    groups = []
+    with open(args.data) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            passages = ([row["pos"][0]] +
+                        list(row.get("neg", []))[: args.group_size - 1])
+            if len(passages) < args.group_size:
+                continue                       # need a full group
+            query = row["query"]
+            if args.anonymize:
+                query = anonymize_company(query, args.anonymize)
+                passages = [anonymize_company(p, args.anonymize)
+                            for p in passages]
+            groups.append((query, passages))
+    if not groups:
+        print(json.dumps({"error": "no complete groups in data"}))
+        return 1
+
+    cfg = LoRATrainConfig(learning_rate=args.lr, group_size=args.group_size,
+                          total_steps=args.steps)
+    mesh = None
+    if args.mesh:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        dp, tp = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = Mesh(np.asarray(jax.devices()[: dp * tp]).reshape(dp, tp),
+                    ("data", "model"))
+    trainer = RerankerTrainer(arch=DECODER_PRESETS[args.preset], config=cfg,
+                              mesh=mesh)
+    if args.resume:
+        trainer.restore_checkpoint(args.resume)
+
+    def batches():
+        i = 0
+        for _ in range(args.steps):
+            batch = [groups[(i + j) % len(groups)]
+                     for j in range(args.groups_per_batch)]
+            i += args.groups_per_batch
+            yield batch
+
+    losses = trainer.fit(batches(), checkpoint_dir=args.out_dir)
+    path = trainer.save_checkpoint(args.out_dir)
+    print(json.dumps({"steps": trainer.step_count,
+                      "final_loss": losses[-1] if losses else None,
+                      "first_loss": losses[0] if losses else None,
+                      "checkpoint": path}))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="veritasfi_tpu")
     parser.add_argument("--config", default=None)
@@ -68,8 +131,32 @@ def main(argv=None) -> int:
                        help="directory for grouped-bar PNGs "
                             "(avg_hit_rate / avg_chunk)")
 
+    p_tr = sub.add_parser(
+        "train-reranker",
+        help="LoRA fine-tune the cross-encoder reranker (the reference's "
+             "train_bge_rr.sh surface; FlagEmbedding JSONL data format)")
+    p_tr.add_argument("--data", required=True,
+                      help="JSONL of {query, pos: [str], neg: [str]}")
+    p_tr.add_argument("--out-dir", required=True)
+    p_tr.add_argument("--steps", type=int, default=100)
+    p_tr.add_argument("--groups-per-batch", type=int, default=2)
+    p_tr.add_argument("--group-size", type=int, default=8,
+                      help="1 positive + N-1 negatives (train_bge_rr.sh:20)")
+    p_tr.add_argument("--preset", default="gemma-2b")
+    p_tr.add_argument("--lr", type=float, default=1e-4)
+    p_tr.add_argument("--anonymize", default=None, metavar="COMPANY",
+                      help="two-stage recipe stage 1: strip the company "
+                           "name from all texts (README.md:24-27)")
+    p_tr.add_argument("--resume", default=None,
+                      help="orbax checkpoint path to continue from")
+    p_tr.add_argument("--mesh", default=None, metavar="DATAxMODEL",
+                      help="e.g. 4x2 = dp4 tp2 over the available devices")
+
     args = parser.parse_args(argv)
     logging.basicConfig(level=args.log_level)
+
+    if args.cmd == "train-reranker":
+        return _train_reranker(args)
 
     from .config import load_config
 

@@ -65,6 +65,25 @@ def _sample(logits: jax.Array, key, temperature: float,
     return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
 
 
+def _sample_rows(logits: jax.Array, key, temperature: jax.Array,
+                 top_p: jax.Array) -> jax.Array:
+    """Per-ROW temperature/top-p sampling ([B, V] logits, [B] params);
+    rows with temperature <= 0 decode greedily. The vector form of
+    ``_sample`` for continuous batching, where every slot carries its own
+    request's sampling params (vLLM SamplingParams equivalent)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    scaled = logits / t
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_p[:, None], axis=-1)
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+    masked = jnp.where(scaled >= cutoff, scaled, -jnp.inf)
+    sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
 class Generator:
     """Compiled prefill + scan decode on a FlaxDecoderLM."""
 

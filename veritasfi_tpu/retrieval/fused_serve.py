@@ -397,6 +397,7 @@ class FusedServePath:
             self._body_search,
             static_argnames=("num_q", "enc_len", "with_encoder", "seq"))
         self._jit_rerank = jax.jit(self._body_rerank)
+        self._jit_rerank_batched = jax.jit(self._body_rerank_batched)
         # each host->device transfer costs ~0.3-0.5 ms of enqueue overhead
         # on the relay (measured) — so every per-request input rides in TWO
         # packed arrays (one int32, one float32) instead of eight
@@ -495,6 +496,37 @@ class FusedServePath:
             chunk_topk=self.chunk_topk, sim_threshold=self.sim_threshold)
         return logits, sel, sel_cnt
 
+    def _body_rerank_batched(self, rr_params, ids_t, mask_t, row_t,
+                             group_t, ts_t):
+        """Cross-request rerank: B requests' candidate sets scored in ONE
+        [B*cap, seq] cross-encoder forward (bigger GEMMs, one program's
+        overhead instead of B), then vmapped greedy selection. The wave
+        analogue of the reference's global-lock serialization
+        (vllmChatService.py:88-90), one step further than per-request
+        programs."""
+        ids = jnp.stack(ids_t)                 # [B, cap, seq]
+        mask = jnp.stack(mask_t)
+        out_row = jnp.stack(row_t)             # [B, cap]
+        out_group = jnp.stack(group_t)
+        tscores = jnp.stack(ts_t)
+        b, cap, seq = ids.shape
+        logits = self._score_fn(
+            rr_params, ids.reshape(b * cap, seq),
+            mask.reshape(b * cap, seq)).astype(_F32).reshape(b, cap)
+        valid = out_row >= 0
+        safe = jnp.maximum(out_row, 0)
+        emb_c = self._emb[safe].astype(_F32)   # [B, cap, dim]
+        sim = jnp.matmul(emb_c, jnp.swapaxes(emb_c, 1, 2),
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=_F32)
+        combined = logits + tscores
+        sel, sel_cnt = jax.vmap(
+            lambda c, g, v, s: _rank_chunk_device(
+                c, g, v, s, chunk_topk=self.chunk_topk,
+                sim_threshold=self.sim_threshold))(
+            combined, out_group, valid, sim)
+        return logits, sel, sel_cnt
+
     def _body(self, pack_i, pack_f, enc_params, rr_params,
               *, num_q, enc_len, with_encoder, seq):
         (out_row, out_group, out_score, out_path, n_out, ids, mask,
@@ -564,61 +596,9 @@ class FusedServePath:
 
         inputs = [query] + list(hyde_chunks)
         with profiler.span("serve_host_prep"):
-            # host BM25 overlaps tokenization: the native scorer is a
-            # ctypes call (GIL released), the pure-python fallback at least
-            # interleaves with the numpy packing work
-            bm25_fut = (self._bm25_pool.submit(self._bm25_inputs, query)
-                        if self.bm25_k > 0 else None)
-            prefix, budget = self._query_prefix(query)
-            # static seq bucket from this query's prefix length and the
-            # corpus-wide max passage length (the classic path buckets the
-            # same way per batch, EncoderReranker.score_tokens)
-            row_max = (len(prefix) + min(self._plen_max, max(budget, 0))
-                       + len(self._suffix_host))
-            seq = min(self._seq, max(-(-row_max // 64) * 64, 64))
-            num_q = len(inputs)
+            pack_i, pack_f, num_q, enc_len, seq = self._prep(
+                inputs, query, query_time)
             with_encoder = self.encoder is not None
-            if with_encoder:
-                ids, mask = self._encoder_tokens(inputs)
-                enc_len = ids.shape[1]
-                q_emb = None
-            else:
-                q_emb = normalize_rows(
-                    np.asarray(self.embed_fn(inputs), np.float32))
-                ids = mask = None
-                enc_len = 0
-            if bm25_fut is not None:
-                bm25_rows, bm25_scores = bm25_fut.result()
-            else:
-                bm25_rows, bm25_scores = self._bm25_inputs(query)
-
-            # every per-request input rides in TWO transfers (~0.3-0.5 ms
-            # of enqueue overhead per transfer on the relay, measured)
-            kb = max(self.bm25_k, 1)
-            pack_i = np.empty(
-                (2 * num_q * enc_len + seq + kb + 2,), np.int32)
-            off = 0
-            if with_encoder:
-                pack_i[off: off + num_q * enc_len] = ids.ravel()
-                off += num_q * enc_len
-                pack_i[off: off + num_q * enc_len] = mask.ravel()
-                off += num_q * enc_len
-            pack_i[off: off + seq] = self.reranker.arch.pad_id
-            pack_i[off: off + min(len(prefix), seq)] = prefix[:seq]
-            off += seq
-            pack_i[off: off + kb] = bm25_rows
-            off += kb
-            pack_i[off] = len(prefix)
-            pack_i[off + 1] = budget
-            nf = kb + 1 + (0 if with_encoder else num_q * self._emb.shape[1])
-            pack_f = np.empty((nf,), np.float32)
-            pack_f[:kb] = bm25_scores
-            pack_f[kb] = np.float32(_to_days(query_time))
-            if not with_encoder:
-                pack_f[kb + 1:] = q_emb.ravel()
-            pack_i = jnp.asarray(pack_i)
-            pack_f = jnp.asarray(pack_f)
-
             # Pallas custom calls (the int8 fused-MLP rerank) defeat XLA's
             # whole-program scheduling inside the mega-program: run the
             # rerank leg as a second CHAINED dispatch instead (async, no
@@ -643,6 +623,67 @@ class FusedServePath:
                     with_encoder=with_encoder, seq=seq)
         return out
 
+    def _prep(self, inputs: List[str], query: str, query_time):
+        """Host prep: tokenization + BM25 + the two packed input transfers."""
+        from ..rerank.fusion import _to_days
+
+        # host BM25 overlaps tokenization: the native scorer is a
+        # ctypes call (GIL released), the pure-python fallback at least
+        # interleaves with the numpy packing work
+        bm25_fut = (self._bm25_pool.submit(self._bm25_inputs, query)
+                    if self.bm25_k > 0 else None)
+        prefix, budget = self._query_prefix(query)
+        # static seq bucket from this query's prefix length and the
+        # corpus-wide max passage length (the classic path buckets the
+        # same way per batch, EncoderReranker.score_tokens)
+        row_max = (len(prefix) + min(self._plen_max, max(budget, 0))
+                   + len(self._suffix_host))
+        seq = min(self._seq, max(-(-row_max // 64) * 64, 64))
+        num_q = len(inputs)
+        with_encoder = self.encoder is not None
+        if with_encoder:
+            ids, mask = self._encoder_tokens(inputs)
+            enc_len = ids.shape[1]
+            q_emb = None
+        else:
+            q_emb = normalize_rows(
+                np.asarray(self.embed_fn(inputs), np.float32))
+            ids = mask = None
+            enc_len = 0
+        if bm25_fut is not None:
+            bm25_rows, bm25_scores = bm25_fut.result()
+        else:
+            bm25_rows, bm25_scores = self._bm25_inputs(query)
+
+        # every per-request input rides in TWO transfers (~0.3-0.5 ms
+        # of enqueue overhead per transfer on the relay, measured)
+        kb = max(self.bm25_k, 1)
+        pack_i = np.empty(
+            (2 * num_q * enc_len + seq + kb + 2,), np.int32)
+        off = 0
+        if with_encoder:
+            pack_i[off: off + num_q * enc_len] = ids.ravel()
+            off += num_q * enc_len
+            pack_i[off: off + num_q * enc_len] = mask.ravel()
+            off += num_q * enc_len
+        pack_i[off: off + seq] = self.reranker.arch.pad_id
+        pack_i[off: off + min(len(prefix), seq)] = prefix[:seq]
+        off += seq
+        pack_i[off: off + kb] = bm25_rows
+        off += kb
+        pack_i[off] = len(prefix)
+        pack_i[off + 1] = budget
+        nf = kb + 1 + (0 if with_encoder else num_q * self._emb.shape[1])
+        pack_f = np.empty((nf,), np.float32)
+        pack_f[:kb] = bm25_scores
+        pack_f[kb] = np.float32(_to_days(query_time))
+        if not with_encoder:
+            pack_f[kb + 1:] = q_emb.ravel()
+        pack_i = jnp.asarray(pack_i)
+        pack_f = jnp.asarray(pack_f)
+
+        return pack_i, pack_f, num_q, enc_len, seq
+
     def finish(self, out) -> Tuple[List[Dict], List[int], Dict]:
         """ONE host readback, then build reference-schema outputs."""
         with profiler.span("serve_readback"):
@@ -658,13 +699,76 @@ class FusedServePath:
         bundle ids reversed (rank_chunk contract), diagnostics)."""
         return self.finish(self.enqueue(query, hyde_chunks, query_time))
 
-    def serve_wave(self, requests: Sequence[Tuple[str, Sequence[str], object]]
+    def enqueue_search(self, query: str, hyde_chunks: Sequence[str],
+                       query_time) -> Tuple[Tuple, int]:
+        """Host prep + async dispatch of the SEARCH leg only (encoder ->
+        tripartite search -> fusion -> pair assembly). Returns
+        (device outputs, seq bucket); complete a wave of these with
+        ``finish_wave`` — the rerank forwards of the whole wave run as ONE
+        batched device program."""
+        inputs = [query] + list(hyde_chunks)
+        with profiler.span("serve_host_prep"):
+            pack_i, pack_f, num_q, enc_len, seq = self._prep(
+                inputs, query, query_time)
+            with_encoder = self.encoder is not None
+            out = self._jit_search(
+                pack_i, pack_f, self.encoder.params if with_encoder
+                else None, num_q=num_q, enc_len=enc_len,
+                with_encoder=with_encoder, seq=seq)
+        return out, seq
+
+    def finish_wave(self, entries: Sequence[Tuple[Tuple, int]]
+                    ) -> List[Tuple[List[Dict], List[int], Dict]]:
+        """Complete a wave of ``enqueue_search`` entries: group by seq
+        bucket, run each group's cross-encoder forwards as ONE batched
+        program (padded to the next power of two to bound compile
+        variants — pad slots alias request 0's arrays, no copies), then a
+        single device_get over the small outputs (the [cap, seq] token
+        matrices never leave the device — readback bandwidth is ~50 MB/s
+        on this relay)."""
+        groups: Dict[int, List[int]] = {}
+        for i, (_, seq) in enumerate(entries):
+            groups.setdefault(seq, []).append(i)
+        batched = {}
+        for seq, idxs in groups.items():
+            b = 1
+            while b < len(idxs):
+                b *= 2
+            padded = idxs + [idxs[0]] * (b - len(idxs))
+            ids_t = tuple(entries[i][0][5] for i in padded)
+            mask_t = tuple(entries[i][0][6] for i in padded)
+            row_t = tuple(entries[i][0][0] for i in padded)
+            group_t = tuple(entries[i][0][1] for i in padded)
+            ts_t = tuple(entries[i][0][7] for i in padded)
+            batched[seq] = self._jit_rerank_batched(
+                self.reranker.params, ids_t, mask_t, row_t, group_t, ts_t)
+        small = [out[:5] + (out[7],) for out, _ in entries]
+        with profiler.span("serve_wave_readback"):
+            h_small, h_batched = jax.device_get((small, batched))
+        results: List = [None] * len(entries)
+        for seq, idxs in groups.items():
+            logits_b, sel_b, cnt_b = h_batched[seq]
+            for j, i in enumerate(idxs):
+                (out_row, out_group, out_score, out_path, n_out,
+                 tscores) = h_small[i]
+                results[i] = self._format(
+                    (out_row, out_group, out_score, out_path, n_out,
+                     logits_b[j], tscores, sel_b[j], cnt_b[j]))
+        return results
+
+    def serve_wave(self, requests: Sequence[Tuple[str, Sequence[str], object]],
+                   batch_rerank: bool = True
                    ) -> List[Tuple[List[Dict], List[int], Dict]]:
         """Serve B concurrent requests with ONE transport round-trip total:
         enqueue every request's program (dispatch is async/free), then a
         single device_get over all outputs. This is the TPU serving shape —
         the reference serializes every session behind a reranker lock
-        (vllmChatService.py:88-90)."""
+        (vllmChatService.py:88-90). With ``batch_rerank`` (default) the
+        wave's cross-encoder forwards additionally run as ONE [B*cap, seq]
+        program (bigger GEMMs, one program's launch overhead)."""
+        if batch_rerank and len(requests) > 1:
+            entries = [self.enqueue_search(q, h, t) for q, h, t in requests]
+            return self.finish_wave(entries)
         outs = [self.enqueue(q, h, t) for q, h, t in requests]
         with profiler.span("serve_wave_readback"):
             host = jax.device_get(outs)

@@ -24,9 +24,15 @@ Design (TPU-first — static shapes throughout):
   * Caches are DONATED to the step program (in-place update; no [S, W]
     copy per chunk).
 
-Per-request sampling params are supported (eos per slot in-program;
-max_new/temperature host-side — temperature/top_p are server-level,
-matching the reference's fixed temperature=0/top_p=0.8 serving config).
+Per-request sampling params: each slot carries its request's temperature /
+top_p / eos (vLLM SamplingParams equivalent) — sampling runs vectorized
+per row in-program (models/generate._sample_rows); greedy rows
+(temperature<=0) coexist with sampling rows in the same chunk.
+
+Prefill is HOST-CHUNKED: one compiled [1, C]-token program replays the
+prompt into the slot cache C tokens at a time, so any prompt length uses
+the same compiled program (first-long-prompt compiles would otherwise add
+20-40 s to TTFT on this chip) and attention memory is bounded at C x W.
 """
 
 from __future__ import annotations
@@ -41,7 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.generate import _sample, left_pad
+from ..models.generate import _sample_rows, left_pad
 from ..utils.profiler import profiler
 
 
@@ -52,6 +58,8 @@ class _Request:
     eos_id: int
     tokens: "queue.Queue"
     result: Future
+    temperature: Optional[float] = None   # None -> server default
+    top_p: Optional[float] = None
     emitted: List[int] = field(default_factory=list)
 
 
@@ -64,6 +72,7 @@ class GenerationServer:
     def __init__(self, module, params, *, slots: int = 4, window: int = 1024,
                  chunk: int = 8, max_prompt_len: int = 512,
                  temperature: float = 0.0, top_p: float = 0.8,
+                 prefill_chunk: int = 64,
                  cache_dtype=jnp.bfloat16, seed: int = 0) -> None:
         self.module = module
         self.params = params
@@ -72,8 +81,9 @@ class GenerationServer:
         self.window = window
         self.chunk = chunk
         self.max_prompt_len = min(max_prompt_len, window)
-        self.temperature = float(temperature)
-        self.top_p = float(top_p)
+        self.temperature = float(temperature)   # default when a request
+        self.top_p = float(top_p)               # doesn't set its own
+        self.prefill_chunk = prefill_chunk
         self.cache_dtype = cache_dtype
 
         a = self.arch
@@ -85,6 +95,10 @@ class GenerationServer:
         self._tok = jnp.zeros((slots,), jnp.int32)
         self._pos = jnp.zeros((slots,), jnp.int32)
         self._off = jnp.zeros((slots,), jnp.int32)
+        # per-slot sampling params, device-resident ([S] rows updated at
+        # admit; the decode program samples every slot with its own params)
+        self._temp = jnp.zeros((slots,), jnp.float32)
+        self._topp = jnp.full((slots,), top_p, jnp.float32)
         self._rng = jax.random.PRNGKey(seed)
 
         # host-side slot bookkeeping
@@ -93,7 +107,10 @@ class GenerationServer:
         self._active = np.zeros((slots,), bool)
         self._eos = np.zeros((slots,), np.int32)
 
-        self._prefill_jit = jax.jit(self._prefill_impl)
+        self._prefill_chunk_jit = jax.jit(self._prefill_chunk_impl,
+                                          donate_argnums=(1,))
+        self._prefill_commit_jit = jax.jit(self._prefill_commit_impl,
+                                           donate_argnums=(0,))
         self._decode_jit = jax.jit(
             self._decode_impl, donate_argnums=(1,),
             static_argnames=("chunk",))
@@ -107,25 +124,23 @@ class GenerationServer:
     # ------------------------------------------------------------------
     # device programs
     # ------------------------------------------------------------------
-    def _prefill_impl(self, params, cache, ids, mask, rng, slot):
-        """Run the prompt through the model with a fresh batch-1 cache and
-        write the result into ``slot`` of the global cache; returns the
-        sampled first token and next position."""
-        p = ids.shape[1]
-        a = self.arch
-        local = [
-            (jnp.zeros((1, self.window, a.kv_heads, a.head_dim),
-                       self.cache_dtype),
-             jnp.zeros((1, self.window, a.kv_heads, a.head_dim),
-                       self.cache_dtype),
-             jnp.zeros((1, self.window), bool).at[:, :p].set(
-                 mask.astype(bool)))
-            for _ in range(a.layers)]
-        positions = jnp.maximum(jnp.cumsum(mask, axis=-1) - 1, 0)
+    def _prefill_chunk_impl(self, params, local, ids, mask, offset,
+                            positions):
+        """Advance a batch-1 LOCAL prefill cache by one [1, C] prompt chunk
+        at physical ``offset``. One compiled program serves every chunk of
+        every prompt length (offset/positions are traced scalars/arrays),
+        so long prompts never trigger fresh compiles, and attention memory
+        is bounded at C x W."""
         logits, local = self.module.apply(
-            params, ids, mask, cache=local, cache_offset=0,
+            params, ids, mask, cache=local, cache_offset=offset,
             positions=positions)
-        tok = _sample(logits[:, -1, :], rng, self.temperature, self.top_p)
+        return local, logits[:, -1, :]
+
+    def _prefill_commit_impl(self, cache, local, last_logits, slot, rng,
+                             temp, topp):
+        """Copy the finished local prefill cache into ``slot`` of the
+        global cache and sample the first token with the request's params."""
+        tok = _sample_rows(last_logits, rng, temp[None], topp[None])
         new_cache = []
         for (gk, gv, gm), (lk, lv, lm) in zip(cache, local):
             gk = jax.lax.dynamic_update_slice(gk, lk.astype(gk.dtype),
@@ -134,10 +149,10 @@ class GenerationServer:
                                               (slot, 0, 0, 0))
             gm = jax.lax.dynamic_update_slice(gm, lm, (slot, 0))
             new_cache.append((gk, gv, gm))
-        return new_cache, tok[0], positions[0, -1] + 1
+        return new_cache, tok[0]
 
-    def _decode_impl(self, params, cache, tok, pos, off, active, eos, rng,
-                     *, chunk: int):
+    def _decode_impl(self, params, cache, tok, pos, off, active, eos,
+                     temp, topp, rng, *, chunk: int):
         """Advance every active slot ``chunk`` tokens in one program."""
         s = tok.shape[0]
         rows = jnp.arange(s)
@@ -152,8 +167,7 @@ class GenerationServer:
                 cache=cache, cache_offset=slot_pos,
                 positions=pos[:, None])
             rng, key = jax.random.split(rng)
-            nxt = _sample(logits[:, -1, :], key, self.temperature,
-                          self.top_p)
+            nxt = _sample_rows(logits[:, -1, :], key, temp, topp)
             nxt = jnp.where(live, nxt, self.arch.pad_id)
             live = live & (nxt != eos)
             return (cache, nxt, pos + 1, off + 1, rng, live), nxt
@@ -181,24 +195,47 @@ class GenerationServer:
                 return admitted
             slot = free[0]
             row = req.prompt[-self.max_prompt_len:]
+            c = self.prefill_chunk
+            padded = max(-(-len(row) // c) * c, c)
             ids, mask = left_pad([row], self.arch.pad_id)
-            bucket = 1 << max(4, (ids.shape[1] - 1).bit_length())
-            pad = bucket - ids.shape[1]
+            pad = padded - ids.shape[1]
             if pad:
                 ids = np.pad(ids, ((0, 0), (pad, 0)),
                              constant_values=self.arch.pad_id)
                 mask = np.pad(mask, ((0, 0), (pad, 0)))
+            positions = np.maximum(mask.cumsum(axis=-1) - 1, 0).astype(
+                np.int32)
+            a = self.arch
+            local = [
+                (jnp.zeros((1, self.window, a.kv_heads, a.head_dim),
+                           self.cache_dtype),
+                 jnp.zeros((1, self.window, a.kv_heads, a.head_dim),
+                           self.cache_dtype),
+                 jnp.zeros((1, self.window), bool).at[:, :padded].set(
+                     jnp.asarray(mask.astype(bool))))
+                for _ in range(a.layers)]
+            # host-chunked prefill: the SAME compiled [1, C] program
+            # replays the prompt chunk by chunk (all dispatches async)
+            last = None
+            for i in range(padded // c):
+                sl = slice(i * c, (i + 1) * c)
+                local, last = self._prefill_chunk_jit(
+                    self.params, local, jnp.asarray(ids[:, sl]),
+                    jnp.asarray(mask[:, sl]), jnp.int32(i * c),
+                    jnp.asarray(positions[:, sl]))
+            temp = (req.temperature if req.temperature is not None
+                    else self.temperature)
+            topp = req.top_p if req.top_p is not None else self.top_p
             self._rng, key = jax.random.split(self._rng)
-            self._cache, tok0_d, pos0_d = self._prefill_jit(
-                self.params, self._cache, jnp.asarray(ids),
-                jnp.asarray(mask), key, jnp.int32(slot))
-            # one transfer for both scalars (each host read costs a full
-            # device round-trip on this relay); the cache write offset is
-            # the padded prompt length, known host-side
-            tok0, pos0 = (int(x) for x in jax.device_get((tok0_d, pos0_d)))
+            self._cache, tok0_d = self._prefill_commit_jit(
+                self._cache, local, last, jnp.int32(slot), key,
+                jnp.float32(temp), jnp.float32(topp))
+            tok0 = int(jax.device_get(tok0_d))
             self._tok = self._tok.at[slot].set(tok0)
-            self._pos = self._pos.at[slot].set(pos0)
-            self._off = self._off.at[slot].set(ids.shape[1])
+            self._pos = self._pos.at[slot].set(len(row))
+            self._off = self._off.at[slot].set(padded)
+            self._temp = self._temp.at[slot].set(temp)
+            self._topp = self._topp.at[slot].set(topp)
             self._slot_req[slot] = req
             self._produced[slot] = 0
             self._active[slot] = True
@@ -253,7 +290,8 @@ class GenerationServer:
                 (self._cache, self._tok, self._pos, self._off, self._rng,
                  live, toks) = self._decode_jit(
                     self.params, self._cache, self._tok, self._pos,
-                    self._off, active, eos, self._rng, chunk=self.chunk)
+                    self._off, active, eos, self._temp, self._topp,
+                    self._rng, chunk=self.chunk)
                 toks = np.asarray(toks)            # ONE readback per chunk
             for slot in range(self.slots):
                 if not self._active[slot]:
@@ -267,21 +305,31 @@ class GenerationServer:
     # client surface
     # ------------------------------------------------------------------
     def submit(self, prompt: List[int], max_new_tokens: int = 256,
-               eos_id: Optional[int] = None) -> _Request:
+               eos_id: Optional[int] = None,
+               temperature: Optional[float] = None,
+               top_p: Optional[float] = None) -> _Request:
+        """Enqueue one generation; ``temperature``/``top_p`` default to the
+        server-level values (the reference serves a fixed temperature=0 /
+        top_p=0.8 config; per-request params are the vLLM SamplingParams
+        surface)."""
         if self._closed:
             raise RuntimeError("generation server closed")
         eos = eos_id if eos_id is not None else self.arch.bos_id + 1
         req = _Request(prompt=list(prompt), max_new=max_new_tokens,
                        eos_id=int(eos), tokens=queue.Queue(),
-                       result=Future())
+                       result=Future(), temperature=temperature,
+                       top_p=top_p)
         self._queue.put(req)
         return req
 
     def stream(self, prompt: List[int], max_new_tokens: int = 256,
                eos_id: Optional[int] = None,
+               temperature: Optional[float] = None,
+               top_p: Optional[float] = None,
                timeout: float = 300.0) -> Iterator[int]:
         """Yield token ids as decode chunks complete."""
-        req = self.submit(prompt, max_new_tokens, eos_id)
+        req = self.submit(prompt, max_new_tokens, eos_id,
+                          temperature=temperature, top_p=top_p)
         while True:
             tok = req.tokens.get(timeout=timeout)
             if tok is _END:
@@ -290,9 +338,12 @@ class GenerationServer:
 
     def generate(self, prompt: List[int], max_new_tokens: int = 256,
                  eos_id: Optional[int] = None,
+                 temperature: Optional[float] = None,
+                 top_p: Optional[float] = None,
                  timeout: float = 300.0) -> List[int]:
-        return self.submit(prompt, max_new_tokens, eos_id).result.result(
-            timeout)
+        return self.submit(prompt, max_new_tokens, eos_id,
+                           temperature=temperature,
+                           top_p=top_p).result.result(timeout)
 
     def close(self) -> None:
         self._queue.put(_END)

@@ -106,7 +106,9 @@ class LocalChatBackend:
         if self.server is not None:
             tokens = self.server.generate(prompt,
                                           max_new_tokens=self.max_new_tokens,
-                                          eos_id=self.eos_id)
+                                          eos_id=self.eos_id,
+                                          temperature=temperature,
+                                          top_p=top_p)
         else:
             tokens = self.generator.generate_tokens(
                 [prompt], temperature=temperature, top_p=top_p,
@@ -126,7 +128,9 @@ class LocalChatBackend:
         if self.server is not None:
             source = self.server.stream(prompt,
                                         max_new_tokens=self.max_new_tokens,
-                                        eos_id=self.eos_id)
+                                        eos_id=self.eos_id,
+                                        temperature=temperature,
+                                        top_p=top_p)
         else:
             source = self.generator.generate_stream(
                 prompt, temperature=temperature, top_p=top_p,
