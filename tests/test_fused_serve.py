@@ -311,8 +311,8 @@ def test_serve_wave_batched_matches_serial():
     requests = [(f"revenue tok{i} margin europe", [f"cash tok{i+2} store"],
                  QUERY_TIME) for i in range(5)]
     serial = [fused.serve(q, h, t) for q, h, t in requests]
-    wave = fused.serve_wave(requests)                  # batched rerank
-    legacy = fused.serve_wave(requests, batch_rerank=False)
+    wave = fused.serve_wave(requests, batch_rerank=True)
+    legacy = fused.serve_wave(requests)    # default: per-request programs
     for (c1, s1, d1), (c2, s2, d2), (c3, s3, _) in zip(serial, wave, legacy):
         assert [c["_row"] for c in c1] == [c["_row"] for c in c2]
         assert [c["_row"] for c in c1] == [c["_row"] for c in c3]

@@ -757,15 +757,20 @@ class FusedServePath:
         return results
 
     def serve_wave(self, requests: Sequence[Tuple[str, Sequence[str], object]],
-                   batch_rerank: bool = True
+                   batch_rerank: bool = False
                    ) -> List[Tuple[List[Dict], List[int], Dict]]:
         """Serve B concurrent requests with ONE transport round-trip total:
         enqueue every request's program (dispatch is async/free), then a
         single device_get over all outputs. This is the TPU serving shape —
         the reference serializes every session behind a reranker lock
-        (vllmChatService.py:88-90). With ``batch_rerank`` (default) the
-        wave's cross-encoder forwards additionally run as ONE [B*cap, seq]
-        program (bigger GEMMs, one program's launch overhead)."""
+        (vllmChatService.py:88-90).
+
+        ``batch_rerank`` runs the wave's cross-encoder forwards as ONE
+        [B*cap, seq] program instead. MEASURED SLOWER on v5e (16.3 ->
+        19.8 ms/request going B=2 -> 16, vs 18.1 for the per-request
+        mega-program): a [50*seq, H] forward already saturates the MXU, so
+        batching only grows working sets. Kept as an option because the
+        tradeoff may flip on other parts/shapes (e.g. tiny caps)."""
         if batch_rerank and len(requests) > 1:
             entries = [self.enqueue_search(q, h, t) for q, h, t in requests]
             return self.finish_wave(entries)

@@ -42,9 +42,10 @@ class RetrievalBatcher:
         then hand the in-flight device outputs to the wave dispatcher.
         Resolves to (chunks, selected_bundle_ids, diag)."""
         fut: Future = Future()
-        entry = self.serve_path.enqueue_search(query, list(hyde_chunks),
-                                               query_time)
-        self._queue.put((entry, fut))
+        # per-request mega-program (search+rerank+select in one): measured
+        # fastest on v5e — see FusedServePath.serve_wave's batch_rerank note
+        out = self.serve_path.enqueue(query, list(hyde_chunks), query_time)
+        self._queue.put((out, fut))
         return fut
 
     def retrieve(self, query: str, hyde_chunks: Sequence[str], query_time,
@@ -81,21 +82,18 @@ class RetrievalBatcher:
             self._complete(jax, batch)
 
     def _complete(self, jax, batch: List[Tuple]) -> None:
-        """The wave's rerank forwards run as ONE batched device program
-        (FusedServePath.finish_wave), then one device_get for everything."""
         try:
             with profiler.span("retrieval_wave_readback"):
-                results = self.serve_path.finish_wave(
-                    [entry for entry, _ in batch])
+                host = jax.device_get([out for out, _ in batch])
         except Exception as exc:
             for _, fut in batch:
                 if not fut.done():
                     fut.set_exception(exc)
             return
         profiler.add_metric("retrieval_wave_size", len(batch))
-        for (_, fut), res in zip(batch, results):
+        for (_, fut), h in zip(batch, host):
             try:
-                fut.set_result(res)
+                fut.set_result(self.serve_path._format(h))
             except Exception as exc:
                 if not fut.done():
                     fut.set_exception(exc)
