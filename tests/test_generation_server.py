@@ -144,3 +144,51 @@ def test_per_slot_sampling_params(decoder):
         assert len(sampled) > 0
     finally:
         server.close()
+
+
+def test_speculative_matches_plain_greedy(decoder):
+    """Prompt-lookup speculative decoding must be a pure accelerator:
+    greedy output identical to the non-speculative server, accepted or
+    rejected drafts alike. Random tiny models cycle under greedy decode,
+    so lookup drafts genuinely accept here (asserted via stats)."""
+    rr = decoder
+    rows = prompts(rr, 2)
+    max_new = 48
+    plain = GenerationServer(rr.module, rr.params, slots=2, window=256,
+                             chunk=4, max_prompt_len=64,
+                             cache_dtype=jnp.float32)
+    try:
+        base = [plain.generate(r, max_new, -1) for r in rows]
+    finally:
+        plain.close()
+    spec = GenerationServer(rr.module, rr.params, slots=2, window=256,
+                            chunk=4, max_prompt_len=64, speculative_k=4,
+                            cache_dtype=jnp.float32)
+    try:
+        got = [spec.generate(r, max_new, -1) for r in rows]
+        assert got == base, (got, base)
+        assert spec.stats["spec_steps"] > 0
+        # greedy cycles -> drafts accept; require at least some acceptance
+        assert spec.stats["spec_accepted_tokens"] > 0, spec.stats
+    finally:
+        spec.close()
+
+
+def test_speculative_with_sampling_neighbour(decoder):
+    """A sampling slot (never speculated) next to a speculating greedy
+    slot: the greedy slot must still match its solo run."""
+    rr = decoder
+    rows = prompts(rr, 2)
+    solo = solo_generate(rr, rows[0], max_new=24)
+    server = GenerationServer(rr.module, rr.params, slots=2, window=256,
+                              chunk=4, max_prompt_len=64, speculative_k=4,
+                              cache_dtype=jnp.float32, seed=9)
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            f_greedy = ex.submit(server.generate, rows[0], 24, -1)
+            f_sample = ex.submit(server.generate, rows[1], 24, -1, 1.0, 0.95)
+            greedy = f_greedy.result(180)
+            f_sample.result(180)
+        assert greedy == solo, (greedy, solo)
+    finally:
+        server.close()

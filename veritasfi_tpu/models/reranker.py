@@ -157,14 +157,25 @@ class _Attention(nn.Module):
             per_row = jnp.ndim(cache_offset) == 1
             if per_row:
                 # continuous-batching decode: each row writes its own cache
-                # slot (t must be 1). Causality is enforced by key_mask
-                # alone — ring/rolling windows overwrite old slots, so
-                # physical position no longer orders time (attention is a
-                # set operation; order is irrelevant).
-                rows = jnp.arange(b)
-                ck = ck.at[rows, cache_offset].set(k[:, 0].astype(ck.dtype))
-                cv = cv.at[rows, cache_offset].set(v[:, 0].astype(cv.dtype))
-                full = key_mask[:, None, None, :]
+                # slots starting at its offset (t new tokens, ring-indexed
+                # mod the window). Visibility: previously-valid keys via
+                # key_mask, the t in-block keys via write-index causality
+                # (query j sees writes k <= j — ring wraps can overwrite
+                # old slots, so physical position no longer orders time).
+                # Key masks for the new slots are NOT persisted here; the
+                # caller commits them after (speculative steps roll back
+                # rejected drafts by simply not setting their mask bits).
+                w = ck.shape[1]
+                rows = jnp.arange(b)[:, None]
+                js = jnp.arange(t)[None, :]
+                slots = (cache_offset[:, None] + js) % w       # [B, t]
+                ck = ck.at[rows, slots].set(k.astype(ck.dtype))
+                cv = cv.at[rows, slots].set(v.astype(cv.dtype))
+                written_at = jnp.full((b, w), -1, jnp.int32).at[
+                    rows, slots].set(js)                       # [B, L]
+                vis = ((key_mask | (written_at >= 0))[:, None, :]
+                       & (written_at[:, None, :] <= js[0][None, :, None]))
+                full = vis[:, None, :, :]                      # [B,1,t,L]
             else:
                 ck = jax.lax.dynamic_update_slice(
                     ck, k.astype(ck.dtype), (0, cache_offset, 0, 0))

@@ -72,7 +72,8 @@ class GenerationServer:
     def __init__(self, module, params, *, slots: int = 4, window: int = 1024,
                  chunk: int = 8, max_prompt_len: int = 512,
                  temperature: float = 0.0, top_p: float = 0.8,
-                 prefill_chunk: int = 64,
+                 prefill_chunk: int = 64, speculative_k: int = 0,
+                 ngram: int = 2,
                  cache_dtype=jnp.bfloat16, seed: int = 0) -> None:
         self.module = module
         self.params = params
@@ -84,6 +85,19 @@ class GenerationServer:
         self.temperature = float(temperature)   # default when a request
         self.top_p = float(top_p)               # doesn't set its own
         self.prefill_chunk = prefill_chunk
+        # prompt-lookup speculative decoding (vLLM's ngram speculator):
+        # draft the K tokens that followed the last occurrence of the
+        # current ngram in prompt+history, verify all K in ONE forward.
+        # RAG answers quote retrieved context heavily, so lookup drafts
+        # accept often; greedy rows only (sampling rows fall back to
+        # one-token steps — no rejection-sampling correction needed).
+        # MEASURED (v5e, gemma-mini, ~28 ms/readback relay): each spec
+        # step pays one readback for accepted+1 tokens, so it beats the
+        # chunked scan (chunk tokens/readback) only when acceptance
+        # approaches K >= chunk — i.e. heavy-quoting workloads. At ~1
+        # accepted/step it measured 60 vs 87 tok/s; OFF by default.
+        self.speculative_k = int(speculative_k)
+        self.ngram = int(ngram)
         self.cache_dtype = cache_dtype
 
         a = self.arch
@@ -106,6 +120,7 @@ class GenerationServer:
         self._produced = [0] * slots
         self._active = np.zeros((slots,), bool)
         self._eos = np.zeros((slots,), np.int32)
+        self._temp_host = np.zeros((slots,), np.float32)
 
         self._prefill_chunk_jit = jax.jit(self._prefill_chunk_impl,
                                           donate_argnums=(1,))
@@ -114,7 +129,12 @@ class GenerationServer:
         self._decode_jit = jax.jit(
             self._decode_impl, donate_argnums=(1,),
             static_argnames=("chunk",))
+        self._spec_jit = jax.jit(self._spec_impl, donate_argnums=(1,))
+        # host-side token history per slot (prompt + emitted) for drafting
+        self._history: List[List[int]] = [[] for _ in range(slots)]
 
+        self.stats = {"spec_steps": 0, "spec_accepted_tokens": 0,
+                      "decode_chunks": 0}
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -177,9 +197,71 @@ class GenerationServer:
             step, init, None, length=chunk)
         return cache, tok, pos, off, rng, live, toks.T   # [S, chunk]
 
+    def _spec_impl(self, params, cache, tok, pos, off, active,
+                   temp, topp, drafts, rng):
+        """Speculative verify step: feed [current token, K drafts] through
+        the model in ONE forward, accept the longest draft prefix the model
+        would itself have produced (greedy rows), emit accepted+1 tokens.
+
+        Cache rollback is free: the K+1 k/v rows are written at
+        off..off+K, but their key-mask bits are committed only for the
+        accepted prefix — rejected slots stay invisible and are simply
+        overwritten when ``off`` rewinds to them."""
+        s, kd = drafts.shape
+        tokens = jnp.concatenate([tok[:, None], drafts], axis=1)  # [S,K+1]
+        positions = pos[:, None] + jnp.arange(kd + 1)[None, :]
+        logits, cache = self.module.apply(
+            params, tokens, jnp.ones((s, kd + 1), jnp.int32),
+            cache=cache, cache_offset=off, positions=positions)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [S,K+1]
+        # accepted[s] = leading drafts the model reproduces (greedy rows,
+        # real drafts only — pad drafts never match argmax of live rows)
+        match = (drafts == greedy[:, :kd]) & (drafts != self.arch.pad_id)
+        accepted = jnp.cumprod(match.astype(jnp.int32),
+                               axis=1).sum(axis=1)               # [S]
+        accepted = jnp.where((temp <= 0.0) & active, accepted, 0)
+        # the bonus token comes from the distribution at the last accepted
+        # position; _sample_rows handles greedy and sampling rows alike
+        rows = jnp.arange(s)
+        rng, key = jax.random.split(rng)
+        final = _sample_rows(logits[rows, accepted], key, temp, topp)
+        final = jnp.where(active, final, self.arch.pad_id)
+        # emitted tokens: d1..da then final, pad after
+        js = jnp.arange(kd + 1)[None, :]
+        emit = jnp.where(js < accepted[:, None], drafts[:, :][
+            rows[:, None], jnp.minimum(js, kd - 1)], self.arch.pad_id)
+        emit = jnp.where(js == accepted[:, None], final[:, None], emit)
+        emit = jnp.where(active[:, None], emit, self.arch.pad_id)
+        # commit key-mask bits for [off .. off+accepted] (current token +
+        # accepted drafts); rejected writes stay masked
+        w = self.window
+        slots = (off[:, None] + js[:, :kd + 1]) % w
+        keep = (js <= accepted[:, None]) & active[:, None]
+        cache = [(k, v, km.at[rows[:, None], slots].set(
+            km[rows[:, None], slots] | keep)) for k, v, km in cache]
+        adv = jnp.where(active, accepted + 1, 0)
+        return (cache, jnp.where(active, final, tok), pos + adv, off + adv,
+                rng, emit, accepted)
+
     # ------------------------------------------------------------------
     # host scheduler
     # ------------------------------------------------------------------
+    def _draft(self, slot: int) -> List[int]:
+        """Prompt-lookup drafting: find the last earlier occurrence of the
+        trailing ``ngram`` tokens in this slot's history and propose the
+        tokens that followed it."""
+        k = self.speculative_k
+        hist = self._history[slot]
+        n = self.ngram
+        if k <= 0 or len(hist) <= n:
+            return []
+        key = hist[-n:]
+        # search backwards, excluding the trailing occurrence itself
+        for start in range(len(hist) - n - 1, -1, -1):
+            if hist[start: start + n] == key:
+                follow = hist[start + n: start + n + k]
+                return [t for t in follow if t != self.arch.pad_id][:k]
+        return []
     def _admit(self) -> bool:
         admitted = False
         while True:
@@ -236,6 +318,8 @@ class GenerationServer:
             self._off = self._off.at[slot].set(padded)
             self._temp = self._temp.at[slot].set(temp)
             self._topp = self._topp.at[slot].set(topp)
+            self._temp_host[slot] = temp
+            self._history[slot] = list(row)
             self._slot_req[slot] = req
             self._produced[slot] = 0
             self._active[slot] = True
@@ -253,6 +337,10 @@ class GenerationServer:
         req.emitted.append(tok)
         req.tokens.put(tok)
         self._produced[slot] += 1
+        hist = self._history[slot]
+        hist.append(tok)
+        if len(hist) > 4 * self.window:
+            del hist[: 2 * self.window]   # bound the draft-lookup scan
         if self._produced[slot] >= req.max_new:
             self._finish(slot)
 
@@ -284,7 +372,45 @@ class GenerationServer:
                     continue
                 self._queue.queue.appendleft(req)   # re-admit via _admit
                 continue
+            # hybrid scheduler: verify drafts in one wide forward when any
+            # greedy slot has a prompt-lookup hit, otherwise the scan chunk
+            drafts = None
+            if self.speculative_k > 0:
+                kd = self.speculative_k
+                drafts_np = np.full((self.slots, kd), self.arch.pad_id,
+                                    np.int32)
+                found = False
+                for slot in range(self.slots):
+                    if self._active[slot] and self._temp_host[slot] <= 0:
+                        d = self._draft(slot)
+                        if d:
+                            drafts_np[slot, : len(d)] = d
+                            found = True
+                if found:
+                    drafts = drafts_np
+            if drafts is not None:
+                with profiler.span("generation_spec_step"):
+                    active = jnp.asarray(self._active)
+                    (self._cache, self._tok, self._pos, self._off,
+                     self._rng, emit, accepted) = self._spec_jit(
+                        self.params, self._cache, self._tok, self._pos,
+                        self._off, active, self._temp, self._topp,
+                        jnp.asarray(drafts), self._rng)
+                    emit, accepted = jax.device_get((emit, accepted))
+                    self.stats["spec_steps"] += 1
+                    self.stats["spec_accepted_tokens"] += int(accepted.sum())
+                    profiler.add_metric("spec_accepted",
+                                        float(accepted.max()))
+                for slot in range(self.slots):
+                    if not self._active[slot]:
+                        continue
+                    for t in emit[slot, : int(accepted[slot]) + 1]:
+                        self._emit(slot, int(t))
+                        if not self._active[slot]:
+                            break
+                continue
             with profiler.span("generation_chunk"):
+                self.stats["decode_chunks"] += 1
                 active = jnp.asarray(self._active)
                 eos = jnp.asarray(self._eos)
                 (self._cache, self._tok, self._pos, self._off, self._rng,
