@@ -97,6 +97,18 @@ def main(argv=None) -> int:
     p_ingest.add_argument("--source-dir", required=True)
     p_ingest.add_argument("--ignore-range", action="store_true")
 
+    p_pre = sub.add_parser(
+        "preprocess",
+        help="raw .txt/.md documents -> processed-JSON chunk files "
+             "(page-aware chunking, table/figure bundles, section title "
+             "summaries) ready for `ingest`")
+    p_pre.add_argument("--source-dir", required=True)
+    p_pre.add_argument("--out-dir", required=True)
+    p_pre.add_argument("--target-chars", type=int, default=1200)
+    p_pre.add_argument("--default-date", default="1970-01-01",
+                       help="date_published when the filename has no "
+                            "YYYY-MM-DD pattern")
+
     p_serve = sub.add_parser("serve")
     p_serve.add_argument("--host", default="0.0.0.0")
     p_serve.add_argument("--port", type=int, default=8080)
@@ -157,6 +169,15 @@ def main(argv=None) -> int:
 
     if args.cmd == "train-reranker":
         return _train_reranker(args)
+
+    if args.cmd == "preprocess":
+        from .ingest.chunker import preprocess_dir
+
+        written = preprocess_dir(args.source_dir, args.out_dir,
+                                 target_chars=args.target_chars,
+                                 default_date=args.default_date)
+        print(json.dumps({"files": len(written), "out_dir": args.out_dir}))
+        return 0
 
     from .config import load_config
 

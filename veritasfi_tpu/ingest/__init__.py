@@ -1,3 +1,4 @@
+from .chunker import preprocess_dir, preprocess_document
 from .contract import ChunkRecord, load_processed_dir, parse_processed_json
 from .corpus import CorpusIndex, build_corpus_index
 
@@ -7,4 +8,6 @@ __all__ = [
     "load_processed_dir",
     "CorpusIndex",
     "build_corpus_index",
+    "preprocess_document",
+    "preprocess_dir",
 ]
