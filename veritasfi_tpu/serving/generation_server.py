@@ -124,8 +124,12 @@ class GenerationServer:
 
         self._prefill_chunk_jit = jax.jit(self._prefill_chunk_impl,
                                           donate_argnums=(1,))
-        self._prefill_commit_jit = jax.jit(self._prefill_commit_impl,
-                                           donate_argnums=(0,))
+        self._local_init_jit = jax.jit(self._local_init_impl)
+        # local (argnum 1) is NOT donated: the slot-copy reads it through a
+        # dtype cast, so XLA can't alias it anyway (it would only warn)
+        self._prefill_commit_jit = jax.jit(
+            self._prefill_commit_impl,
+            donate_argnums=(0, 7, 8, 9, 10, 11))
         self._decode_jit = jax.jit(
             self._decode_impl, donate_argnums=(1,),
             static_argnames=("chunk",))
@@ -156,11 +160,31 @@ class GenerationServer:
             positions=positions)
         return local, logits[:, -1, :]
 
+    def _local_init_impl(self, mask):
+        """Build a fresh batch-1 local prefill cache ON DEVICE (host-side
+        jnp.zeros transfers cost ~4 ms each on the relay — ~100 ms per
+        admit for 8 layers x 3 arrays; one jitted allocator is one
+        dispatch). Each layer gets distinct output buffers so donation in
+        the prefill chain never aliases two leaves to one buffer."""
+        a = self.arch
+        w = self.window
+        m = mask.shape[1]
+        kms = jnp.zeros((a.layers, 1, w), bool).at[:, :, :m].set(
+            mask[None])
+        zk = jnp.zeros((a.layers, 1, w, a.kv_heads, a.head_dim),
+                       self.cache_dtype)
+        zv = jnp.zeros((a.layers, 1, w, a.kv_heads, a.head_dim),
+                       self.cache_dtype)
+        return [(zk[i], zv[i], kms[i]) for i in range(a.layers)]
+
     def _prefill_commit_impl(self, cache, local, last_logits, slot, rng,
-                             temp, topp):
+                             temp, topp, tok, pos, off, temps, topps,
+                             prompt_len, padded):
         """Copy the finished local prefill cache into ``slot`` of the
-        global cache and sample the first token with the request's params."""
-        tok = _sample_rows(last_logits, rng, temp[None], topp[None])
+        global cache, sample the first token with the request's params,
+        and update all per-slot device state in the same program (each
+        host-side .at[].set would be its own relay dispatch)."""
+        t0 = _sample_rows(last_logits, rng, temp[None], topp[None])[0]
         new_cache = []
         for (gk, gv, gm), (lk, lv, lm) in zip(cache, local):
             gk = jax.lax.dynamic_update_slice(gk, lk.astype(gk.dtype),
@@ -169,7 +193,12 @@ class GenerationServer:
                                               (slot, 0, 0, 0))
             gm = jax.lax.dynamic_update_slice(gm, lm, (slot, 0))
             new_cache.append((gk, gv, gm))
-        return new_cache, tok[0]
+        tok = tok.at[slot].set(t0)
+        pos = pos.at[slot].set(prompt_len)
+        off = off.at[slot].set(padded)
+        temps = temps.at[slot].set(temp)
+        topps = topps.at[slot].set(topp)
+        return new_cache, tok, pos, off, temps, topps, t0
 
     def _decode_impl(self, params, cache, tok, pos, off, active, eos,
                      temp, topp, rng, *, chunk: int):
@@ -263,18 +292,23 @@ class GenerationServer:
                 return [t for t in follow if t != self.arch.pad_id][:k]
         return []
     def _admit(self) -> bool:
-        admitted = False
+        """Admit every queued request there is a free slot for. All device
+        work (local cache init, chunked prefill, commit) is enqueued
+        asynchronously per request; the first tokens of the whole admission
+        wave come back in ONE readback at the end (the per-admit readback
+        was the TTFT bottleneck: ~28 ms RTT x slots)."""
+        pending = []   # (slot, tok0 device scalar)
         while True:
             free = [i for i in range(self.slots) if not self._active[i]]
             if not free:
-                return admitted
+                break
             try:
                 req = self._queue.get_nowait()
             except queue.Empty:
-                return admitted
+                break
             if req is _END:
                 self._closed = True
-                return admitted
+                break
             slot = free[0]
             row = req.prompt[-self.max_prompt_len:]
             c = self.prefill_chunk
@@ -287,15 +321,7 @@ class GenerationServer:
                 mask = np.pad(mask, ((0, 0), (pad, 0)))
             positions = np.maximum(mask.cumsum(axis=-1) - 1, 0).astype(
                 np.int32)
-            a = self.arch
-            local = [
-                (jnp.zeros((1, self.window, a.kv_heads, a.head_dim),
-                           self.cache_dtype),
-                 jnp.zeros((1, self.window, a.kv_heads, a.head_dim),
-                           self.cache_dtype),
-                 jnp.zeros((1, self.window), bool).at[:, :padded].set(
-                     jnp.asarray(mask.astype(bool))))
-                for _ in range(a.layers)]
+            local = self._local_init_jit(jnp.asarray(mask.astype(bool)))
             # host-chunked prefill: the SAME compiled [1, C] program
             # replays the prompt chunk by chunk (all dispatches async)
             last = None
@@ -309,23 +335,24 @@ class GenerationServer:
                     else self.temperature)
             topp = req.top_p if req.top_p is not None else self.top_p
             self._rng, key = jax.random.split(self._rng)
-            self._cache, tok0_d = self._prefill_commit_jit(
+            (self._cache, self._tok, self._pos, self._off, self._temp,
+             self._topp, tok0_d) = self._prefill_commit_jit(
                 self._cache, local, last, jnp.int32(slot), key,
-                jnp.float32(temp), jnp.float32(topp))
-            tok0 = int(jax.device_get(tok0_d))
-            self._tok = self._tok.at[slot].set(tok0)
-            self._pos = self._pos.at[slot].set(len(row))
-            self._off = self._off.at[slot].set(padded)
-            self._temp = self._temp.at[slot].set(temp)
-            self._topp = self._topp.at[slot].set(topp)
+                jnp.float32(temp), jnp.float32(topp), self._tok,
+                self._pos, self._off, self._temp, self._topp,
+                jnp.int32(len(row)), jnp.int32(padded))
             self._temp_host[slot] = temp
             self._history[slot] = list(row)
             self._slot_req[slot] = req
             self._produced[slot] = 0
             self._active[slot] = True
             self._eos[slot] = req.eos_id
-            self._emit(slot, tok0)
-            admitted = True
+            pending.append((slot, tok0_d))
+        if pending:
+            tok0s = jax.device_get([t for _, t in pending])
+            for (slot, _), tok0 in zip(pending, tok0s):
+                self._emit(slot, int(tok0))
+        return bool(pending)
 
     def _emit(self, slot: int, tok: int) -> None:
         req = self._slot_req[slot]
@@ -353,9 +380,13 @@ class GenerationServer:
             req.result.set_result(list(req.emitted))
         self._slot_req[slot] = None
         self._active[slot] = False
-        # clear the slot's key mask so a future tenant starts clean
-        self._cache = [(k, v, km.at[slot].set(False))
-                       for k, v, km in self._cache]
+        # No mask clear needed: the next tenant's prefill commit overwrites
+        # the slot's key mask over the FULL window (dynamic_update_slice of
+        # the [1, W] local mask), decode/spec steps never set mask bits for
+        # inactive rows, and inactive rows' attention output is discarded.
+        # (The old per-layer .at[slot].set(False) here built fresh scatter
+        # executables whose first-use remote compile stalled the next
+        # admission wave ~1.4 s on the relay.)
 
     def _loop(self) -> None:
         while True:
