@@ -128,3 +128,57 @@ def test_date_from_filename():
     assert date_from_filename("a_2023-11-05.md") == "2023-11-05"
     assert date_from_filename("b_20231105.txt") == "2023-11-05"
     assert date_from_filename("nodate.txt", "2020-01-01") == "2020-01-01"
+
+
+def test_caps_table_row_is_not_a_heading():
+    text = ("Revenue summary follows.\n\n"
+            "Segment   | FY23    | FY24\n"
+            "TOTAL REVENUES  1,234  5,678\n"
+            "NET INCOME  111  222\n")
+    blocks = parse_blocks(text)
+    kinds = [b.kind for b in blocks]
+    assert "table" in kinds and "heading" not in kinds
+    table = next(b for b in blocks if b.kind == "table")
+    assert len(table.rows) == 3
+
+
+def test_inline_figure_keeps_surrounding_prose():
+    text = "As shown in ![chart](fig1.png), gross margin rose 5 points."
+    blocks = parse_blocks(text)
+    assert [b.kind for b in blocks] == ["figure", "para"]
+    assert "gross margin rose 5 points" in blocks[1].text
+
+
+def test_preprocess_dir_stem_collision(tmp_path):
+    src = tmp_path / "raw"
+    out = tmp_path / "processed"
+    src.mkdir()
+    (src / "report.md").write_text("# A\n\nMarkdown body text here.")
+    (src / "report.txt").write_text("Plain body text here.")
+    written = preprocess_dir(str(src), str(out), default_date="2024-01-01")
+    assert len(written) == len(set(written)) == 2
+    records, _ = load_processed_dir(str(out))
+    joined = " ".join(r.content for r in records)
+    assert "Markdown body" in joined and "Plain body" in joined
+
+
+def test_date_from_filename_rejects_digit_runs():
+    assert date_from_filename("filing_0001065280.txt",
+                              "2020-01-01") == "2020-01-01"
+    assert date_from_filename("x_2023-13-05.md", "2020-01-01") == "2020-01-01"
+
+
+def test_summarize_fn_called_once_per_section():
+    calls = []
+
+    def summarize(title, first):
+        calls.append(title)
+        return f"S:{title}"
+
+    text = ("# Alpha\n\nOne. Two. Three. Four. Five. Six.\n\n"
+            "Seven. Eight. Nine. Ten.\n\n# Beta\n\nEleven. Twelve.")
+    rows = preprocess_document(text, "2024-01-01", target_chars=30,
+                               summarize_fn=summarize)
+    assert len([r for r in rows[1:] if r.get("title_summary")]) >= 4
+    assert sorted(set(calls)) == ["Alpha", "Beta"]
+    assert len(calls) == 2

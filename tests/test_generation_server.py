@@ -192,3 +192,61 @@ def test_speculative_with_sampling_neighbour(decoder):
         assert greedy == solo, (greedy, solo)
     finally:
         server.close()
+
+
+def test_spec_commit_mask_is_set_not_or(decoder):
+    """After a ring wrap every slot's mask bit is True; a spec step
+    overwrites k/v at all K+1 written ring slots, so the commit must SET
+    the mask to the accepted prefix (rejected/pad slots invisible), never
+    OR — ORing would leave stale True bits pointing at clobbered keys."""
+    import jax
+    import jax.numpy as jnp
+
+    rr = decoder
+    server = GenerationServer(rr.module, rr.params, slots=2, window=16,
+                              chunk=2, max_prompt_len=16, speculative_k=4,
+                              cache_dtype=jnp.float32)
+    try:
+        a = rr.module.arch if hasattr(rr.module, "arch") else server.arch
+        w = server.window
+        # simulate a fully wrapped ring: every mask bit True
+        cache = [(k, v, jnp.ones_like(km)) for k, v, km in server._cache]
+        off = jnp.asarray(np.array([5, 11], np.int32))
+        tok = jnp.asarray(np.array([3, 7], np.int32))
+        pos = jnp.asarray(np.array([40, 40], np.int32))
+        active = jnp.asarray(np.array([True, True]))
+        temp = jnp.zeros((2,), jnp.float32)          # both greedy
+        topp = jnp.full((2,), 0.8, jnp.float32)
+        drafts = jnp.asarray(np.array([[9, 10, 11, 12],
+                                       [13, 14, 15, 16]], np.int32))
+        (cache, tok, pos, off2, rng, emit, accepted) = server._spec_jit(
+            server.params, cache, tok, pos, off, active, temp, topp,
+            drafts, jax.random.PRNGKey(0))
+        acc = np.asarray(accepted)
+        km = np.asarray(cache[0][2])
+        offs = np.asarray(off)
+        js = np.arange(5)
+        for row in range(2):
+            slots = (offs[row] + js) % w
+            expect = js <= acc[row]
+            got = km[row, slots]
+            np.testing.assert_array_equal(got, expect, err_msg=f"row{row}")
+    finally:
+        server.close()
+
+
+def test_speculative_survives_window_wrap(decoder):
+    """Long speculative generation past the ring window must stay sane
+    (full token count, no crash). Exact equality with the plain server is
+    only guaranteed pre-wrap: in-place draft verification temporarily
+    shrinks a wrapped row's window by K - accepted."""
+    rr = decoder
+    row = prompts(rr, 1)[0]
+    server = GenerationServer(rr.module, rr.params, slots=1, window=32,
+                              chunk=4, max_prompt_len=32, speculative_k=4,
+                              prefill_chunk=16, cache_dtype=jnp.float32)
+    try:
+        got = server.generate(row[:20], 96, -1)
+        assert len(got) == 96
+    finally:
+        server.close()

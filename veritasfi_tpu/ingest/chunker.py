@@ -41,7 +41,10 @@ _HEADING_RE = re.compile(
     r"|part\s+[ivx]+\b.*)$",
     re.IGNORECASE)
 _FIGURE_RE = re.compile(r"!\[(?P<caption>[^\]]*)\]\((?P<path>[^)]+)\)")
-_DATE_IN_NAME_RE = re.compile(r"(\d{4})[-_]?(\d{2})[-_]?(\d{2})")
+# digit-bounded so SEC accession-style digit runs (filing_0001065280) don't
+# yield nonsense dates; month/day ranges validated
+_DATE_IN_NAME_RE = re.compile(
+    r"(?<!\d)(\d{4})[-_]?(0[1-9]|1[0-2])[-_]?(0[1-9]|[12]\d|3[01])(?!\d)")
 _SENT_SPLIT_RE = re.compile(r"(?<=[.!?。！？])\s+")
 
 
@@ -110,15 +113,24 @@ def parse_blocks(page_text: str) -> List[Block]:
             blocks.append(Block("figure", line,
                                 caption=fig.group("caption").strip(),
                                 image_path=fig.group("path").strip()))
+            # prose around an inline image stays in the corpus
+            rest = _FIGURE_RE.sub("", line).strip()
+            if rest:
+                para_lines.append(rest)
             continue
-        if _is_heading(line):
+        # markdown '#' headings win outright; otherwise a table-shaped line
+        # (pipes / aligned columns) is a table row even when ALL-CAPS —
+        # financial tables are full of 'TOTAL REVENUES  1,234  5,678' rows
+        # that the caps-heading heuristic would otherwise split on
+        explicit_heading = line.strip().startswith("#") and _is_heading(line)
+        if not explicit_heading and _is_table_line(line):
+            flush_para()
+            table_lines.append(line.rstrip())
+            continue
+        if explicit_heading or _is_heading(line):
             flush_table()
             flush_para()
             blocks.append(Block("heading", line.strip().lstrip("#").strip()))
-            continue
-        if _is_table_line(line):
-            flush_para()
-            table_lines.append(line.rstrip())
             continue
         if not line.strip():
             flush_table()
@@ -230,12 +242,18 @@ def preprocess_document(
             elif b.kind == "para" and cur and cur not in section_first_par:
                 section_first_par[cur] = b.text
 
+    summary_cache: Dict[str, str] = {}
+
     def title_summary() -> Optional[str]:
         if not section_title:
             return None
         if summarize_fn is not None:
-            return summarize_fn(
-                section_title, section_first_par.get(section_title, ""))
+            # one summarizer call per SECTION, not per chunk (the fn is an
+            # LLM call in production)
+            if section_title not in summary_cache:
+                summary_cache[section_title] = summarize_fn(
+                    section_title, section_first_par.get(section_title, ""))
+            return summary_cache[section_title]
         return section_title
 
     for page_no, page in enumerate(pages, start=1):
@@ -307,6 +325,7 @@ def preprocess_dir(
     deterministic ingest order of ``load_processed_dir``)."""
     os.makedirs(out_dir, exist_ok=True)
     written: List[str] = []
+    used = set()
     for name in sorted(os.listdir(src_dir)):
         stem, ext = os.path.splitext(name)
         if ext.lower() not in (".txt", ".md", ".markdown"):
@@ -316,7 +335,11 @@ def preprocess_dir(
         rows = preprocess_document(
             text, date_from_filename(name, default_date), doc_name=stem,
             target_chars=target_chars, summarize_fn=summarize_fn)
-        out_path = os.path.join(out_dir, f"{stem}.json")
+        out_name = f"{stem}.json"
+        if out_name in used:     # report.md + report.txt must not collide
+            out_name = f"{stem}_{ext.lstrip('.')}.json"
+        used.add(out_name)
+        out_path = os.path.join(out_dir, out_name)
         with open(out_path, "w", encoding="utf-8") as f:
             json.dump(rows, f, ensure_ascii=False, indent=1)
         written.append(out_path)

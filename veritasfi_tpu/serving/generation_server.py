@@ -99,6 +99,14 @@ class GenerationServer:
         self.speculative_k = int(speculative_k)
         self.ngram = int(ngram)
         self.cache_dtype = cache_dtype
+        # a prompt padded to prefill_chunk must fit the ring window, else
+        # prefill writes past the cache and the mask init silently clips;
+        # prompts are truncated (keep-tail) to the largest padded length
+        # that fits — same truncation semantics as max_prompt_len
+        self.prefill_chunk = min(self.prefill_chunk, window)
+        self._prompt_cap = min(
+            max_prompt_len, (window // self.prefill_chunk)
+            * self.prefill_chunk)
 
         a = self.arch
         self._cache = [
@@ -261,13 +269,20 @@ class GenerationServer:
             rows[:, None], jnp.minimum(js, kd - 1)], self.arch.pad_id)
         emit = jnp.where(js == accepted[:, None], final[:, None], emit)
         emit = jnp.where(active[:, None], emit, self.arch.pad_id)
-        # commit key-mask bits for [off .. off+accepted] (current token +
-        # accepted drafts); rejected writes stay masked
+        # commit key-mask bits for the written ring slots: True for the
+        # current token + accepted drafts, False otherwise. This must be a
+        # SET, not an OR: the forward overwrote k/v at ALL kd+1 slots for
+        # every row (pad drafts included), so once the ring has wrapped the
+        # old entries there are destroyed — ORing would leave stale True
+        # bits pointing at garbage keys. Post-wrap, a row's effective
+        # window is therefore temporarily smaller by (kd - accepted) until
+        # ``off`` re-reaches the clobbered slots — the unavoidable cost of
+        # in-place draft verification on a ring buffer.
         w = self.window
         slots = (off[:, None] + js[:, :kd + 1]) % w
         keep = (js <= accepted[:, None]) & active[:, None]
-        cache = [(k, v, km.at[rows[:, None], slots].set(
-            km[rows[:, None], slots] | keep)) for k, v, km in cache]
+        cache = [(k, v, km.at[rows[:, None], slots].set(keep))
+                 for k, v, km in cache]
         adv = jnp.where(active, accepted + 1, 0)
         return (cache, jnp.where(active, final, tok), pos + adv, off + adv,
                 rng, emit, accepted)
@@ -310,7 +325,7 @@ class GenerationServer:
                 self._closed = True
                 break
             slot = free[0]
-            row = req.prompt[-self.max_prompt_len:]
+            row = req.prompt[-self._prompt_cap:]
             c = self.prefill_chunk
             padded = max(-(-len(row) // c) * c, c)
             ids, mask = left_pad([row], self.arch.pad_id)
@@ -410,14 +425,20 @@ class GenerationServer:
                 kd = self.speculative_k
                 drafts_np = np.full((self.slots, kd), self.arch.pad_id,
                                     np.int32)
-                found = False
+                n_drafting = 0
                 for slot in range(self.slots):
                     if self._active[slot] and self._temp_host[slot] <= 0:
                         d = self._draft(slot)
                         if d:
                             drafts_np[slot, : len(d)] = d
-                            found = True
-                if found:
+                            n_drafting += 1
+                # a spec step advances non-drafting slots by only ONE token
+                # (vs `chunk` in the scan) — take it only when drafting
+                # slots are not outnumbered, so a single heavy-quoting
+                # stream can't starve a batch of sampling streams down to
+                # one token per readback
+                n_other = int(self._active.sum()) - n_drafting
+                if n_drafting and n_drafting >= n_other:
                     drafts = drafts_np
             if drafts is not None:
                 with profiler.span("generation_spec_step"):
