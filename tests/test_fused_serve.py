@@ -319,3 +319,69 @@ def test_serve_wave_batched_matches_serial():
         assert s1 == s2 == s3
         np.testing.assert_allclose(d1["logits"], d2["logits"],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_titles_without_ts_embeddings_disable_title_path():
+    """A corpus that lists title_texts but has no ts_embeddings (e.g. the
+    embeddings file was never written) must serve like the classic engine:
+    title path disabled, no crash (regression: ts_k was clamped only by
+    len(title_texts), so the first serve() blew up in lax.top_k)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    index = synth_corpus(120, rng)
+    assert index.ts_embeddings is not None
+    index.ts_embeddings = None          # titles present, embeddings absent
+    encoder = TextEncoder(preset="tiny-test", dtype=jnp.float32,
+                          max_length=64)
+    d = encoder.encode(["probe"]).shape[1]
+    index.embeddings = normalize_rows(
+        rng.normal(size=(120, d)).astype(np.float32))
+    reranker = EncoderReranker(preset="tiny-test", passage_max_length=64)
+    engine = EnsembleRetriever(index, encoder.encode, bm25=None, k=5,
+                               encoder=encoder)
+    fused = FusedServePath(index, reranker, encoder=encoder, k=5,
+                           rerank_cap=10)
+    assert fused.ts_k == 0
+    for t in index.texts:
+        reranker.tokenize_passage(t)
+    full, chunks_o, scores_o, sel_o = oracle(
+        engine, reranker, index, "revenue margin europe", [], cap=10)
+    chunks_f, sel_f, diag = fused.serve("revenue margin europe", [],
+                                        QUERY_TIME)
+    assert [c["_row"] for c in chunks_f] == [c["_row"] for c in chunks_o]
+    assert sel_f == sel_o
+
+
+def test_long_query_negative_budget_grows_seq():
+    """A query whose prefix alone exceeds the standard seq bucket
+    (budget < 0, empty passage slices) must grow the bucket instead of
+    truncating the prefix, matching the classic path's logits."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(8)
+    index = synth_corpus(80, rng)
+    encoder = TextEncoder(preset="tiny-test", dtype=jnp.float32,
+                          max_length=64)
+    d = encoder.encode(["probe"]).shape[1]
+    index.embeddings = normalize_rows(
+        rng.normal(size=(80, d)).astype(np.float32))
+    index.ts_embeddings = normalize_rows(rng.normal(
+        size=(index.ts_embeddings.shape[0], d)).astype(np.float32))
+    # tiny passage budget, large query allowance -> prefix > seq bucket
+    reranker = EncoderReranker(preset="tiny-test", passage_max_length=48,
+                               query_max_length=160)
+    engine = EnsembleRetriever(index, encoder.encode, bm25=None, k=5,
+                               encoder=encoder)
+    fused = FusedServePath(index, reranker, encoder=encoder, k=5,
+                           rerank_cap=10)
+    for t in index.texts:
+        reranker.tokenize_passage(t)
+    query = " ".join(f"metric{i} growth value" for i in range(60))
+    full, chunks_o, scores_o, sel_o = oracle(
+        engine, reranker, index, query, [], cap=10)
+    chunks_f, sel_f, diag = fused.serve(query, [], QUERY_TIME)
+    assert [c["_row"] for c in chunks_f] == [c["_row"] for c in chunks_o]
+    np.testing.assert_allclose(diag["logits"][: len(chunks_o)], scores_o,
+                               rtol=2e-4, atol=2e-4)
+    assert sel_f == sel_o

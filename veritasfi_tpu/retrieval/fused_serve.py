@@ -310,7 +310,12 @@ class FusedServePath:
         self.embed_fn = embed_fn
         self.bm25 = bm25
         self.k = min(k, corpus.num_chunks)
-        t = len(corpus.title_texts)
+        # title path needs BOTH title texts and title embeddings (a corpus
+        # saved without ts_embeddings still lists titles; the classic
+        # engine disables the path the same way — ts_dense is None there)
+        ts_arr = corpus.ts_embeddings
+        t = (len(corpus.title_texts)
+             if ts_arr is not None and len(ts_arr) else 0)
         self.ts_k = min(ts_k if ts_k is not None else k, t)
         self.bm25_k = (bm25_k if bm25_k is not None else k) if bm25 else 0
         self.enable_expand = enable_expand
@@ -403,7 +408,17 @@ class FusedServePath:
         # packed arrays (one int32, one float32) instead of eight
         from concurrent.futures import ThreadPoolExecutor
 
-        self._bm25_pool = ThreadPoolExecutor(max_workers=1)
+        # sized for wave concurrency: every request's host prep submits a
+        # BM25 job here; one worker would serialize a whole wave's preps
+        self._bm25_pool = ThreadPoolExecutor(max_workers=4)
+        # HF fast tokenizers are not thread-safe and host prep runs in the
+        # caller's thread (RetrievalBatcher.submit) — serialize tokenizer use
+        import threading
+
+        self._tok_lock = threading.Lock()
+
+    def close(self) -> None:
+        self._bm25_pool.shutdown(wait=False)
 
     # -- the fused program --------------------------------------------------
     def _unpack(self, pack_i, pack_f, *, num_q, enc_len, seq, with_encoder):
@@ -543,7 +558,8 @@ class FusedServePath:
         from ..models.encoder import _bucket_length
 
         enc = self.encoder
-        batch = enc.tokenizer(inputs, enc.max_length)
+        with self._tok_lock:
+            batch = enc.tokenizer(inputs, enc.max_length)
         seq = batch["input_ids"].shape[1]
         bucket = _bucket_length(seq, enc.max_length)
         pad = bucket - seq
@@ -559,14 +575,17 @@ class FusedServePath:
         pml = rr.passage_max_length
         if self._decoder:
             # [bos] 'A: {q}' '\n' ... (CrossEncoderReranker.encode_pair)
-            q_ids = rr._encode_raw(f"A: {query}")[: pml * 3 // 4]
+            with self._tok_lock:
+                q_ids = rr._encode_raw(f"A: {query}")[: pml * 3 // 4]
             prefix = [rr.arch.bos_id] + list(q_ids) + list(rr._sep_ids)
             budget = pml - len(q_ids) - 1 - len(rr._sep_ids)
         else:
             hf = getattr(rr.tokenizer, "hf", None)
             if hf is not None:
-                q_ids = hf(query, add_special_tokens=False, truncation=True,
-                           max_length=rr.query_max_length)["input_ids"]
+                with self._tok_lock:
+                    q_ids = hf(query, add_special_tokens=False,
+                               truncation=True,
+                               max_length=rr.query_max_length)["input_ids"]
             else:
                 from ..models.tokenizer import basic_tokens
 
@@ -589,7 +608,7 @@ class FusedServePath:
 
     def enqueue(self, query: str, hyde_chunks: Sequence[str],
                 query_time) -> Tuple:
-        """Host prep + async dispatch; returns (device outputs, token) —
+        """Host prep + async dispatch; returns the device outputs tuple —
         no host readback. Use finish() to complete. Lets a server enqueue a
         whole wave of requests and pay ONE transport round-trip for all."""
         from ..rerank.fusion import _to_days
@@ -639,6 +658,13 @@ class FusedServePath:
         row_max = (len(prefix) + min(self._plen_max, max(budget, 0))
                    + len(self._suffix_host))
         seq = min(self._seq, max(-(-row_max // 64) * 64, 64))
+        # a very long query can make prefix+suffix alone exceed the
+        # standard bucket (budget < 0, empty passages) — grow the bucket
+        # rather than truncating the prefix, matching the classic path's
+        # length-derived bucketing (EncoderReranker.score_tokens)
+        base = len(prefix) + len(self._suffix_host)
+        if base > seq:
+            seq = max(-(-base // 64) * 64, 64)
         num_q = len(inputs)
         with_encoder = self.encoder is not None
         if with_encoder:
