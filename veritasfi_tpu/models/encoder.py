@@ -295,9 +295,11 @@ class TextEncoder:
             self._forward = jax.jit(self.module.apply)
         return self
 
-    def encode(self, texts: List[str]) -> np.ndarray:
-        if not texts:
-            return np.zeros((0, self.arch.hidden), np.float32)
+    def tokenize_padded(self, texts: List[str]):
+        """(ids, mask) int32 arrays padded to the power-of-two length
+        bucket — the ONE tokenization used by every encoder consumer
+        (encode here, the fused ensemble search, the fused serve path), so
+        their token matrices can never drift apart."""
         batch = self.tokenizer(texts, self.max_length)
         seq = batch["input_ids"].shape[1]
         bucket = _bucket_length(seq, self.max_length)
@@ -305,6 +307,12 @@ class TextEncoder:
         ids = np.pad(batch["input_ids"], ((0, 0), (0, pad)),
                      constant_values=self.arch.pad_id)
         mask = np.pad(batch["attention_mask"], ((0, 0), (0, pad)))
+        return ids.astype(np.int32), mask.astype(np.int32)
+
+    def encode(self, texts: List[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.arch.hidden), np.float32)
+        ids, mask = self.tokenize_padded(texts)
         out = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))
         return np.asarray(out, dtype=np.float32)
 

@@ -166,9 +166,11 @@ class EncoderReranker:
             self._passage_cache[passage] = ids
         return ids
 
-    def encode_pairs_cached(self, query: str,
-                            passages: List[str]) -> List[List[int]]:
-        """Pair rows with passage tokens served from the cache."""
+    def pair_layout(self, query: str):
+        """Canonical pair-row layout: (prefix, passage budget, suffix) with
+        row = prefix + passage_tokens[:max(budget, 0)] + suffix. The ONE
+        source of the [cls] q [sep] p [sep] framing — encode_pairs_cached
+        and the fused serve path both call it, so they cannot drift."""
         hf = getattr(self.tokenizer, "hf", None)
         if hf is not None:
             q_ids = hf(query, add_special_tokens=False, truncation=True,
@@ -182,10 +184,16 @@ class EncoderReranker:
                      for t in basic_tokens(query)][: self.query_max_length]
             cls_id, sep_id = self.tokenizer.cls_id, self.tokenizer.sep_id
         budget = self.passage_max_length - len(q_ids) - 3
+        return [cls_id] + list(q_ids) + [sep_id], budget, [sep_id]
+
+    def encode_pairs_cached(self, query: str,
+                            passages: List[str]) -> List[List[int]]:
+        """Pair rows with passage tokens served from the cache."""
+        prefix, budget, suffix = self.pair_layout(query)
         rows = []
         for p in passages:
             p_ids = self.tokenize_passage(p)[: max(budget, 0)]
-            rows.append([cls_id] + q_ids + [sep_id] + p_ids + [sep_id])
+            rows.append(prefix + p_ids + suffix)
         return rows
 
     # -- fused scoring + similarity ----------------------------------------

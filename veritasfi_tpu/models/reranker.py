@@ -356,15 +356,26 @@ class CrossEncoderReranker:
 
         return [self.tokenizer.token_id(t) for t in basic_tokens(text)]
 
+    def pair_layout(self, query: str):
+        """Canonical pair-row layout: (prefix, passage budget, suffix) with
+        row = prefix + passage_tokens[:max(budget, 0)] + suffix, passages
+        tokenized as 'B: {p}'. The ONE source of the
+        [bos] 'A: {q}' \\n 'B: {p}' \\n {instruction} framing
+        (format: reference stress_test.py:97-131) — encode_pair and the
+        fused serve path both call it, so they cannot drift."""
+        q_ids = self._encode_raw(
+            f"A: {query}")[: self.passage_max_length * 3 // 4]
+        budget = (self.passage_max_length - len(q_ids) - 1
+                  - len(self._sep_ids))
+        prefix = [self.arch.bos_id] + list(q_ids) + list(self._sep_ids)
+        return prefix, budget, list(self._sep_ids) + list(self._prompt_ids)
+
     def encode_pair(self, query: str, passage: str) -> List[int]:
         """[bos] 'A: {q}' \\n 'B: {p}' \\n {instruction}
         (format: stress_test.py:97-131; lengths: train_bge_rr.sh:20-21)."""
-        q_ids = self._encode_raw(f"A: {query}")[: self.passage_max_length * 3 // 4]
-        p_ids = self._encode_raw(f"B: {passage}")
-        budget = self.passage_max_length - len(q_ids) - 1 - len(self._sep_ids)
-        p_ids = p_ids[: max(budget, 0)]
-        return ([self.arch.bos_id] + q_ids + self._sep_ids + p_ids
-                + self._sep_ids + self._prompt_ids)
+        prefix, budget, suffix = self.pair_layout(query)
+        p_ids = self._encode_raw(f"B: {passage}")[: max(budget, 0)]
+        return prefix + p_ids + suffix
 
     # -- scoring ---------------------------------------------------------
     def score_tokens(self, rows: List[List[int]]) -> np.ndarray:

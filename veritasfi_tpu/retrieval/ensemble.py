@@ -438,16 +438,8 @@ class EnsembleRetriever:
                        ts_rows=None) -> Dict[str, np.ndarray]:
         """Fused embed+search: tokenize on host, everything else in one
         device dispatch."""
-        from ..models.encoder import _bucket_length
-
         enc = self.encoder
-        batch = enc.tokenizer(inputs, enc.max_length)
-        seq = batch["input_ids"].shape[1]
-        bucket = _bucket_length(seq, enc.max_length)
-        pad = bucket - seq
-        ids = np.pad(batch["input_ids"], ((0, 0), (0, pad)),
-                     constant_values=enc.arch.pad_id)
-        mask = np.pad(batch["attention_mask"], ((0, 0), (0, pad)))
+        ids, mask = enc.tokenize_padded(inputs)
         ts_emb, prev_dev, next_dev, k, ts_k = self._search_args()
         out = self._embed_search(
             enc.params, jnp.asarray(ids), jnp.asarray(mask),

@@ -348,25 +348,18 @@ class FusedServePath:
         # reranker family: decoder (gemma yes-logit) vs encoder (CLS logit)
         rr = reranker
         self._decoder = hasattr(rr, "yes_id")
+        # the query-independent suffix comes from the reranker's canonical
+        # layout (same source _query_prefix uses at serve time)
+        _, _, suffix = rr.pair_layout("")
         if self._decoder:
             from ..models.reranker import yes_logit_score
 
-            suffix = list(rr._sep_ids) + list(rr._prompt_ids)
             toks = [rr._encode_raw("B: " + t)[: rr.passage_max_length]
                     for t in corpus.texts]
             self._score_fn = (
                 lambda p, i, m: yes_logit_score(rr.module, p, i, m, rr.yes_id))
             seq_max = rr.passage_max_length + len(suffix)
         else:
-            hf = getattr(rr.tokenizer, "hf", None)
-            if hf is not None:
-                self._cls = (hf.cls_token_id
-                             if hf.cls_token_id is not None else 0)
-                sep = hf.sep_token_id if hf.sep_token_id is not None else 2
-            else:
-                self._cls, sep = rr.tokenizer.cls_id, rr.tokenizer.sep_id
-            self._sep = sep
-            suffix = [sep]
             toks = [rr.tokenize_passage(t)[: rr.passage_max_length]
                     for t in corpus.texts]
             self._score_fn = lambda p, i, m: rr.module.apply(p, i, m)
@@ -555,44 +548,18 @@ class FusedServePath:
 
     # -- host orchestration --------------------------------------------------
     def _encoder_tokens(self, inputs: List[str]):
-        from ..models.encoder import _bucket_length
-
-        enc = self.encoder
+        # the shared canonical tokenization (TextEncoder.tokenize_padded) —
+        # the classic search path uses the same call, so the fused path can
+        # never embed a different token matrix
         with self._tok_lock:
-            batch = enc.tokenizer(inputs, enc.max_length)
-        seq = batch["input_ids"].shape[1]
-        bucket = _bucket_length(seq, enc.max_length)
-        pad = bucket - seq
-        ids = np.pad(batch["input_ids"], ((0, 0), (0, pad)),
-                     constant_values=enc.arch.pad_id)
-        mask = np.pad(batch["attention_mask"], ((0, 0), (0, pad)))
-        return ids.astype(np.int32), mask.astype(np.int32)
+            return self.encoder.tokenize_padded(inputs)
 
     def _query_prefix(self, query: str) -> Tuple[List[int], int]:
-        """(prefix token list, passage budget) — the family-specific pair
-        layout around the gathered passage tokens."""
-        rr = self.reranker
-        pml = rr.passage_max_length
-        if self._decoder:
-            # [bos] 'A: {q}' '\n' ... (CrossEncoderReranker.encode_pair)
-            with self._tok_lock:
-                q_ids = rr._encode_raw(f"A: {query}")[: pml * 3 // 4]
-            prefix = [rr.arch.bos_id] + list(q_ids) + list(rr._sep_ids)
-            budget = pml - len(q_ids) - 1 - len(rr._sep_ids)
-        else:
-            hf = getattr(rr.tokenizer, "hf", None)
-            if hf is not None:
-                with self._tok_lock:
-                    q_ids = hf(query, add_special_tokens=False,
-                               truncation=True,
-                               max_length=rr.query_max_length)["input_ids"]
-            else:
-                from ..models.tokenizer import basic_tokens
-
-                q_ids = [rr.tokenizer.token_id(t)
-                         for t in basic_tokens(query)][: rr.query_max_length]
-            prefix = [self._cls] + list(q_ids) + [self._sep]
-            budget = pml - len(q_ids) - 3
+        """(prefix token list, passage budget) — delegates to the
+        reranker's canonical ``pair_layout`` (the suffix was captured at
+        construction; it is query-independent in both families)."""
+        with self._tok_lock:
+            prefix, budget, _ = self.reranker.pair_layout(query)
         return prefix, budget
 
     def _bm25_inputs(self, query: str):
