@@ -174,3 +174,32 @@ def test_rank_chunk_fused_scorer_path():
     sel = cm.rank_chunk(chunks, "q", datetime(2024, 1, 1), R())
     assert sel == [0, 1]
     assert calls == [("q", 2, (2, 8))]
+
+
+def test_if_query_rag_rejects_empty_list():
+    """'[]' parses as a valid list but crashes every answer path —
+    validation must route it to the [question] fallback."""
+    cm, _ = manager(ScriptedBrain())
+    cm.llm = FakeLLM(lambda messages, **kw: "[]\n2024-01-01\nYES")
+    rew = cm.if_query_rag("original question", "")
+    assert rew == ["original question"]
+
+
+def test_if_query_rag_json_fallback_on_garbage():
+    """The JSON variant must fall back to [question] like if_query_rag —
+    not return the previous turn's rewrittens (or [] on a fresh manager)."""
+    cm, _ = manager(ScriptedBrain())
+    cm.llm = FakeLLM(lambda messages, **kw: "not json at all")
+    rew = cm.if_query_rag_json("standalone question", "")
+    assert rew == ["standalone question"]
+    assert cm.need_rag is True
+
+
+def test_chat_history_capped():
+    cm, _ = manager(ScriptedBrain())
+    for i in range(230):
+        cm.chat_history.append({"role": "user", "content": f"x{i}"})
+        cm.all_chat_history.append({"role": "user", "content": f"x{i}"})
+    cm.chat_internal("question", "ctx", None, "English")
+    assert len(cm.chat_history) <= 201
+    assert len(cm.all_chat_history) <= 201

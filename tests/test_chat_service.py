@@ -200,3 +200,51 @@ def test_async_path_fused_batcher_matches_classic(tmp_path):
                 == [c["_row"] for c in ret2[0]])
     finally:
         rb.close()
+
+
+def test_async_sub_answer_timeout_degrades(service):
+    """chat_async returns (q, None) on timeout/error (reference
+    vllmManager.py:611-619); the gather path must degrade to an apology
+    instead of dereferencing None (AttributeError -> HTTP 500)."""
+    service._brain.rewrittens = ["zeekr revenue sub one",
+                                 "zeekr stores sub two"]
+    orig = service._brain.__call__.__func__ if hasattr(
+        service._brain.__call__, "__func__") else None
+
+    base_call = type(service._brain).__call__
+    fired = []
+
+    def failing(brain, messages, **kwargs):
+        user = next((m["content"] for m in reversed(messages)
+                     if isinstance(m, dict) and m.get("role") == "user"), "")
+        if "sub two" in user and kwargs.get("tools") is None and \
+                "Retrieved Context" in user:
+            fired.append(True)
+            raise RuntimeError("simulated LLM failure")
+        return base_call(service._brain, messages, **kwargs)
+
+    type(service._brain).__call__ = failing
+    try:
+        answer, *_ = service.generate_response_async("two things?", "s9")
+    finally:
+        type(service._brain).__call__ = base_call
+    assert fired, "simulated failure never triggered — test is vacuous"
+    assert answer.startswith("MERGED:")
+
+
+def test_batcher_submit_after_close_raises(tmp_path):
+    import pytest as _pytest
+
+    from veritasfi_tpu.serving.retrieval_batcher import RetrievalBatcher
+
+    class _Serve:
+        def enqueue(self, *a):
+            return ("out",)
+
+        def _format(self, h):
+            return ([], [], {})
+
+    b = RetrievalBatcher(_Serve())
+    b.close()
+    with _pytest.raises(RuntimeError):
+        b.submit("q", [], "2024-01-01")

@@ -140,8 +140,8 @@ class ChatManager:
                 self.rewrittens = ast.literal_eval(lines[0].strip())
                 self.query_time = datetime.strptime(lines[1].strip(), "%Y-%m-%d")
                 self.need_rag = "yes" in lines[2].strip().lower()
-                assert isinstance(self.rewrittens, list), \
-                    "Rewritten question must be a list"
+                assert isinstance(self.rewrittens, list) and self.rewrittens, \
+                    "Rewritten question must be a non-empty list"
                 break
             except Exception as e:
                 logger.warning("Error in if_query_rag: %s. Retry...", e)
@@ -175,12 +175,18 @@ class ChatManager:
                     {"role": "user", "content": question},
                 ])
                 data = json.loads(completion.choices[0].message.content)
-                assert isinstance(data["rewritten"], list)
+                assert isinstance(data["rewritten"], list) and \
+                    data["rewritten"]
                 self.need_rag = True
                 self.rewrittens = data["rewritten"]
                 break
             except Exception as e:
                 logger.warning("Error in if_query_rag_json: %s", e)
+                # same safe fallback as if_query_rag: without it a parse
+                # failure would return the PREVIOUS question's rewrittens
+                # (or [] on a fresh manager, crashing every answer path)
+                self.need_rag = True
+                self.rewrittens = [question]
                 continue
         return self.rewrittens
 
@@ -293,6 +299,15 @@ class ChatManager:
 
         self.chat_history.append(user_message)
         self.all_chat_history.append(user_message)
+        # the reference grows these without bound (vllmManager.py:502-503;
+        # save_chat_history/_trim are dead code there, the functional
+        # history is the 20-turn qa ring). Cap them so a long-lived session
+        # can't leak multi-KB templated prompts indefinitely — the cap is
+        # far above anything form_chat_history/get_chat_history consume.
+        if len(self.chat_history) > 200:
+            del self.chat_history[:100]
+        if len(self.all_chat_history) > 200:
+            del self.all_chat_history[:100]
 
         messages = [{"role": "system",
                      "content": prompts.get_sys_prompt(self.company) + time_info}]
@@ -327,6 +342,9 @@ class ChatManager:
     async def chat_async(self, user_input: str, rag_context: str = "",
                          rag_docu_time=None, lang: str = "en",
                          potential_qa=None) -> Tuple[str, object]:
+        """Parity note: ``rag_docu_time`` is accepted but unused — the
+        reference's time_info disclaimer is commented out in its async
+        path (vllmManager.py:569-578); only chat_internal emits it."""
         potential_qa = potential_qa if potential_qa is not None else [{}]
         try:
             messages = [{"role": "system",
@@ -488,18 +506,28 @@ class ChatManager:
         return history
 
     def modify_previous_assistant_message(self, interrupt_index: int) -> None:
+        # Parity note: in the live serving flow this is a no-op exactly as
+        # in the reference (vllmManager.py:657-669) — chat_history only
+        # ever holds user messages because save_chat_history's sole call
+        # site is commented out there (vllmChatService.py:309), and even it
+        # stores role "response", not "assistant". Kept verbatim as part of
+        # the protocol surface.
         for message in reversed(self.chat_history):
             if message["role"] == "assistant":
                 message["content"] = message["content"][:interrupt_index]
                 break
 
     def save_chat_history(self, response: str) -> None:
+        # dead in the reference serving flow (see modify_previous_... note);
+        # the role-"response" quirk is reference-verbatim (vllmManager.py:673)
         assistant_message = {"role": "response", "content": response}
         self.chat_history.append(assistant_message)
         self.all_chat_history.append(assistant_message)
         self._trim_chat_history()
 
     def _trim_chat_history(self) -> None:
+        # reference-verbatim, including its assumption that entry 0 is a
+        # system message (it never is — vllmManager.py:678-681)
         non_system = [m for m in self.chat_history if m["role"] != "system"]
         if len(non_system) > self.history_limit:
             self.chat_history = ([self.chat_history[0]]

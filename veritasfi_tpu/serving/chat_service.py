@@ -283,7 +283,12 @@ class ChatService:
                                 internal_input: Optional[str] = None,
                                 interrupt_index: Optional[int] = None):
         """Production path: sub-question chats gathered concurrently
-        (vllmChatService.py:339-451)."""
+        (vllmChatService.py:339-451).
+
+        Parity note: ``internal_input``/``interrupt_index`` are accepted
+        but unused here, exactly as in the reference (its async body never
+        references either, vllmChatService.py:339-451); only the sync path
+        wires them through chat_internal."""
         chat_manager = self.get_or_create_chat_manager(session_id)
         lang = self._lang(question)
         qa_history = chat_manager.get_qa_history()
@@ -320,13 +325,23 @@ class ChatService:
         finally:
             loop.close()
 
+        # chat_async returns (q, None) on timeout/error (reference
+        # vllmManager.py:611-619); degrade to an apology instead of
+        # dereferencing None (the reference crashes here — its own comment
+        # says the None was meant "to prevent errors downstream")
+        def _content(resp) -> str:
+            if resp is None:
+                return ("I'm sorry — the answer to this sub-question timed "
+                        "out. Please try again.")
+            return resp.choices[0].message.content
+
         if len(rewrittens) > 1:
-            chat_answers = [r.choices[0].message.content for _, r in chat_resps]
+            chat_answers = [_content(r) for _, r in chat_resps]
             chat_questions = [q for q, _ in chat_resps]
             final_answer = chat_manager.modify_answer(
                 chat_answers, question, chat_questions, stream=False, lang=lang)
         else:
-            final_answer = chat_resps[0][1].choices[0].message.content
+            final_answer = _content(chat_resps[0][1])
 
         chat_manager.add_to_qa_history(question, final_answer)
         chat_manager.all_retrieved_content = all_retrieved_content
@@ -379,15 +394,24 @@ class ChatService:
                 profiler.start("answer_sub")
                 chat_resps = loop.run_until_complete(asyncio.gather(*chat_tasks))
                 profiler.end("answer_sub")
-                chat_answers = [r.choices[0].message.content
-                                for _, r in chat_resps]
+                # (q, None) on sub-answer timeout — degrade, don't crash
+                chat_answers = [
+                    (r.choices[0].message.content if r is not None else
+                     "I'm sorry — the answer to this sub-question timed "
+                     "out. Please try again.")
+                    for _, r in chat_resps]
                 chat_questions = [q for q, _ in chat_resps]
                 answer = chat_manager.modify_answer(
                     chat_answers, question, chat_questions, stream=True,
                     lang=lang)
         except Exception as e:
+            # by the time the generator runs, the server has already
+            # prepared the event-stream response — an SSE error frame is
+            # the only way the client learns of a setup failure (the
+            # mid-stream handler below does the same, reference :561-563)
             logger.error("Error during task execution: %s", e)
-            raise
+            yield "data: " + json.dumps({"error": str(e)}) + "\n\n"
+            answer = None
         finally:
             pending = [t for t in asyncio.all_tasks(loop) if not t.done()]
             for t in pending:
@@ -397,7 +421,7 @@ class ChatService:
         final_answer = ""
         try:
             first_flag = True
-            for chunk in answer:
+            for chunk in (answer or []):
                 if first_flag:
                     first_flag = False
                     profiler.end("answer_stream")

@@ -41,6 +41,8 @@ class RetrievalBatcher:
         """Tokenize + dispatch in the caller's thread (parallel host prep),
         then hand the in-flight device outputs to the wave dispatcher.
         Resolves to (chunks, selected_bundle_ids, diag)."""
+        if self._closed:
+            raise RuntimeError("RetrievalBatcher is closed")
         fut: Future = Future()
         # per-request mega-program (search+rerank+select in one): measured
         # fastest on v5e — see FusedServePath.serve_wave's batch_rerank note
@@ -64,6 +66,7 @@ class RetrievalBatcher:
                     return
                 continue
             if first is None:
+                self._drain_failed()
                 return
             batch: List[Tuple] = [first]
             t0 = time.perf_counter()
@@ -77,9 +80,23 @@ class RetrievalBatcher:
                     break
                 if item is None:
                     self._complete(jax, batch)
+                    self._drain_failed()
                     return
                 batch.append(item)
             self._complete(jax, batch)
+
+    def _drain_failed(self) -> None:
+        """Fail any request that raced past the closed-check — a future
+        left in the queue after the dispatcher exits would hang its
+        session thread forever."""
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None and not item[1].done():
+                item[1].set_exception(
+                    RuntimeError("RetrievalBatcher closed"))
 
     def _complete(self, jax, batch: List[Tuple]) -> None:
         try:
