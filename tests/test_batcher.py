@@ -78,3 +78,29 @@ def test_length_bucketing():
     for group in seen:
         assert max(group) <= min(group) * 2.0
     b.close()
+
+
+def test_batcher_submit_after_close_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from veritasfi_tpu.rerank.batcher import ContinuousBatcher
+
+    b = ContinuousBatcher(lambda rows: np.zeros((len(rows),), np.float32))
+    b.close()
+    with _pytest.raises(RuntimeError):
+        b.submit_tokens([[1, 2, 3]])
+
+
+def test_batcher_score_length_mismatch_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from veritasfi_tpu.rerank.batcher import ContinuousBatcher
+
+    b = ContinuousBatcher(lambda rows: np.zeros((1,), np.float32))
+    try:
+        with _pytest.raises(RuntimeError):
+            b.score([[1, 2], [3, 4]], timeout=30)
+    finally:
+        b.close()

@@ -117,3 +117,43 @@ def test_get_full_qa_by_id(bank):
     row = bank.get_full_qa_by_id(1)
     assert row["question"] == "极氪的毛利率是多少?"
     assert bank.get_full_qa_by_id(999) is None
+
+
+def test_single_file_holds_both_tables(tmp_path):
+    """db and qa_table in ONE sqlite file: caches must be keyed by
+    (path, table), not path, or the table matchers silently search the
+    frequent_qa_pairs rows."""
+    one = str(tmp_path / "combined.db")
+    MemoryBank.create_db(one, [
+        {"question": "margin?", "question_rewritten":
+         "What is the gross margin?", "answer": "13%"}])
+    MemoryBank.create_table_db(one, [
+        {"question": "stores", "question_rewritten":
+         "How many stores are there?", "Y2024_Q3": "400"},
+    ], period_columns=["Y2024_Q3"])
+    b = MemoryBank(one, one)
+    db_hits = b.find_similar_questions_db("What is the gross margin?")
+    table_hits = b.find_similar_questions_table("How many stores are there?")
+    assert db_hits and db_hits[0][3] == "13%"
+    assert table_hits and table_hits[0][3] == {"Y2024_Q3": "400"}
+
+
+def test_null_question_rewritten_row_does_not_break_table(tmp_path):
+    path = str(tmp_path / "nulls.db")
+    MemoryBank.create_db(path, [
+        {"question": "only original form", "answer": "still findable"},
+        {"question": "q2", "question_rewritten": "rewritten two",
+         "answer": "a2"}])
+    b = MemoryBank(path, None)
+    hits = b.find_similar_questions_db("rewritten two")
+    assert hits and hits[0][3] == "a2"
+    assert b.exact_match("only original form")["answer"] == "still findable"
+
+
+def test_exact_match_returns_copy(bank):
+    q = "Who are the board members of Zeekr?"
+    row = bank.exact_match(q)
+    assert row is not None
+    row["answer"] = "MUTATED"
+    again = bank.exact_match(q)
+    assert again["answer"] == "The board includes An Conghui."

@@ -44,3 +44,32 @@ def test_persistence_roundtrip(tmp_path):
 def test_empty_store():
     store = QAVectorStore(HashEmbedder(dim=64).encode)
     assert store.query_qa("anything") == []
+
+
+def test_load_qa_data_failed_embed_leaves_store_clean():
+    """An embed_fn failure mid-load must not leave ghost docs that
+    misalign docs vs embeddings on retry."""
+    import numpy as np
+    import pytest as _pytest
+
+    from veritasfi_tpu.retrieval.qa_store import QAVectorStore
+
+    calls = {"n": 0}
+
+    def flaky(texts):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("device OOM")
+        out = np.zeros((len(texts), 8), np.float32)
+        out[:, 0] = 1.0
+        return out
+
+    store = QAVectorStore(flaky)
+    item = {"question": "q", "question_rewritten": "qr", "data": {"a": 1}}
+    with _pytest.raises(RuntimeError):
+        store.load_qa_data([item])
+    assert store.docs == [] and store.embeddings is None
+    store.load_qa_data([item])
+    assert len(store.docs) == 1
+    assert store.embeddings is not None and len(store.embeddings) == 1
+    assert store.query_qa("q", 1)[0]["question"] == "q"

@@ -88,3 +88,40 @@ def test_cosine_similarity_matrix():
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     np.testing.assert_allclose(sim, xn @ xn.T, atol=1e-5)
     np.testing.assert_allclose(np.diag(sim), 1.0, atol=1e-5)
+
+
+def test_chunked_topk_exact_order_at_large_indices():
+    """A global index*1e-12 bias reorders genuinely different scores once
+    indices are large (1.5e-7 at row 150k vs one f32 ulp of 6e-8 at score
+    0.9). The chunked kernel must rank by TRUE score at any index."""
+    import numpy as np
+
+    from veritasfi_tpu.ops.topk import dense_topk_chunked
+
+    n, d = 200_000, 2
+    corpus = np.zeros((n, d), np.float32)
+    corpus[:, 1] = 1.0                       # orthogonal to the query
+    hi, lo = 150_000, 10
+    corpus[hi] = [0.9, 0.0]
+    corpus[lo] = [np.float32(0.9) - np.float32(1e-7), 0.0]
+    q = np.asarray([[1.0, 0.0]], np.float32)
+    s, i = dense_topk_chunked(jnp.asarray(corpus), jnp.asarray(q), 2,
+                              block=65536)
+    assert i[0, 0] == hi and i[0, 1] == lo, np.asarray(i)
+    assert float(s[0, 0]) > float(s[0, 1])
+
+
+def test_chunked_topk_exact_ties_prefer_lower_index():
+    import numpy as np
+
+    from veritasfi_tpu.ops.topk import dense_topk_chunked
+
+    n = 140_000
+    corpus = np.zeros((n, 2), np.float32)
+    corpus[:, 1] = 1.0
+    for row in (70_001, 120_000, 5):
+        corpus[row] = [0.8, 0.0]             # exact three-way tie
+    q = np.asarray([[1.0, 0.0]], np.float32)
+    _, i = dense_topk_chunked(jnp.asarray(corpus), jnp.asarray(q), 3,
+                              block=65536)
+    assert list(np.asarray(i[0])) == [5, 70_001, 120_000]

@@ -233,7 +233,14 @@ def build_corpus_index(
     bundle_names: List[str] = []
     bundle_lookup: Dict[str, int] = {}
     bundle_code = np.full(n, -1, dtype=np.int32)
-    title_lookup = {t: i for i, t in enumerate(title_summaries)}
+    # first-wins lookup: a duplicate title string would otherwise map
+    # carriers to the LAST index while the tie-broken title search returns
+    # the FIRST (lower index) — title_rows(first) would come back empty and
+    # the title path silently retrieve nothing (contract.load_processed_dir
+    # dedups, but this is public API taking any Sequence[str])
+    title_lookup: Dict[str, int] = {}
+    for i, t in enumerate(title_summaries):
+        title_lookup.setdefault(t, i)
     title_code = np.full(n, -1, dtype=np.int32)
     prev_idx = np.full(n, -1, dtype=np.int32)
     next_idx = np.full(n, -1, dtype=np.int32)

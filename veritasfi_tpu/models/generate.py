@@ -96,13 +96,37 @@ class Generator:
         self.max_prompt_len = max_prompt_len
         self.max_new_tokens = max_new_tokens
         self.cache_dtype = cache_dtype
+        # only max_new is static (it sets shapes); temperature/top_p/eos are
+        # TRACED so a client sweeping sampling params never recompiles the
+        # whole prefill+decode program
         self._generate = jax.jit(
-            self._generate_impl,
-            static_argnames=("max_new", "temperature", "top_p", "eos_id"))
+            self._generate_impl, static_argnames=("max_new",))
+        self._auto_seed = 0
+
+    def _next_seed(self, seed: Optional[int]) -> int:
+        """Explicit seeds reproduce; None varies per call (OpenAI-style
+        nondeterministic sampling unless the client pins a seed)."""
+        if seed is not None:
+            return seed
+        self._auto_seed += 1
+        return self._auto_seed
+
+    def _prep_prompt(self, rows: List[List[int]]):
+        """Truncate (keep tail) + left-pad + power-of-two bucket — the one
+        prompt prep shared by the batch and streaming paths."""
+        rows = [r[-self.max_prompt_len:] for r in rows]
+        ids, mask = left_pad(rows, self.arch.pad_id)
+        bucket = 1 << max(4, (ids.shape[1] - 1).bit_length())
+        pad = bucket - ids.shape[1]
+        if pad:
+            ids = np.pad(ids, ((0, 0), (pad, 0)),
+                         constant_values=self.arch.pad_id)
+            mask = np.pad(mask, ((0, 0), (pad, 0)))
+        return ids, mask
 
     # ------------------------------------------------------------------
-    def _generate_impl(self, params, ids, mask, rng, max_new: int,
-                       temperature: float, top_p: float, eos_id: int):
+    def _generate_impl(self, params, ids, mask, rng, temperature, top_p,
+                       eos_id, max_new: int):
         b, prompt_len = ids.shape
         total = prompt_len + max_new
         cache = init_cache(self.arch, b, total, self.cache_dtype)
@@ -116,11 +140,13 @@ class Generator:
             positions=positions)
         last_logits = logits[:, -1, :]
         next_pos = positions[:, -1] + 1                  # [B]
+        temp_v = jnp.broadcast_to(temperature, (b,))
+        topp_v = jnp.broadcast_to(top_p, (b,))
 
         def step(carry, i):
             cache, last_logits, pos, rng, done = carry
             rng, key = jax.random.split(rng)
-            tok = _sample(last_logits, key, temperature, top_p)
+            tok = _sample_rows(last_logits, key, temp_v, topp_v)
             tok = jnp.where(done, eos_id, tok)
             offset = prompt_len + i
             cache = [(k, v, km.at[:, offset].set(~done))
@@ -142,7 +168,8 @@ class Generator:
     def generate_stream(self, prompt_row: List[int],
                         max_new_tokens: Optional[int] = None,
                         temperature: float = 0.0, top_p: float = 0.8,
-                        eos_id: Optional[int] = None, seed: int = 0):
+                        eos_id: Optional[int] = None,
+                        seed: Optional[int] = None):
         """Token-by-token generator (true streaming): compiled prefill +
         one compiled step per token, yielding each token id as it is
         sampled. Costs one device round-trip per token (the scan-based
@@ -157,6 +184,10 @@ class Generator:
                 return logits[:, -1, :], cache, positions[:, -1] + 1
 
             def step(params, cache, tok, offset, pos):
+                # mask update folded in: a host-side .at[].set here would be
+                # one extra dispatch per layer per token through the relay
+                cache = [(k, v, km.at[:, offset].set(True))
+                         for k, v, km in cache]
                 logits, cache = self.module.apply(
                     params, tok[:, None], jnp.ones((1, 1), jnp.int32),
                     cache=cache, cache_offset=offset,
@@ -164,20 +195,14 @@ class Generator:
                 return logits[:, -1, :], cache
 
             self._prefill_jit = jax.jit(prefill)
-            self._step_jit = jax.jit(step)
+            self._step_jit = jax.jit(step, donate_argnums=(1,))
             self._sample_jit = jax.jit(
                 _sample, static_argnames=("temperature", "top_p"))
 
         eos = eos_id if eos_id is not None else self.arch.bos_id + 1
-        max_new = max_new_tokens or self.max_new_tokens
-        row = prompt_row[-self.max_prompt_len:]
-        ids, mask = left_pad([row], self.arch.pad_id)
-        bucket = 1 << max(4, (ids.shape[1] - 1).bit_length())
-        pad = bucket - ids.shape[1]
-        if pad:
-            ids = np.pad(ids, ((0, 0), (pad, 0)),
-                         constant_values=self.arch.pad_id)
-            mask = np.pad(mask, ((0, 0), (pad, 0)))
+        max_new = (self.max_new_tokens if max_new_tokens is None
+                   else max_new_tokens)
+        ids, mask = self._prep_prompt([prompt_row])
         prompt_len = ids.shape[1]
         cache = init_cache(self.arch, 1, prompt_len + max_new,
                            self.cache_dtype)
@@ -185,7 +210,7 @@ class Generator:
             jnp.asarray(mask).astype(bool))) for k, v, km in cache]
         logits, cache, pos = self._prefill_jit(
             self.params, jnp.asarray(ids), jnp.asarray(mask), cache)
-        rng = jax.random.PRNGKey(seed)
+        rng = jax.random.PRNGKey(self._next_seed(seed))
         for i in range(max_new):
             rng, key = jax.random.split(rng)
             tok = self._sample_jit(logits, key, temperature=float(temperature),
@@ -195,8 +220,6 @@ class Generator:
                 return
             yield tok_val
             offset = jnp.int32(prompt_len + i)
-            cache = [(k, v, km.at[:, prompt_len + i].set(True))
-                     for k, v, km in cache]
             logits, cache = self._step_jit(self.params, cache, tok, offset,
                                            pos)
             pos = pos + 1
@@ -206,22 +229,16 @@ class Generator:
                         max_new_tokens: Optional[int] = None,
                         temperature: float = 0.0, top_p: float = 0.8,
                         eos_id: Optional[int] = None,
-                        seed: int = 0) -> List[List[int]]:
-        rows = [r[-self.max_prompt_len:] for r in prompt_rows]
-        ids, mask = left_pad(rows, self.arch.pad_id)
-        # bucket prompt length to bound compiled shapes
-        bucket = 1 << max(4, (ids.shape[1] - 1).bit_length())
-        pad = bucket - ids.shape[1]
-        if pad:
-            ids = np.pad(ids, ((0, 0), (pad, 0)),
-                         constant_values=self.arch.pad_id)
-            mask = np.pad(mask, ((0, 0), (pad, 0)))
-        max_new = max_new_tokens or self.max_new_tokens
+                        seed: Optional[int] = None) -> List[List[int]]:
+        ids, mask = self._prep_prompt(prompt_rows)
+        max_new = (self.max_new_tokens if max_new_tokens is None
+                   else max_new_tokens)
         eos = eos_id if eos_id is not None else self.arch.bos_id + 1
         out = self._generate(self.params, jnp.asarray(ids),
-                             jnp.asarray(mask), jax.random.PRNGKey(seed),
-                             max_new=max_new, temperature=float(temperature),
-                             top_p=float(top_p), eos_id=int(eos))
+                             jnp.asarray(mask),
+                             jax.random.PRNGKey(self._next_seed(seed)),
+                             jnp.float32(temperature), jnp.float32(top_p),
+                             jnp.int32(eos), max_new=max_new)
         out = np.asarray(out)
         results = []
         for row in out:

@@ -41,11 +41,27 @@ _PRECISION = jax.lax.Precision.HIGHEST
 
 def _tie_break(scores: Array) -> Array:
     """Bias scores so equal scores order by ascending corpus index (FAISS
-    returns the lower index first for exact ties), keeping distributed and
-    single-shard runs bit-identical."""
+    returns the lower index first for exact ties).
+
+    Precision bound: the bias at row i is i*1e-12, so scores closer than
+    that can be mis-ordered. The engine only uses this full-width form
+    below STREAMING_THRESHOLD (262144 rows -> bias <= 2.6e-7, ~4 f32 ulps
+    at score 1.0); larger corpora go through ``dense_topk_chunked``, whose
+    bias is block-LOCAL and whose cross-block merge is exactly
+    lexicographic (``lex_topk``), matching the distributed merge."""
     n = scores.shape[-1]
     iota = jnp.arange(n, dtype=scores.dtype)
     return scores - iota * jnp.asarray(1e-12, scores.dtype)
+
+
+def lex_topk(scores: Array, idx: Array, k: int) -> Tuple[Array, Array]:
+    """Top-k by (score desc, index asc) — EXACT tie-break via two-key
+    lexicographic lax.sort. The single source of stable candidate merging:
+    dense_topk_chunked's cross-block merge and parallel.mesh's cross-shard
+    merge both use it, so their orderings agree at any scale."""
+    neg = -scores
+    sorted_neg, sorted_idx = jax.lax.sort((neg, idx), num_keys=2)
+    return -sorted_neg[..., :k], sorted_idx[..., :k]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "exact"))
@@ -103,6 +119,8 @@ def dense_topk_chunked(
     init_scores = jnp.full((q, k), neg, jnp.float32)
     init_idx = jnp.full((q, k), n, jnp.int32)
 
+    local_k = min(k, block)
+
     def step(carry, inputs):
         best_s, best_i = carry
         blk, blk_start = inputs
@@ -111,19 +129,50 @@ def dense_topk_chunked(
         idx = blk_start + jnp.arange(block, dtype=jnp.int32)
         valid = idx < n
         s = jnp.where(valid[None, :], s, neg)
-        # merge: concat running buffer with this block, re-select top-k
-        cat_s = jnp.concatenate([best_s, s], axis=1)
-        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(idx, (q, block))], axis=1)
-        biased = cat_s - cat_i.astype(jnp.float32) * 1e-12
-        _, sel = jax.lax.top_k(biased, k)
-        return (
-            jnp.take_along_axis(cat_s, sel, axis=1),
-            jnp.take_along_axis(cat_i, sel, axis=1),
-        ), None
+        # block-LOCAL index bias (<= block*1e-12 = 6.6e-8, one f32 ulp at
+        # score 1.0 — a GLOBAL bias would reach 1e-5 at 10M rows and
+        # reorder genuinely different scores), then an EXACT lexicographic
+        # merge with the running buffer
+        biased = s - jnp.arange(block, dtype=jnp.float32)[None, :] * 1e-12
+        _, sel = jax.lax.top_k(biased, local_k)
+        blk_s = jnp.take_along_axis(s, sel, axis=1)
+        blk_i = jnp.take_along_axis(
+            jnp.broadcast_to(idx, (q, block)), sel, axis=1)
+        cat_s = jnp.concatenate([best_s, blk_s], axis=1)
+        cat_i = jnp.concatenate([best_i, blk_i], axis=1)
+        return lex_topk(cat_s, cat_i, k), None
 
     starts = jnp.arange(num_blocks, dtype=jnp.int32) * block
     (best_s, best_i), _ = jax.lax.scan(step, (init_scores, init_idx), (blocks, starts))
     return best_s, best_i
+
+
+def rank_from_scores(scores: Array, cand_s: Array, block: int = 65536,
+                     tol: float = 1e-6) -> Array:
+    """rank[q, c] = #{j : scores[q, j] > cand_s[q, c] + tol}, streamed over
+    score blocks — O(Q*block*C) live memory instead of the O(Q*N*C)
+    broadcast. The ONE greater-count kernel: the single-chip fused search
+    and the sharded search (per-shard counts + psum) both call it, so the
+    depth-cutoff tolerance and blocking can never drift between them.
+    ``rank_of`` (below) is the from-corpus variant that recomputes scores
+    block-by-block when [Q, N] is never materialized at all."""
+    q, n = scores.shape
+    if n <= block:
+        return (scores[:, :, None] > cand_s[:, None, :] + tol).sum(
+            axis=1).astype(jnp.int32)
+    nb = -(-n // block)
+    pad = nb * block - n
+    padded = jnp.pad(scores, ((0, 0), (0, pad)),
+                     constant_values=-jnp.inf) if pad else scores
+    blocks = jnp.moveaxis(padded.reshape(q, nb, block), 1, 0)
+
+    def step(carry, blk):
+        gt = blk[:, :, None] > cand_s[:, None, :] + tol
+        return carry + gt.sum(axis=1).astype(jnp.int32), None
+
+    init = jnp.zeros(cand_s.shape, jnp.int32)
+    ranks, _ = jax.lax.scan(step, init, blocks)
+    return ranks
 
 
 @jax.jit

@@ -93,14 +93,10 @@ def shard_corpus(embeddings: np.ndarray, mesh: Mesh,
     return arr, n
 
 
-def _lex_topk(scores: jax.Array, idx: jax.Array, k: int
-              ) -> Tuple[jax.Array, jax.Array]:
-    """Top-k by (score desc, index asc) — exact tie-break via lexicographic
-    lax.sort, so distributed merges are bit-identical to single-shard
-    ordering (SURVEY.md §7.3 'stable ordering' requirement)."""
-    neg = -scores
-    sorted_neg, sorted_idx = jax.lax.sort((neg, idx), num_keys=2)
-    return -sorted_neg[..., :k], sorted_idx[..., :k]
+# exact (score desc, index asc) top-k shared with the chunked single-chip
+# kernel, so distributed merges are bit-identical to single-shard ordering
+# (SURVEY.md §7.3 'stable ordering' requirement)
+from ..ops.topk import lex_topk as _lex_topk  # noqa: E402
 
 
 @functools.partial(jax.jit, static_argnames=("k", "axis", "mesh", "valid_n"))
@@ -171,6 +167,10 @@ def distributed_fused_search(corpus_sharded, ts_emb, q_emb, prev_idx,
     path runs once per request instead of once (q_emb row 0)."""
     shards = _axis_size(mesh, axis)
     per_shard = corpus_sharded.shape[0] // shards
+    # clamp like distributed_topk's wrapper: k > valid_n would return pad
+    # rows (score -inf) whose indices poison downstream metadata gathers
+    k = min(k, valid_n)
+    ts_k = min(ts_k, ts_emb.shape[0])
     local_k = min(k, per_shard)
     multi_request = ts_rows is not None
 
@@ -208,9 +208,11 @@ def distributed_fused_search(corpus_sharded, ts_emb, q_emb, prev_idx,
         if not multi_request:
             ts_s, ts_i = ts_s[0], ts_i[0]
 
-        if not expand:
-            zero_i = jnp.zeros((qn, 1), jnp.int32)
-            zero_s = jnp.zeros((qn, 1), jnp.float32)
+        if not expand or steps <= 0:
+            # width-0 like ensemble._search_body — a width-1 zero sentinel
+            # would collide with a real neighbor whose score is exactly 0
+            zero_i = jnp.zeros((qn, 0), jnp.int32)
+            zero_s = jnp.zeros((qn, 0), jnp.float32)
             return top_s, top_i, ts_s, ts_i, zero_i, zero_s
 
         # neighbor chains from the replicated prev/next arrays
@@ -231,10 +233,14 @@ def distributed_fused_search(corpus_sharded, ts_emb, q_emb, prev_idx,
         cs_local = jnp.take_along_axis(s, local_pos, axis=1)
         pax = tuple(axis) if isinstance(axis, (tuple, list)) else axis
         cand_s = jax.lax.psum(jnp.where(in_range, cs_local, 0.0), pax)
-        # depth cutoff: global rank = psum of per-shard greater-counts
-        gt = ((s_valid[:, :, None] > cand_s[:, None, :] + 1e-6)
-              & (idx_global[None, :, None] < valid_n))
-        rank = jax.lax.psum(gt.sum(axis=1).astype(jnp.int32), pax)
+        # depth cutoff: global rank = psum of per-shard greater-counts,
+        # STREAMED over score blocks by the shared kernel — the naive
+        # [Q, per_shard, C] bool broadcast is ~1.2 GB/shard at config-#5
+        # scale (invalid rows are already -inf in s_valid, so they can
+        # never count as greater)
+        from ..ops.topk import rank_from_scores
+
+        rank = jax.lax.psum(rank_from_scores(s_valid, cand_s), pax)
         eff = jnp.where((cand >= 0) & (rank < depth), cand_s, 0.0)
         return top_s, top_i, ts_s, ts_i, cand, eff
 

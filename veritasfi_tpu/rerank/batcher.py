@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence
@@ -63,6 +64,8 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
     def submit_tokens(self, rows: Sequence[List[int]]) -> "Future[np.ndarray]":
         """Submit token rows; resolves to np.ndarray of scores in order."""
+        if self._closed:
+            raise RuntimeError("ContinuousBatcher is closed")
         result: "Future[np.ndarray]" = Future()
         if not rows:
             result.set_result(np.zeros((0,), np.float32))
@@ -105,12 +108,11 @@ class ContinuousBatcher:
                     return
                 continue
             if first is None:
+                self._drain_failed()
                 return
             batch = [first]
             deadline = self.max_wait_s
             # linger to coalesce
-            import time
-
             t0 = time.perf_counter()
             while len(batch) < self.max_batch:
                 remaining = deadline - (time.perf_counter() - t0)
@@ -122,9 +124,22 @@ class ContinuousBatcher:
                     break
                 if item is None:
                     self._run(batch)
+                    self._drain_failed()
                     return
                 batch.append(item)
             self._run(batch)
+
+    def _drain_failed(self) -> None:
+        """Fail any item that raced past the closed-check: a future left
+        queued after the dispatcher exits would hang its caller forever."""
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None and not item.future.done():
+                item.future.set_exception(
+                    RuntimeError("ContinuousBatcher closed"))
 
     def _run(self, batch: List[_WorkItem]) -> None:
         # group rows into length buckets to limit pad waste
@@ -143,6 +158,10 @@ class ContinuousBatcher:
         for group in groups:
             try:
                 scores = self._score_tokens([w.tokens for w in group])
+                if len(scores) != len(group):
+                    raise RuntimeError(
+                        f"scorer returned {len(scores)} scores for "
+                        f"{len(group)} rows")   # zip would silently hang
                 for w, s in zip(group, scores):
                     w.future.set_result(float(s))
             except Exception as exc:  # propagate to submitters

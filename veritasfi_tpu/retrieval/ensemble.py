@@ -64,14 +64,18 @@ def _search_body(corpus, ts_emb, q_emb, prev_idx, next_idx,
     top_s = jnp.take_along_axis(scores, top_i, axis=-1)
 
     ts_q = q_emb[:1] if ts_rows is None else q_emb[ts_rows]
-    ts_s, ts_i = jax.lax.top_k(
-        _tie_break(jnp.matmul(ts_q, ts_emb.T,
-                              precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=jnp.float32)), ts_k)
+    ts_scores = jnp.matmul(ts_q, ts_emb.T,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+    _, ts_i = jax.lax.top_k(_tie_break(ts_scores), ts_k)
+    # return TRUE scores, not tie-break-biased ones (dense path and the
+    # distributed search both do; biased scores would leak into the
+    # chunk dicts and differ from mesh runs)
+    ts_s = jnp.take_along_axis(ts_scores, ts_i, axis=-1)
     if ts_rows is None:
         ts_s, ts_i = ts_s[0], ts_i[0]
 
-    if not expand:
+    if not expand or steps <= 0:
         zero_i = jnp.zeros((q_emb.shape[0], 0), jnp.int32)
         zero_s = jnp.zeros((q_emb.shape[0], 0), jnp.float32)
         return top_s, top_i, ts_s, ts_i, zero_i, zero_s
@@ -97,26 +101,9 @@ def _search_body(corpus, ts_emb, q_emb, prev_idx, next_idx,
     return top_s, top_i, ts_s, ts_i, cand, eff
 
 
-def _rank_stream(scores, cand_s, block: int = 65536, tol: float = 1e-6):
-    """rank[q, c] = #{j : scores[q, j] > cand_s[q, c] + tol} via a scan over
-    corpus blocks; O(Q*block*C) live memory instead of O(Q*N*C)."""
-    q, n = scores.shape
-    if n <= block:
-        return (scores[:, :, None] > cand_s[:, None, :] + tol).sum(
-            axis=1).astype(jnp.int32)
-    nb = -(-n // block)
-    pad = nb * block - n
-    padded = jnp.pad(scores, ((0, 0), (0, pad)),
-                     constant_values=-jnp.inf) if pad else scores
-    blocks = jnp.moveaxis(padded.reshape(q, nb, block), 1, 0)
-
-    def step(carry, blk):
-        gt = blk[:, :, None] > cand_s[:, None, :] + tol
-        return carry + gt.sum(axis=1).astype(jnp.int32), None
-
-    init = jnp.zeros(cand_s.shape, jnp.int32)
-    ranks, _ = jax.lax.scan(step, init, blocks)
-    return ranks
+# the shared streamed greater-count kernel (also used by the sharded
+# search's per-shard counts — ops/topk.py is the single source)
+from ..ops.topk import rank_from_scores as _rank_stream  # noqa: E402
 
 
 def _search_body_streaming(corpus, ts_emb, q_emb, prev_idx, next_idx,
@@ -134,14 +121,18 @@ def _search_body_streaming(corpus, ts_emb, q_emb, prev_idx, next_idx,
     top_s, top_i = dense_topk_chunked(corpus, q_emb, k, block=block)
 
     ts_q = q_emb[:1] if ts_rows is None else q_emb[ts_rows]
-    ts_s, ts_i = jax.lax.top_k(
-        _tie_break(jnp.matmul(ts_q, ts_emb.T,
-                              precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=jnp.float32)), ts_k)
+    ts_scores = jnp.matmul(ts_q, ts_emb.T,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+    _, ts_i = jax.lax.top_k(_tie_break(ts_scores), ts_k)
+    # return TRUE scores, not tie-break-biased ones (dense path and the
+    # distributed search both do; biased scores would leak into the
+    # chunk dicts and differ from mesh runs)
+    ts_s = jnp.take_along_axis(ts_scores, ts_i, axis=-1)
     if ts_rows is None:
         ts_s, ts_i = ts_s[0], ts_i[0]
 
-    if not expand:
+    if not expand or steps <= 0:
         zero_i = jnp.zeros((q_emb.shape[0], 0), jnp.int32)
         zero_s = jnp.zeros((q_emb.shape[0], 0), jnp.float32)
         return top_s, top_i, ts_s, ts_i, zero_i, zero_s
@@ -332,6 +323,17 @@ class EnsembleRetriever:
         """
         if not requests:
             return []
+        # no dense/title search possible or wanted -> sequential invoke
+        # (which guards each path itself); the batched fused search would
+        # crash on a BM25-only retriever and waste an embed+search when
+        # both dense paths are off
+        run_dense = self.faiss_k > 0 and self.num_chunk > 0 and (
+            self.mesh is not None or self.dense is not None)
+        run_ts = self.faiss_ts_k > 0 and (
+            self._has_ts if self.mesh is not None else
+            self.ts_dense is not None)
+        if not (run_dense or run_ts):
+            return [self.invoke(q, h) for q, h in requests]
 
         all_inputs: List[str] = []
         spans: List[Tuple[int, int]] = []
@@ -366,7 +368,7 @@ class EnsembleRetriever:
             seen_ids: set = set()
             chunk_list: List[Dict] = []
             bundle_cnt = 0
-            if self.faiss_k > 0 and self.num_chunk:
+            if run_dense:
                 bundle_cnt = self._dense_path(nq, sub, seen_ids, chunk_list,
                                               bundle_cnt)
             run_ts = self.faiss_ts_k > 0 and (
@@ -384,15 +386,24 @@ class EnsembleRetriever:
 
     # ------------------------------------------------------------------
     def _search_args(self):
-        k = min(self.faiss_k, self.num_chunk) if self.faiss_k > 0 else 1
+        if self.dense is not None:
+            corpus_mat = self.dense.corpus
+            k = min(self.faiss_k, self.num_chunk) if self.faiss_k > 0 else 1
+        else:
+            # title-only corpus (ts embeddings present, content embeddings
+            # absent): the fused program still needs a dense operand — a
+            # 1-row zero placeholder whose results the (disabled) dense
+            # path never reads
+            corpus_mat = self.ts_dense.corpus[:1] * 0.0
+            k = 1
         ts_emb = (self.ts_dense.corpus if self.ts_dense is not None
-                  else self.dense.corpus[:1])
+                  else corpus_mat[:1])
         ts_k = (min(self.faiss_ts_k, ts_emb.shape[0])
                 if self.faiss_ts_k > 0 else 1)
         if not hasattr(self, "_prev_dev"):
             self._prev_dev = jnp.asarray(self.corpus.prev_idx)
             self._next_dev = jnp.asarray(self.corpus.next_idx)
-        return ts_emb, self._prev_dev, self._next_dev, k, ts_k
+        return corpus_mat, ts_emb, self._prev_dev, self._next_dev, k, ts_k
 
     def _post_search(self, out, num_q: int) -> Dict[str, np.ndarray]:
         top_s, top_i, ts_s, ts_i, cand, eff = jax.device_get(out)
@@ -410,11 +421,11 @@ class EnsembleRetriever:
         """One fused device call for all dense paths of this request."""
         if self.mesh is not None:
             return self._search_distributed(q_emb, ts_rows=ts_rows)
-        ts_emb, prev_dev, next_dev, k, ts_k = self._search_args()
+        corpus_mat, ts_emb, prev_dev, next_dev, k, ts_k = self._search_args()
         out = _fused_search(
-            self.dense.corpus, ts_emb, jnp.asarray(q_emb), prev_dev, next_dev,
+            corpus_mat, ts_emb, jnp.asarray(q_emb), prev_dev, next_dev,
             k, ts_k, self.expand_max_chunks - 1, self.depth,
-            self.enable_expand, ts_rows=ts_rows)
+            self.enable_expand and self.dense is not None, ts_rows=ts_rows)
         return self._post_search(out, q_emb.shape[0])
 
     def _search_distributed(self, q_emb: np.ndarray,
@@ -440,12 +451,12 @@ class EnsembleRetriever:
         device dispatch."""
         enc = self.encoder
         ids, mask = enc.tokenize_padded(inputs)
-        ts_emb, prev_dev, next_dev, k, ts_k = self._search_args()
+        corpus_mat, ts_emb, prev_dev, next_dev, k, ts_k = self._search_args()
         out = self._embed_search(
             enc.params, jnp.asarray(ids), jnp.asarray(mask),
-            self.dense.corpus, ts_emb, prev_dev, next_dev,
+            corpus_mat, ts_emb, prev_dev, next_dev,
             k, ts_k, self.expand_max_chunks - 1, self.depth,
-            self.enable_expand, ts_rows=ts_rows)
+            self.enable_expand and self.dense is not None, ts_rows=ts_rows)
         return self._post_search(out, len(inputs))
 
     # ------------------------------------------------------------------
@@ -563,7 +574,10 @@ class EnsembleRetriever:
     def _bm25_path(
         self, input: str, seen_ids: set, chunk_list: List[Dict], bundle_cnt: int
     ) -> int:
-        bm25_ids, bm25_scores = self.bm25.invoke(input, self.num_chunk)
+        # top bm25_k directly: asking for all num_chunk rows forced a
+        # full-corpus host lexsort per request, of which only the first
+        # bm25_k entries (identical order) were ever read
+        bm25_ids, bm25_scores = self.bm25.invoke(input, self.bm25_k)
         for idx, score in zip(bm25_ids[: self.bm25_k], bm25_scores[: self.bm25_k]):
             idx = int(idx)
             if idx in seen_ids:

@@ -173,7 +173,10 @@ class MemoryBank:
 
     # -- caching ----------------------------------------------------------
     def _load(self, path: str, table: str) -> _TableCache:
-        cache = self._caches.get(path)
+        # keyed by (path, table): both stores may live in ONE sqlite file
+        # (a path-only key would serve frequent_qa_pairs rows to the
+        # qa_table matchers)
+        cache = self._caches.get((path, table))
         mtime = os.path.getmtime(path)
         if cache is not None and cache.mtime == mtime:
             return cache
@@ -186,13 +189,17 @@ class MemoryBank:
         ).fetchall()
         conn.close()
         cache.rows = [dict(r) for r in rows]
+        # coalesce NULL question_rewritten (a row inserted without the key
+        # stores NULL; None.strip() inside normalize_question would break
+        # every lookup on the table, not just the bad row)
         cache.normalized = [
-            normalize_question(r["question_rewritten"], self.company_pattern)
+            normalize_question(r["question_rewritten"] or r["question"]
+                               or "", self.company_pattern)
             for r in cache.rows
         ]
         cache.bm25 = MemoryBankBM25([n.split() for n in cache.normalized])
         cache.exact = {n: i for i, n in enumerate(cache.normalized)}
-        self._caches[path] = cache
+        self._caches[(path, table)] = cache
         return cache
 
     # -- matchers (reference result-tuple shape) ---------------------------
@@ -234,7 +241,9 @@ class MemoryBank:
             return None
         cache = self._load(self.db_path, "frequent_qa_pairs")
         i = cache.exact.get(normalize_question(question, self.company_pattern))
-        return cache.rows[i] if i is not None else None
+        # copy: handing out the cached dict by reference would let caller
+        # mutation poison every later request until the next mtime change
+        return dict(cache.rows[i]) if i is not None else None
 
     # reference API (frequentQA.py:132,147,162,195)
     def find_similar_questions_db(self, question: str, top_n: int = 5,

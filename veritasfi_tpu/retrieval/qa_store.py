@@ -43,7 +43,12 @@ class QAVectorStore:
         """Batch-load QA entries (reference QARetriever.py:35-89 semantics:
         doc = JSON of question/question_rewritten/data; metadata carries
         doc_id and prev/next links)."""
+        # stage into locals and commit only after embedding succeeds — an
+        # embed_fn failure mid-call must not leave ghost docs that would
+        # permanently misalign docs vs embeddings on retry
         texts = []
+        new_docs = []
+        new_mds = []
         start = len(self.docs)
         for offset, qa_item in enumerate(qa_data):
             idx = start + offset
@@ -52,8 +57,8 @@ class QAVectorStore:
                 "question_rewritten": qa_item["question_rewritten"],
                 "data": qa_item["data"],
             }
-            self.docs.append(doc)
-            self.metadatas.append({
+            new_docs.append(doc)
+            new_mds.append({
                 "doc_id": f"qa_{idx}",
                 "prev_chunk_id": f"qa_{idx - 1}" if idx > 0 else "",
                 "next_chunk_id": "",  # patched below once total is known
@@ -61,13 +66,16 @@ class QAVectorStore:
                 "question_rewritten": qa_item["question_rewritten"],
             })
             texts.append(json.dumps(doc, ensure_ascii=False))
-        total = len(self.docs)
-        for i, md in enumerate(self.metadatas):
-            md["next_chunk_id"] = f"qa_{i + 1}" if i < total - 1 else ""
 
         new_emb = []
         for i in range(0, len(texts), batch_size):
             new_emb.append(np.asarray(self.embed_fn(texts[i:i + batch_size])))
+
+        self.docs.extend(new_docs)
+        self.metadatas.extend(new_mds)
+        total = len(self.docs)
+        for i, md in enumerate(self.metadatas):
+            md["next_chunk_id"] = f"qa_{i + 1}" if i < total - 1 else ""
         if new_emb:
             emb = normalize_rows(np.concatenate(new_emb, axis=0))
             self.embeddings = (
@@ -115,6 +123,13 @@ class QAVectorStore:
         emb_path = os.path.join(self.persist_directory, "qa_embeddings.npy")
         if os.path.exists(emb_path):
             self.embeddings = np.load(emb_path)
+        if self.docs and (self.embeddings is None
+                          or len(self.embeddings) != len(self.docs)):
+            raise ValueError(
+                f"{self.persist_directory}: {len(self.docs)} docs but "
+                f"{0 if self.embeddings is None else len(self.embeddings)} "
+                "embeddings — the store is corrupt (qa_embeddings.npy "
+                "missing or stale); rebuild with load_qa_data")
 
     def reset(self) -> None:
         self.docs, self.metadatas, self.embeddings = [], [], None
