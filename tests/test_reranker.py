@@ -96,3 +96,26 @@ def test_parity_with_hf_gemma():
     s = yes_logit_score(FlaxDecoderLM(arch), params, jnp.asarray(ids),
                         jnp.asarray(mask), yes_id)
     np.testing.assert_allclose(np.asarray(s), hf_logits[:, -1, yes_id], atol=3e-4)
+
+
+def test_encoder_reranker_clamps_to_position_table():
+    """XLM-R presets have 514 positions (offset 2); longer configured pair
+    lengths must clamp instead of silently gathering clamped position
+    embeddings."""
+    from veritasfi_tpu.models.encoder_reranker import EncoderReranker
+
+    rr = EncoderReranker(preset="bge-reranker-base", query_max_length=512,
+                         passage_max_length=1024)
+    assert rr.passage_max_length == 512
+    prefix, budget, suffix = rr.pair_layout("short query")
+    assert len(prefix) + max(budget, 0) + len(suffix) <= 512
+
+
+def test_encoder_reranker_score_and_sim_empty():
+    import numpy as np
+
+    from veritasfi_tpu.models.encoder_reranker import EncoderReranker
+
+    rr = EncoderReranker(preset="tiny-test")
+    scores, sim = rr.score_and_sim([], np.zeros((0, 8), np.float32))
+    assert scores.shape == (0,) and sim.shape == (0, 0)

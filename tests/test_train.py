@@ -147,3 +147,66 @@ def test_cli_train_reranker(tmp_path):
     import os
 
     assert os.path.isdir(res["checkpoint"])
+
+
+def test_base_params_without_lora_adapters_train():
+    """load_gemma_params-style trees carry no lora_a/b leaves; the trainer
+    must graft fresh adapters on (using the tree verbatim raised
+    ScopeParamNotFoundError and froze everything)."""
+    import dataclasses
+
+    import jax
+
+    from veritasfi_tpu.models.reranker import (DECODER_PRESETS,
+                                               CrossEncoderReranker)
+    from veritasfi_tpu.train.reranker_lora import (LoRATrainConfig,
+                                                   RerankerTrainer)
+
+    base_arch = dataclasses.replace(DECODER_PRESETS["tiny-test"],
+                                    lora_rank=0)
+    pretrained = CrossEncoderReranker(arch=base_arch, seed=3).params
+    lora_arch = dataclasses.replace(base_arch, lora_rank=4, lora_alpha=8.0)
+    tr = RerankerTrainer(arch=lora_arch,
+                         config=LoRATrainConfig(group_size=2, total_steps=4),
+                         base_params=pretrained)
+    ids, mask = tr.make_batch([("q one", ["pos passage", "neg passage"])])
+    loss = tr.train_step(ids, mask)
+    assert jax.numpy.isfinite(loss)
+    # trainer's embedded reranker scores with CURRENT weights
+    assert tr.reranker.params is tr.params
+
+
+def test_checkpoint_same_step_twice_no_crash(trainer, tmp_path):
+    ids, mask = trainer.make_batch(
+        [("q", [f"p{i}" for i in range(trainer.config.group_size)])])
+    trainer.train_step(ids, mask)
+    p1 = trainer.save_checkpoint(str(tmp_path / "ck"))
+    p2 = trainer.save_checkpoint(str(tmp_path / "ck"))
+    assert p1 == p2
+
+
+def test_restore_preserves_opt_state(trainer, tmp_path):
+    import numpy as np
+
+    ids, mask = trainer.make_batch(
+        [("q", [f"p{i}" for i in range(trainer.config.group_size)])])
+    trainer.train_step(ids, mask)
+    path = trainer.save_checkpoint(str(tmp_path / "ck2"))
+    before = jax.tree_util.tree_leaves(trainer.opt_state)
+    trainer.restore_checkpoint(path)
+    after = jax.tree_util.tree_leaves(trainer.opt_state)
+    assert len(before) == len(after)
+    # Adam moments survive the round-trip (not re-zeroed)
+    nonzero = [np.asarray(x) for x in after
+               if hasattr(x, "shape") and np.asarray(x).size
+               and np.abs(np.asarray(x, np.float64)).sum() > 0]
+    assert nonzero, "restored opt_state is all zeros"
+
+
+def test_anonymize_escapes_regex_metacharacters():
+    from veritasfi_tpu.train.reranker_lora import anonymize_company
+
+    out = anonymize_company("Yahoo! and A.B. Corp results", "A.B. Corp")
+    assert out == "Yahoo! and the Company results"
+    # '.' must not act as a wildcard
+    assert anonymize_company("AxBx Corp", "A.B. Corp") == "AxBx Corp"

@@ -89,8 +89,14 @@ class EncoderReranker:
     ) -> None:
         self.arch = arch or RERANKER_ENCODER_PRESETS[preset]
         self.module = FlaxCrossEncoderClassifier(self.arch, dtype=dtype)
-        self.query_max_length = query_max_length
-        self.passage_max_length = passage_max_length
+        # clamp pair length to the position table (same guard as
+        # TextEncoder): XLM-R rerankers have 514 positions with offset 2 —
+        # rows longer than that would gather clamped position embeddings
+        # and silently corrupt scores
+        pos_cap = self.arch.max_positions - self.arch.pos_offset
+        self.passage_max_length = min(passage_max_length, pos_cap)
+        self.query_max_length = min(query_max_length,
+                                    self.passage_max_length)
         if tokenizer is None:
             from .tokenizer import HashTokenizer
 
@@ -177,14 +183,20 @@ class EncoderReranker:
                        max_length=self.query_max_length)["input_ids"]
             cls_id = hf.cls_token_id if hf.cls_token_id is not None else 0
             sep_id = hf.sep_token_id if hf.sep_token_id is not None else 2
+            # RoBERTa-family pair encoding uses DOUBLE separators between
+            # the segments (<s> q </s></s> p </s>) — the format XLM-R
+            # rerankers were trained on and what hf(query, passage) in
+            # encode_pair emits; a single-sep framing scores differently
+            mid = [sep_id, sep_id]
         else:
             from .tokenizer import basic_tokens
 
             q_ids = [self.tokenizer.token_id(t)
                      for t in basic_tokens(query)][: self.query_max_length]
             cls_id, sep_id = self.tokenizer.cls_id, self.tokenizer.sep_id
-        budget = self.passage_max_length - len(q_ids) - 3
-        return [cls_id] + list(q_ids) + [sep_id], budget, [sep_id]
+            mid = [sep_id]
+        budget = self.passage_max_length - len(q_ids) - 2 - len(mid)
+        return [cls_id] + list(q_ids) + mid, budget, [sep_id]
 
     def encode_pairs_cached(self, query: str,
                             passages: List[str]) -> List[List[int]]:
@@ -202,6 +214,9 @@ class EncoderReranker:
         """One device call returning (relevance logits, pairwise cosine of
         the candidates' retrieval embeddings) — the two inputs of rerank
         fusion (vllmManager.py:450-462) without separate dispatches."""
+        if not rows:
+            return (np.zeros((0,), np.float32),
+                    np.zeros((0, 0), np.float32))
         seq = max(len(r) for r in rows)
         # pad to a multiple of 64 (vs power-of-two): ~25% less wasted
         # compute at typical chunk lengths, bounded compile variants

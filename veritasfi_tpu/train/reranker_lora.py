@@ -52,7 +52,7 @@ def anonymize_company(text: str, company: str = "Zeekr",
     (the reference trains stage 1 on anonymized data, README.md:24-27)."""
     import re
 
-    return re.sub(rf"(?i){company}(?:'s)?", replacement, text)
+    return re.sub(rf"(?i){re.escape(company)}(?:'s)?", replacement, text)
 
 
 def group_loss(yes_logits: jnp.ndarray, group_size: int) -> jnp.ndarray:
@@ -84,14 +84,43 @@ def param_sharding_rules(path: Tuple[str, ...], leaf,
 
 
 def shard_params(params, mesh: Mesh, model_axis: str = "model"):
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
     def place(path, leaf):
         names = tuple(getattr(k, "key", str(k)) for k in path)
         return jax.device_put(leaf, param_sharding_rules(names, leaf, mesh,
                                                          model_axis))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def merge_base_params(init_params, base_params) -> Any:
+    """Overlay pretrained base weights onto a fresh init tree, keeping the
+    init's LoRA adapters. ``load_gemma_params`` trees carry no lora_a/b
+    leaves — using them verbatim would make module.apply raise
+    ScopeParamNotFoundError and leave _lora_mask with nothing trainable."""
+    base_flat = {
+        tuple(getattr(k, "key", str(k)) for k in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            base_params)[0]}
+    consumed = set()
+
+    def pick(path, leaf):
+        names = tuple(getattr(k, "key", str(k)) for k in path)
+        # LoRA-wrapped modules nest the frozen kernel under a 'base' scope
+        # (…/q_proj/base/kernel); a non-LoRA source tree stores it at
+        # …/q_proj/kernel — accept either
+        for key in (names, tuple(n for n in names if n != "base")):
+            if key in base_flat:
+                consumed.add(key)
+                return base_flat[key]
+        return leaf
+
+    merged = jax.tree_util.tree_map_with_path(pick, init_params)
+    unused = set(base_flat) - consumed
+    if unused:
+        raise ValueError(
+            f"base_params leaves not present in the model: "
+            f"{sorted(unused)[:5]}{'...' if len(unused) > 5 else ''}")
+    return merged
 
 
 def _lora_mask(params) -> Any:
@@ -126,10 +155,15 @@ class RerankerTrainer:
         self.model_axis = model_axis
         self.module = FlaxDecoderLM(arch, dtype=dtype)
         self.reranker = CrossEncoderReranker(
-            arch=arch, params=base_params, tokenizer=tokenizer,
+            arch=arch, params=None, tokenizer=tokenizer,
             query_max_length=config.query_max_length,
             passage_max_length=config.passage_max_length, dtype=dtype,
             seed=config.seed)
+        if base_params is not None:
+            # pretrained base (e.g. hf_loader.load_gemma_params) + fresh
+            # LoRA adapters from the init
+            self.reranker.params = merge_base_params(
+                self.reranker.params, base_params)
         self.params = self.reranker.params
         self.yes_id = self.reranker.yes_id
 
@@ -205,6 +239,9 @@ class RerankerTrainer:
             mask = jax.device_put(mask, self._batch_shardings[1])
         self.params, self.opt_state, loss = self._train_step(
             self.params, self.opt_state, ids, mask)
+        # keep the embedded reranker scoring with the CURRENT weights
+        # (mid-training eval through trainer.reranker was step-0 otherwise)
+        self.reranker.params = self.params
         self.step_count += 1
         return float(loss)
 
@@ -221,11 +258,18 @@ class RerankerTrainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, directory: str) -> str:
+        import os
+
         import orbax.checkpoint as ocp
 
         path = f"{directory}/step_{self.step_count}"
+        if os.path.exists(path):
+            # fit()'s periodic save and a caller's final save can land on
+            # the same step; orbax refuses to overwrite — same state anyway
+            return path
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, {"params": self.params,
+                              "opt_state": self.opt_state,
                               "step": self.step_count})
         return path
 
@@ -235,5 +279,17 @@ class RerankerTrainer:
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(path)
         self.params = restored["params"]
+        if self.mesh is not None:
+            # re-establish the tensor-parallel layout (restored leaves are
+            # plain host arrays)
+            self.params = shard_params(self.params, self.mesh,
+                                       self.model_axis)
+        if "opt_state" in restored:
+            self.opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.opt_state),
+                jax.tree_util.tree_leaves(restored["opt_state"]))
+        else:   # pre-opt_state checkpoint: fresh moments, warn via reset
+            self.opt_state = self.optimizer.init(self.params)
+        self.reranker.params = self.params
         self.step_count = int(
             np.asarray(restored["step"]))
