@@ -62,3 +62,30 @@ def test_path_k():
     cfg.retrieval.k = 10
     cfg.retrieval.faiss_k = 40
     assert cfg.retrieval.path_k() == (40, 10, 10)
+
+
+def test_flat_and_nested_keys_coexist(tmp_path):
+    """A reference flat key plus the nested section for the same group
+    must merge regardless of YAML order (the flat key used to be dropped
+    when the nested mapping came later)."""
+    from veritasfi_tpu.config import Config
+
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "rerank_topk: 7\n"
+        "rerank:\n  batch_size: 4\n"
+        "llm:\n  temperature: 0.3\n"
+        "llm_base_url: http://example:9/v1\n")
+    cfg = Config.load(str(p))
+    assert cfg.rerank.rerank_topk == 7
+    assert cfg.rerank.batch_size == 4
+    assert cfg.llm.temperature == 0.3
+    assert cfg.llm.base_url == "http://example:9/v1"
+
+
+def test_nested_wins_over_flat_for_same_field(tmp_path):
+    from veritasfi_tpu.config import Config
+
+    p = tmp_path / "c.yaml"
+    p.write_text("rerank_topk: 7\nrerank:\n  rerank_topk: 9\n")
+    assert Config.load(str(p)).rerank.rerank_topk == 9

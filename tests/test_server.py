@@ -159,3 +159,41 @@ async def _chat_sync_endpoint(service):
         assert data["rewrittens"] == ["zeekr revenue question"]
     finally:
         await client.close()
+
+
+def test_malformed_requests_get_400(service):
+    asyncio.run(_malformed_requests(service))
+
+
+async def _malformed_requests(service):
+    client = await make_client(create_app(MiniStack(service)))
+    try:
+        r = await client.post("/v1/chat", data=b"not json{",
+                              headers={"Content-Type": "application/json"})
+        assert r.status == 400
+        r = await client.post("/v1/chat/async", json={"no_question": True})
+        assert r.status == 400
+        r = await client.post("/v1/chat/stream", json=["a", "list"])
+        assert r.status == 400
+    finally:
+        await client.close()
+
+
+def test_same_session_requests_serialize(service):
+    """Two concurrent requests on one session must not interleave their
+    ChatManager state (per-session lock)."""
+    import threading
+
+    results = []
+
+    def call(q):
+        out = service.generate_response_async(q, "same-session")
+        results.append(out[0])
+
+    t1 = threading.Thread(target=call, args=("zeekr revenue question",))
+    t2 = threading.Thread(target=call, args=("zeekr margin question",))
+    t1.start(); t2.start(); t1.join(60); t2.join(60)
+    assert len(results) == 2 and all(results)
+    # both turns recorded in qa_history, in some serial order
+    mgr = service.get_or_create_chat_manager("same-session")
+    assert len(mgr.qa_history) == 2

@@ -174,13 +174,18 @@ _REFERENCE_KEYS = {
 
 
 def _lift_reference_keys(raw: Dict[str, Any]) -> Dict[str, Any]:
+    # two passes so a flat reference key and its nested section can
+    # coexist regardless of YAML key order (a single pass either dropped
+    # the lifted key when the nested mapping came later, or mutated the
+    # caller's nested dict). The nested form wins for the same field.
     out: Dict[str, Any] = {}
+    for key, value in raw.items():
+        if key not in _REFERENCE_KEYS:
+            out[key] = dict(value) if isinstance(value, dict) else value
     for key, value in raw.items():
         if key in _REFERENCE_KEYS:
             section, field_name = _REFERENCE_KEYS[key]
-            out.setdefault(section, {})[field_name] = value
-        else:
-            out[key] = value
+            out.setdefault(section, {}).setdefault(field_name, value)
     return out
 
 

@@ -131,8 +131,12 @@ class RAGEngine:
     def load_collection(self, name: str) -> CorpusIndex:
         if name not in self._collections:
             index = CorpusIndex.load(self._collection_dir(name))
+            # build BM25 BEFORE registering: a failure here must not leave
+            # a half-initialized collection that later loads would return
+            # silently without its sparse path
+            bm25 = self._make_bm25(index)
             self._collections[name] = index
-            self._bm25[name] = self._make_bm25(index)
+            self._bm25[name] = bm25
         return self._collections[name]
 
     def _make_bm25(self, index: CorpusIndex):

@@ -49,12 +49,17 @@ class ContinuousBatcher:
         max_wait_ms: float = 2.0,
         bucket_tolerance: float = 2.0,
         name: str = "reranker",
+        max_pending: int = 0,
     ) -> None:
         self._score_tokens = score_tokens
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self.bucket_tolerance = bucket_tolerance
-        self._queue: "queue.Queue[Optional[_WorkItem]]" = queue.Queue()
+        # max_pending > 0 bounds the queue (config rerank.max_pending):
+        # submitters block when the device falls behind, backpressure
+        # instead of unbounded memory growth
+        self._queue: "queue.Queue[Optional[_WorkItem]]" = queue.Queue(
+            maxsize=max_pending)
         self._closed = False
         self._thread = threading.Thread(
             target=self._dispatch_loop, name=f"{name}-batcher", daemon=True

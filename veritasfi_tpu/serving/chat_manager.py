@@ -62,6 +62,7 @@ class ChatManager:
         hyde_timeout_s: float = 30.0,
         chat_timeout_s: float = 60.0,
         num_hypo: int = 3,
+        max_retry: int = 3,
     ) -> None:
         assert history_limit % 2 == 0, "history_limit must be an even number"
         self.session_id = session_id
@@ -81,6 +82,7 @@ class ChatManager:
         self.hyde_timeout_s = hyde_timeout_s
         self.chat_timeout_s = chat_timeout_s
         self.num_hypo = num_hypo
+        self.max_retry = max_retry
 
         self.internal_assistant_message: List[Dict] = []
         self.chat_history: List[Dict] = []
@@ -117,9 +119,10 @@ class ChatManager:
     # ------------------------------------------------------------------
     @profiler.profile_function(name="rewrite")
     def if_query_rag(self, question: str, qa_history: str,
-                     max_retry: int = 3) -> List[str]:
+                     max_retry: Optional[int] = None) -> List[str]:
         """3-line rewrite/date/need-RAG protocol with bounded retries and the
         reference's safe fallback."""
+        max_retry = self.max_retry if max_retry is None else max_retry
         for _ in range(max_retry):
             try:
                 completion = self._chat([
@@ -192,8 +195,10 @@ class ChatManager:
 
     # ------------------------------------------------------------------
     @profiler.profile_function(name="hyde")
-    def generate_hypo_chunks(self, question: str, max_retry: int = 3) -> List[str]:
+    def generate_hypo_chunks(self, question: str,
+                             max_retry: Optional[int] = None) -> List[str]:
         chunk_list: List[str] = []
+        max_retry = self.max_retry if max_retry is None else max_retry
         for _ in range(max_retry):
             try:
                 completion = self._chat([

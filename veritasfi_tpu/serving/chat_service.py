@@ -85,6 +85,17 @@ class ChatService:
         # paths (:371); use_hyde controls the sync path only.
         use_hyde: bool = True,
         retrieval_batcher=None,           # RetrievalBatcher | None
+        # per-manager knobs forwarded to ChatManager (config.llm /
+        # config.serving / config.rerank fields)
+        history_limit: int = 20,
+        num_hypo: int = 3,
+        temperature: float = 0.0,
+        top_p: float = 0.8,
+        hyde_timeout_s: float = 30.0,
+        chat_timeout_s: float = 60.0,
+        max_retry: int = 3,
+        similar_threshold: float = 0.9,
+        min_bundle_chars: int = 50,
     ) -> None:
         self.llm = llm
         self.model_name = model_name
@@ -105,6 +116,15 @@ class ChatService:
         self.vector_top_n = vector_top_n
         self.use_hyde = use_hyde
         self.retrieval_batcher = retrieval_batcher
+        self.history_limit = history_limit
+        self.num_hypo = num_hypo
+        self.temperature = temperature
+        self.top_p = top_p
+        self.hyde_timeout_s = hyde_timeout_s
+        self.chat_timeout_s = chat_timeout_s
+        self.max_retry = max_retry
+        self.similar_threshold = similar_threshold
+        self.min_bundle_chars = min_bundle_chars
 
         self.api_chat_manager: Dict[str, Dict] = {}
         self.api_chat_manager_lock = threading.Lock()
@@ -120,6 +140,11 @@ class ChatService:
                 del self.api_chat_manager[sid]
                 logger.info("Removed expired session %s", sid)
 
+    def _session_lock(self, session_id: str) -> threading.Lock:
+        self.get_or_create_chat_manager(session_id)   # ensure entry exists
+        with self.api_chat_manager_lock:
+            return self.api_chat_manager[session_id]["lock"]
+
     def get_or_create_chat_manager(self, session_id: str) -> ChatManager:
         with self.api_chat_manager_lock:
             if session_id not in self.api_chat_manager:
@@ -128,9 +153,20 @@ class ChatService:
                     scorer=self.scorer, fused_scorer=self.fused_scorer,
                     chunk_topk=self.rerank_topk,
                     rerank_max_candidates=self.rerank_max_candidates,
-                    tools=self.tools, company=self.company)
+                    tools=self.tools, company=self.company,
+                    history_limit=self.history_limit,
+                    num_hypo=self.num_hypo,
+                    temperature=self.temperature, top_p=self.top_p,
+                    hyde_timeout_s=self.hyde_timeout_s,
+                    chat_timeout_s=self.chat_timeout_s,
+                    max_retry=self.max_retry,
+                    similar_threshold=self.similar_threshold)
                 self.api_chat_manager[session_id] = {
-                    "manager": manager, "timestamp": datetime.now()}
+                    "manager": manager, "timestamp": datetime.now(),
+                    # serializes same-session requests: parallel handlers
+                    # sharing one ChatManager race on reset_rag_info /
+                    # rag_info / qa_history otherwise
+                    "lock": threading.Lock()}
             else:
                 self.api_chat_manager[session_id]["timestamp"] = datetime.now()
         return self.api_chat_manager[session_id]["manager"]
@@ -221,13 +257,20 @@ class ChatService:
             all_retrieved_content.append(retriever_content)
             rag_context, timeinfo_list = get_rag_content(
                 chat_manager, retriever_content, rewritten,
-                chat_manager.query_time, retriever)
+                chat_manager.query_time, retriever,
+                min_bundle_chars=self.min_bundle_chars)
         rag_docu_time = (select_most_recent_time(timeinfo_list)
                          if timeinfo_list else None)
         return rag_context, rag_docu_time
 
     # ------------------------------------------------------------------
     def generate_response_with_rag(self, question: str, session_id: str,
+                                   *args, **kwargs):
+        with self._session_lock(session_id):
+            return self._generate_response_with_rag(question, session_id,
+                                                    *args, **kwargs)
+
+    def _generate_response_with_rag(self, question: str, session_id: str,
                                    internal_input=None, interrupt_index=None):
         """Sync path: per-sub-question retrieve -> rerank -> answer loop over
         every configured retriever (vllmChatService.py:251-337)."""
@@ -255,7 +298,8 @@ class ChatService:
                     all_retrieved_content.append(retriever_content)
                     current_context, timeinfo_list = get_rag_content(
                         chat_manager, retriever_content, rewritten_question,
-                        chat_manager.query_time, retriever)
+                        chat_manager.query_time, retriever,
+                        min_bundle_chars=self.min_bundle_chars)
                     rag_context += current_context + "\n"
                 used_time = (select_most_recent_time(timeinfo_list)
                              if timeinfo_list else None)
@@ -280,6 +324,16 @@ class ChatService:
 
     # ------------------------------------------------------------------
     def generate_response_async(self, question: str, session_id: str,
+                                *args, **kwargs):
+        """Concurrent requests for the SAME session serialize on a
+        per-session lock (they share one ChatManager whose rag_info /
+        qa_history are not safe under parallel mutation); different
+        sessions still run fully in parallel."""
+        with self._session_lock(session_id):
+            return self._generate_response_async(question, session_id,
+                                                 *args, **kwargs)
+
+    def _generate_response_async(self, question: str, session_id: str,
                                 internal_input: Optional[str] = None,
                                 interrupt_index: Optional[int] = None):
         """Production path: sub-question chats gathered concurrently
@@ -352,6 +406,12 @@ class ChatService:
 
     # ------------------------------------------------------------------
     def generate_response_async_stream(self, question: str, session_id: str,
+                                       *args, **kwargs):
+        with self._session_lock(session_id):
+            yield from self._generate_response_async_stream(
+                question, session_id, *args, **kwargs)
+
+    def _generate_response_async_stream(self, question: str, session_id: str,
                                        internal_input: Optional[str] = None,
                                        interrupt_index: Optional[int] = None):
         """SSE generator yielding "data: {json}\\n\\n" frames

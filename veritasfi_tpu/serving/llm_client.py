@@ -109,7 +109,12 @@ def _parse_stream_line(line: str) -> Optional[Choice]:
     if payload == "[DONE]":
         return None
     data = json.loads(payload)
-    ch = data["choices"][0]
+    choices = data.get("choices") or []
+    if not choices:
+        # e.g. vLLM/OpenAI final usage chunk (stream_options include_usage)
+        # or content-filter chunks — skip, don't kill the stream
+        return None
+    ch = choices[0]
     delta = ch.get("delta") or {}
     return Choice(message=Message(), delta=Message(
         role=delta.get("role", "assistant"), content=delta.get("content")),
@@ -184,6 +189,14 @@ class LLMClient:
 
     def close(self) -> None:
         self._client.close()
+        # the AsyncClient needs an async close; run it on a transient loop
+        # (or best-effort skip if one is already running in this thread)
+        import asyncio
+
+        try:
+            asyncio.run(self._aclient.aclose())
+        except RuntimeError:
+            pass
 
 
 # ---------------------------------------------------------------------------

@@ -40,10 +40,24 @@ def create_app(stack, bearer_token: str = ""):
                                          status=401)
         return await handler(request)
 
+    async def _parse_body(request):
+        """(question, session_id, body) or a 400 json_response — malformed
+        input must not surface as a 500 HTML page."""
+        try:
+            body = await request.json()
+        except Exception:
+            return None, None, web.json_response(
+                {"error": "request body must be JSON"}, status=400)
+        if not isinstance(body, dict) or not isinstance(
+                body.get("question"), str) or not body["question"]:
+            return None, None, web.json_response(
+                {"error": "missing or invalid 'question'"}, status=400)
+        return body["question"], str(body.get("session_id", "default")), body
+
     async def handle_chat(request):
-        body = await request.json()
-        question = body["question"]
-        session_id = body.get("session_id", "default")
+        question, session_id, body = await _parse_body(request)
+        if question is None:
+            return body
         answer, _, rag_info, rewrittens, hypo, _, _ = await asyncio.to_thread(
             service.generate_response_with_rag, question, session_id,
             body.get("internal_input"), body.get("interrupt_index"))
@@ -53,9 +67,9 @@ def create_app(stack, bearer_token: str = ""):
         })
 
     async def handle_chat_async(request):
-        body = await request.json()
-        question = body["question"]
-        session_id = body.get("session_id", "default")
+        question, session_id, body = await _parse_body(request)
+        if question is None:
+            return body
         answer, _, rag_info, rewrittens, hypo, _, _ = await asyncio.to_thread(
             service.generate_response_async, question, session_id,
             body.get("internal_input"), body.get("interrupt_index"))
@@ -65,9 +79,9 @@ def create_app(stack, bearer_token: str = ""):
         })
 
     async def handle_chat_stream(request):
-        body = await request.json()
-        question = body["question"]
-        session_id = body.get("session_id", "default")
+        question, session_id, body = await _parse_body(request)
+        if question is None:
+            return body
         response = web.StreamResponse(headers={
             "Content-Type": "text/event-stream",
             "Cache-Control": "no-cache",
@@ -78,13 +92,19 @@ def create_app(stack, bearer_token: str = ""):
                                                            session_id)
         loop = asyncio.get_running_loop()
         sentinel = object()
-        while True:
-            frame = await loop.run_in_executor(
-                None, lambda: next(generator, sentinel))
-            if frame is sentinel:
-                break
-            await response.write(frame.encode("utf-8"))
-        await response.write_eof()
+        try:
+            while True:
+                frame = await loop.run_in_executor(
+                    None, lambda: next(generator, sentinel))
+                if frame is sentinel:
+                    break
+                await response.write(frame.encode("utf-8"))
+            await response.write_eof()
+        finally:
+            # client disconnects mid-stream: run the generator's cleanup
+            # (history commit, loop teardown, session lock release) NOW
+            # instead of at GC time
+            await loop.run_in_executor(None, generator.close)
         return response
 
     async def handle_health(request):
@@ -101,7 +121,10 @@ def create_app(stack, bearer_token: str = ""):
         async def loop_gc():
             while True:
                 await asyncio.sleep(60)
-                service.cleanup_old_sessions()
+                try:
+                    service.cleanup_old_sessions()
+                except Exception:   # a single failure must not end GC forever
+                    logger.exception("session GC sweep failed")
 
         task = asyncio.create_task(loop_gc())
         yield

@@ -39,7 +39,8 @@ def build_reranker(config: Config):
         import json
 
         with open(os.path.join(name, "config.json")) as f:
-            model_type = json.load(f).get("model_type", "")
+            cfg = json.load(f)
+        model_type = cfg.get("model_type", "")
         if model_type == "gemma":
             from .models.hf_loader import _load_state_dict, load_gemma_params
             from .models.reranker import CrossEncoderReranker, DecoderArch
@@ -52,16 +53,12 @@ def build_reranker(config: Config):
                 dtype=dtype,
                 query_max_length=config.rerank.query_max_length,
                 passage_max_length=config.rerank.passage_max_length)
-        import json as _json
-
         from .models.encoder import EncoderArch
         from .models.encoder_reranker import (EncoderReranker,
                                               load_encoder_reranker_params)
         from .models.hf_loader import _load_state_dict
         from .models.tokenizer import load_hf_tokenizer
 
-        with open(os.path.join(name, "config.json")) as f:
-            cfg = _json.load(f)
         arch = EncoderArch(
             vocab_size=cfg["vocab_size"], hidden=cfg["hidden_size"],
             layers=cfg["num_hidden_layers"],
@@ -155,13 +152,14 @@ def build_stack(config: Optional[Config] = None,
         try:
             engine.load_collection(name)
             retrievers.append(engine.create_retriever(k, name))
-        except FileNotFoundError:
-            logger.warning("collection '%s' not found under %s", name,
-                           config.persist_directory)
+        except FileNotFoundError as exc:
+            logger.warning("collection '%s' unavailable under %s: %s", name,
+                           config.persist_directory, exc)
 
     reranker = reranker or build_reranker(config)
     batcher = ContinuousBatcher(reranker.score_tokens,
-                                max_batch=max(config.rerank.batch_size * 4, 8))
+                                max_batch=max(config.rerank.batch_size * 4, 8),
+                                max_pending=config.rerank.max_pending)
 
     if llm is None:
         if config.llm.base_url and "localhost:0" not in config.llm.base_url:
@@ -218,5 +216,13 @@ def build_stack(config: Optional[Config] = None,
         seq_threshold=mb.seq_threshold, bm25_threshold=mb.bm25_threshold,
         db_top_n=mb.db_top_n, table_top_n=mb.table_top_n,
         vector_top_n=mb.vector_top_n,
-        retrieval_batcher=retrieval_batcher)
+        retrieval_batcher=retrieval_batcher,
+        history_limit=config.serving.history_limit,
+        num_hypo=config.serving.num_hypo,
+        temperature=config.llm.temperature, top_p=config.llm.top_p,
+        hyde_timeout_s=config.llm.hyde_timeout_s,
+        chat_timeout_s=config.llm.chat_timeout_s,
+        max_retry=config.llm.max_retry,
+        similar_threshold=config.rerank.similar_threshold,
+        min_bundle_chars=config.rerank.min_bundle_chars)
     return stack
