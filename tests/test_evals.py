@@ -282,3 +282,41 @@ def test_rewrite_dataset_parallel_matches_serial():
     assert [r.question for r in parallel] == [r.question for r in serial]
     assert [r.rewrittens for r in parallel] == [r.rewrittens for r in serial]
     assert [r.need_rag for r in parallel] == [r.need_rag for r in serial]
+
+
+def test_hyde_is_per_rewritten(tmp_path):
+    """Retrieval for sub-question A must use only A's HyDE docs, not the
+    accumulated list across all rewrittens."""
+    from veritasfi_tpu.evals.retrieval_eval import hyde_with_perplexity
+
+    brain = ScriptedBrain(rewrittens=["sub question one",
+                                      "sub question two"])
+    cm = ChatManager("s", FakeLLM(brain), "m")
+    records = rewrite_dataset([{"question": "two things?"}], cm)
+    records = hyde_with_perplexity(records, cm)
+    rec = records[0]
+    assert set(rec.hyde_by_rewritten) == {"sub question one",
+                                          "sub question two"}
+    per = [len(v) for v in rec.hyde_by_rewritten.values()]
+    assert sum(per) == len(rec.hyde)
+
+    class SpyRetriever:
+        def __init__(self):
+            self.calls = []
+
+        def invoke(self, q, hyde):
+            self.calls.append((q, list(hyde)))
+            return []
+
+    spy = SpyRetriever()
+    collect_recall(records, spy, use_hyde=True)
+    assert len(spy.calls) == 2
+    for q, hyde in spy.calls:
+        assert hyde == rec.hyde_by_rewritten[q]
+
+
+def test_judge_llm_without_vote_raises_early():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        judge_hits(["e"], ["c"], EMB.encode, method="llm")

@@ -240,9 +240,16 @@ def main(argv=None) -> int:
             retriever = stack.chat_service.retrievers[0]
             records = collect_recall(records, retriever,
                                      use_hyde=args.use_hyde)
+            # --judge llm votes through the manager's YES/NO relevance
+            # judge (reference step3_mul.py:291-353 LLM-vote mode)
+            llm_vote = (
+                (lambda evidence, chunk: manager.evaluate_chunk(
+                    chunk, evidence, evidence))
+                if args.judge == "llm" else None)
             results = hit_rate_eval(records, stack.engine.embed_fn,
                                     method=args.judge,
-                                    sim_threshold=args.sim_threshold)
+                                    sim_threshold=args.sim_threshold,
+                                    llm_vote=llm_vote)
             stats = aggregate_hit_stats(results, args.out)
             print(json.dumps(stats))
     finally:

@@ -98,6 +98,13 @@ def evaluate_answers(
             needs_ref = metric in ("factual_correctness", "context_recall")
             if needs_ref and not art.get("reference"):
                 continue
+            # context-dependent metrics are meaningless without retrieved
+            # context (e.g. a need_rag=False answer) — skip like the
+            # missing-reference case instead of averaging judge noise
+            needs_ctx = metric in ("faithfulness", "context_recall",
+                                   "context_precision")
+            if needs_ctx and not context.strip():
+                continue
             s = judge.score(metric, art["original_question"],
                             art.get("answer", ""), context=context,
                             reference=art.get("reference", ""))

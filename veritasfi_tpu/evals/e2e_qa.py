@@ -36,7 +36,7 @@ def load_questions(path: str) -> List[Dict]:
         return out
     with open(path, encoding="utf-8") as f:
         return [{"question": line.strip()} for line in f
-                if line.strip() and not line.startswith("#")]
+                if line.strip() and not line.strip().startswith("#")]
 
 
 def run_e2e(

@@ -76,9 +76,10 @@ def evaluate_reranker(
         ranked = [candidates[i] for i in order]
         rel = relevance_by_similarity(ranked, sample["ground_truth"],
                                       embed_fn, threshold)
-        all_rel = relevance_by_similarity(candidates, sample["ground_truth"],
-                                          embed_fn, threshold)
-        num_relevant = int(sum(all_rel))
+        # ranked is a permutation of candidates, so the relevant COUNT is
+        # order-independent — re-judging the unranked list would double the
+        # dominant embedding cost of a checkpoint sweep
+        num_relevant = int(sum(rel))
         ndcgs.append(calculate_ndcg(rel, k))
         rrs.append(compute_rr(rel))
         precisions.append(calculate_precision(rel, k))

@@ -39,6 +39,10 @@ class RewriteRecord:
     query_time: str = ""
     need_rag: bool = False
     hyde: List[str] = field(default_factory=list)
+    # per-rewritten HyDE mapping: retrieval for sub-question A must not
+    # fuse sub-question B's hypothetical documents (the flat ``hyde`` list
+    # is kept for serialized-record compatibility)
+    hyde_by_rewritten: Dict[str, List[str]] = field(default_factory=dict)
     perplexity: List[float] = field(default_factory=list)
     evidences: List[str] = field(default_factory=list)
     chunks: List[Dict] = field(default_factory=list)
@@ -123,6 +127,7 @@ def hyde_with_perplexity(records: List[RewriteRecord], chat_manager,
         for rewritten in rec.rewrittens:
             chunks = chat_manager.generate_hypo_chunks(rewritten)
             rec.hyde.extend(chunks)
+            rec.hyde_by_rewritten[rewritten] = list(chunks)
             if logprob_fn is not None:
                 for c in chunks:
                     rec.perplexity.append(calculate_perplexity(logprob_fn(c)))
@@ -141,7 +146,8 @@ def collect_recall(records: List[RewriteRecord], retriever,
     faiss_ts_k=10 — step2_mod.py:120-122 — configured on the retriever)."""
     for rec in records:
         for rewritten in rec.rewrittens:
-            hyde = rec.hyde if use_hyde else []
+            hyde = (rec.hyde_by_rewritten.get(rewritten, rec.hyde)
+                    if use_hyde else [])
             for chunk in retriever.invoke(rewritten, hyde):
                 rec.chunks.append({
                     "content": chunk["page_content"],
@@ -167,6 +173,11 @@ def judge_hits(
 ) -> List[bool]:
     """Per evidence: rank chunks by embedding cosine, judge hit on the top
     ones by the configured method (cos / string / llm majority vote)."""
+    if method == "llm" and llm_vote is None:
+        raise ValueError(
+            "judge method 'llm' needs an llm_vote callable (e.g. "
+            "ChatManager.evaluate_chunk) — failing now, before the "
+            "expensive judging loop")
     if not evidences or not chunk_texts:
         return [False] * len(evidences)
     emb_e = np.asarray(embed_fn(evidences), np.float32)
