@@ -65,3 +65,14 @@ def test_stemmer_alignment():
                        ("running", "run"), ("quickly", "quickli"),
                        ("adjustment", "adjust"), ("databases", "databas")]:
         assert porter_stem(word) == stem
+
+
+def test_native_refuses_non_ascii_corpus():
+    import pytest as _pytest
+
+    from veritasfi_tpu.native.bm25_native import NativeBM25, native_available
+
+    if not native_available():
+        _pytest.skip("native lib unavailable")
+    with _pytest.raises(ValueError):
+        NativeBM25(["Société Générale revenue", "plain ascii doc"])

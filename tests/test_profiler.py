@@ -64,3 +64,19 @@ def test_reset():
     p.add_metric("x", 1)
     p.reset()
     assert p.results() == {"durations": {}, "metrics": {}}
+
+
+def test_nested_same_name_spans_record_both():
+    from veritasfi_tpu.utils.profiler import Profiler
+
+    p = Profiler()
+    import time as _time
+
+    p.start("x")
+    _time.sleep(0.01)
+    p.start("x")
+    inner = p.end("x")
+    outer = p.end("x")
+    assert outer >= inner and outer >= 0.01
+    stats = p.results()["durations"]["x"]
+    assert stats["count"] == 2

@@ -60,3 +60,11 @@ def test_http_error_contained():
 def test_registry():
     tools = FinnhubTools()
     assert set(tools.registry()) == {"get_stock_price", "get_ipo_info"}
+
+
+def test_quote_empty_body_is_error():
+    from veritasfi_tpu.serving.tools import FinnhubTools
+
+    tools = FinnhubTools("key", http_get=lambda url, params: {})
+    out = tools.get_stock_price("AAPL")
+    assert "error" in out and "currentPrice" not in out

@@ -269,11 +269,15 @@ void* vfi_bm25_build(const char** docs, int32_t n_docs, double k1, double b,
 
   h->term_rows.resize(v);
   h->term_scores.resize(v);
+  // idf once per vocabulary term, not per posting (millions of redundant
+  // std::log calls at collection load otherwise)
+  std::vector<float> idf_tab(v);
+  for (int t = 0; t < v; ++t)
+    idf_tab[t] = std::log(1.0f + (n_docs - df[t] + 0.5f) / (df[t] + 0.5f));
   for (int i = 0; i < n_docs; ++i) {
     float norm = (float)(k1 * (1.0 - b + b * doc_len[i] / avgdl));
     for (auto& kv : doc_tf[i]) {
-      float idf = std::log(1.0f + (n_docs - df[kv.first] + 0.5f) /
-                                      (df[kv.first] + 0.5f));
+      float idf = idf_tab[kv.first];
       float tf_part = kv.second / (kv.second + norm);
       if (robertson) tf_part *= (float)(k1 + 1.0);
       h->term_rows[kv.first].push_back(i);

@@ -3,8 +3,10 @@
 The shared library is built on first use with g++ (cached next to the
 source); when no toolchain is available the caller falls back to the pure
 scipy implementation in retrieval/bm25.py. Scoring semantics are identical
-(same tokenizer, Porter stemmer, stopwords, lucene formula) — asserted by
-tests/test_native_bm25.py.
+on ASCII corpora (same tokenizer, Porter stemmer, stopwords, lucene
+formula — asserted by tests/test_native_bm25.py); the C++ tokenizer is
+byte-wise ASCII, so NativeBM25 REFUSES non-ASCII corpora (ValueError) and
+callers fall back to the Unicode-correct Python engine.
 """
 
 from __future__ import annotations
@@ -29,14 +31,28 @@ _build_failed = False
 
 
 def _build() -> Optional[str]:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+    try:
+        src_mtime = os.path.getmtime(_SRC)
+    except OSError:
+        # source absent (e.g. a deployed tree shipping only the .so):
+        # a cached library is still perfectly usable
+        return _LIB if os.path.exists(_LIB) else None
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= src_mtime:
         return _LIB
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
+    # build to a temp path + atomic rename: another process dlopening the
+    # final path must never see a partially written library
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(tmp, _LIB)
         return _LIB
     except Exception as e:
         logger.warning("native bm25 build failed (%s); using Python BM25", e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -83,6 +99,15 @@ class NativeBM25:
         lib = _load()
         if lib is None:
             raise RuntimeError("native bm25 library unavailable")
+        # the C++ tokenizer is byte-wise ASCII; scoring a non-ASCII corpus
+        # there would silently diverge from the Unicode Python engine
+        # (accented/CJK tokens split per byte) — refuse so the caller's
+        # fallback keeps rankings environment-independent
+        for t in corpus:
+            if not t.isascii():
+                raise ValueError(
+                    "native BM25 only matches the Python engine on ASCII "
+                    "corpora; falling back keeps scores identical")
         self._lib = lib
         self.doc_ids = doc_ids if doc_ids is not None else [
             str(i) for i in range(len(corpus))]

@@ -79,7 +79,9 @@ class FinnhubTools:
         try:
             data = self.http_get(f"{BASE_URL}/quote",
                                  {"symbol": ticker.upper(), "token": self.api_key})
-            if data.get("c") == 0 and data.get("pc") == 0:
+            # falsy check also catches missing keys (an empty 200 body
+            # would otherwise return a success-shaped quote of Nones)
+            if not data.get("c") and not data.get("pc"):
                 return {"error": f"No price data available for {ticker}."}
             return {
                 "ticker": ticker.upper(),

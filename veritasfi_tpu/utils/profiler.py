@@ -64,13 +64,16 @@ class Profiler:
         starts = getattr(self._local, "starts", None)
         if starts is None:
             starts = self._local.starts = {}
-        starts[name] = time.perf_counter()
+        # per-name STACK: nested/recursive same-name spans must not drop
+        # the outer measurement (a flat dict overwrote the outer t0)
+        starts.setdefault(name, []).append(time.perf_counter())
 
     def end(self, name: str) -> float:
         starts = getattr(self._local, "starts", {})
-        t0 = starts.pop(name, None)
-        if t0 is None:
+        stack = starts.get(name)
+        if not stack:
             return 0.0
+        t0 = stack.pop()
         dt = time.perf_counter() - t0
         with self._lock:
             self._durations.setdefault(name, []).append(dt)
