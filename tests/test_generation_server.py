@@ -194,11 +194,11 @@ def test_speculative_with_sampling_neighbour(decoder):
         server.close()
 
 
-def test_spec_commit_mask_is_set_not_or(decoder):
-    """After a ring wrap every slot's mask bit is True; a spec step
-    overwrites k/v at all K+1 written ring slots, so the commit must SET
-    the mask to the accepted prefix (rejected/pad slots invisible), never
-    OR — ORing would leave stale True bits pointing at clobbered keys."""
+def test_spec_commit_restores_rejected_slots(decoder):
+    """After a ring wrap, a spec step overwrites k/v at all K+1 written
+    ring slots; the commit must keep the new values ONLY for the accepted
+    prefix and restore the pre-forward k/v AND mask everywhere else —
+    otherwise wrapped rows permanently lose K valid keys per step."""
     import jax
     import jax.numpy as jnp
 
@@ -207,10 +207,10 @@ def test_spec_commit_mask_is_set_not_or(decoder):
                               chunk=2, max_prompt_len=16, speculative_k=4,
                               cache_dtype=jnp.float32)
     try:
-        a = rr.module.arch if hasattr(rr.module, "arch") else server.arch
         w = server.window
-        # simulate a fully wrapped ring: every mask bit True
-        cache = [(k, v, jnp.ones_like(km)) for k, v, km in server._cache]
+        # simulate a fully wrapped ring: every mask bit True, k/v = 7.0
+        cache = [(jnp.full_like(k, 7.0), jnp.full_like(v, 7.0),
+                  jnp.ones_like(km)) for k, v, km in server._cache]
         off = jnp.asarray(np.array([5, 11], np.int32))
         tok = jnp.asarray(np.array([3, 7], np.int32))
         pos = jnp.asarray(np.array([40, 40], np.int32))
@@ -224,13 +224,21 @@ def test_spec_commit_mask_is_set_not_or(decoder):
             drafts, jax.random.PRNGKey(0))
         acc = np.asarray(accepted)
         km = np.asarray(cache[0][2])
+        kk = np.asarray(cache[0][0])
         offs = np.asarray(off)
         js = np.arange(5)
         for row in range(2):
             slots = (offs[row] + js) % w
-            expect = js <= acc[row]
-            got = km[row, slots]
-            np.testing.assert_array_equal(got, expect, err_msg=f"row{row}")
+            # mask: True everywhere (keep -> True, rejected -> restored True)
+            np.testing.assert_array_equal(km[row, slots], True)
+            for j, slot in enumerate(slots):
+                if j <= acc[row]:
+                    assert not np.allclose(kk[row, slot], 7.0), (
+                        f"row{row} j{j}: accepted slot kept old k/v")
+                else:
+                    np.testing.assert_allclose(
+                        kk[row, slot], 7.0,
+                        err_msg=f"row{row} j{j}: rejected slot not restored")
     finally:
         server.close()
 

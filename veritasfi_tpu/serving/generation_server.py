@@ -41,7 +41,7 @@ import queue
 import threading
 from concurrent.futures import Future
 from dataclasses import dataclass, field
-from typing import Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -98,15 +98,24 @@ class GenerationServer:
         # accepted/step it measured 60 vs 87 tok/s; OFF by default.
         self.speculative_k = int(speculative_k)
         self.ngram = int(ngram)
+        if self.speculative_k > 0:
+            if self.ngram < 1:
+                raise ValueError("ngram must be >= 1 (0 silently disables "
+                                 "drafting: hist[-0:] is the whole history)")
+            if self.speculative_k + 1 > window:
+                raise ValueError("speculative_k + 1 must fit the window "
+                                 "(duplicate ring slots in one verify step)")
         self.cache_dtype = cache_dtype
         # a prompt padded to prefill_chunk must fit the ring window, else
         # prefill writes past the cache and the mask init silently clips;
         # prompts are truncated (keep-tail) to the largest padded length
-        # that fits — same truncation semantics as max_prompt_len
+        # that fits — same truncation semantics as max_prompt_len. The
+        # public attribute reflects the REAL capacity.
         self.prefill_chunk = min(self.prefill_chunk, window)
         self._prompt_cap = min(
             max_prompt_len, (window // self.prefill_chunk)
             * self.prefill_chunk)
+        self.max_prompt_len = self._prompt_cap
 
         a = self.arch
         self._cache = [
@@ -142,8 +151,13 @@ class GenerationServer:
             self._decode_impl, donate_argnums=(1,),
             static_argnames=("chunk",))
         self._spec_jit = jax.jit(self._spec_impl, donate_argnums=(1,))
-        # host-side token history per slot (prompt + emitted) for drafting
+        # host-side token history per slot (prompt + emitted) for drafting,
+        # with an incremental ngram index (key -> (latest, previous) start
+        # positions) so each draft lookup is O(1) instead of an O(len)
+        # backward scan on the scheduler hot path
         self._history: List[List[int]] = [[] for _ in range(slots)]
+        self._ngram_idx: List[Dict[Tuple[int, ...], Tuple[int, Optional[int]]]] = [
+            {} for _ in range(slots)]
 
         self.stats = {"spec_steps": 0, "spec_accepted_tokens": 0,
                       "decode_chunks": 0}
@@ -240,11 +254,24 @@ class GenerationServer:
         the model in ONE forward, accept the longest draft prefix the model
         would itself have produced (greedy rows), emit accepted+1 tokens.
 
-        Cache rollback is free: the K+1 k/v rows are written at
-        off..off+K, but their key-mask bits are committed only for the
-        accepted prefix — rejected slots stay invisible and are simply
-        overwritten when ``off`` rewinds to them."""
+        Rollback is EXACT on the cache: the forward overwrites k/v at the
+        K+1 ring slots of every row (pad drafts of sampling rows
+        included), so the pre-forward contents of those slots are saved
+        and restored for every position beyond the accepted prefix —
+        after the step, every row's window matches what the plain chunked
+        scan would have left. The only post-wrap approximation is inside
+        the verification forward itself: the K+1 oldest wrapped keys are
+        overwritten in place, so they are invisible to the in-block
+        positions (sequential decoding would still have seen them until
+        their individual overwrite)."""
         s, kd = drafts.shape
+        w = self.window
+        rows = jnp.arange(s)
+        js = jnp.arange(kd + 1)[None, :]
+        slots = (off[:, None] + js) % w                           # [S,K+1]
+        rows2 = rows[:, None]
+        saved = [(k[rows2, slots], v[rows2, slots], km[rows2, slots])
+                 for k, v, km in cache]
         tokens = jnp.concatenate([tok[:, None], drafts], axis=1)  # [S,K+1]
         positions = pos[:, None] + jnp.arange(kd + 1)[None, :]
         logits, cache = self.module.apply(
@@ -259,30 +286,28 @@ class GenerationServer:
         accepted = jnp.where((temp <= 0.0) & active, accepted, 0)
         # the bonus token comes from the distribution at the last accepted
         # position; _sample_rows handles greedy and sampling rows alike
-        rows = jnp.arange(s)
         rng, key = jax.random.split(rng)
         final = _sample_rows(logits[rows, accepted], key, temp, topp)
         final = jnp.where(active, final, self.arch.pad_id)
         # emitted tokens: d1..da then final, pad after
-        js = jnp.arange(kd + 1)[None, :]
-        emit = jnp.where(js < accepted[:, None], drafts[:, :][
-            rows[:, None], jnp.minimum(js, kd - 1)], self.arch.pad_id)
+        emit = jnp.where(
+            js < accepted[:, None],
+            drafts[rows2, jnp.minimum(js, kd - 1)], self.arch.pad_id)
         emit = jnp.where(js == accepted[:, None], final[:, None], emit)
         emit = jnp.where(active[:, None], emit, self.arch.pad_id)
-        # commit key-mask bits for the written ring slots: True for the
-        # current token + accepted drafts, False otherwise. This must be a
-        # SET, not an OR: the forward overwrote k/v at ALL kd+1 slots for
-        # every row (pad drafts included), so once the ring has wrapped the
-        # old entries there are destroyed — ORing would leave stale True
-        # bits pointing at garbage keys. Post-wrap, a row's effective
-        # window is therefore temporarily smaller by (kd - accepted) until
-        # ``off`` re-reaches the clobbered slots — the unavoidable cost of
-        # in-place draft verification on a ring buffer.
-        w = self.window
-        slots = (off[:, None] + js[:, :kd + 1]) % w
+        # commit: positions <= accepted keep the NEW k/v with mask True
+        # (current token + accepted drafts); every other written slot —
+        # rejected drafts, sampling rows' pad drafts, inactive rows — is
+        # restored to its saved pre-forward contents, mask included
         keep = (js <= accepted[:, None]) & active[:, None]
-        cache = [(k, v, km.at[rows[:, None], slots].set(keep))
-                 for k, v, km in cache]
+        keep_kv = keep[..., None, None]
+        cache = [
+            (k.at[rows2, slots].set(
+                jnp.where(keep_kv, k[rows2, slots], old_k)),
+             v.at[rows2, slots].set(
+                jnp.where(keep_kv, v[rows2, slots], old_v)),
+             km.at[rows2, slots].set(jnp.where(keep, True, old_m)))
+            for (k, v, km), (old_k, old_v, old_m) in zip(cache, saved)]
         adv = jnp.where(active, accepted + 1, 0)
         return (cache, jnp.where(active, final, tok), pos + adv, off + adv,
                 rng, emit, accepted)
@@ -290,22 +315,44 @@ class GenerationServer:
     # ------------------------------------------------------------------
     # host scheduler
     # ------------------------------------------------------------------
+    def _index_ngram(self, slot: int, start: int) -> None:
+        """Record the ngram occurrence starting at ``start``."""
+        hist = self._history[slot]
+        n = self.ngram
+        key = tuple(hist[start: start + n])
+        idx = self._ngram_idx[slot]
+        prev = idx.get(key)
+        idx[key] = (start, prev[0] if prev is not None else None)
+
+    def _rebuild_ngram_idx(self, slot: int) -> None:
+        self._ngram_idx[slot] = {}
+        hist = self._history[slot]
+        n = self.ngram
+        if self.speculative_k > 0 and n >= 1:
+            for start in range(len(hist) - n + 1):
+                self._index_ngram(slot, start)
+
     def _draft(self, slot: int) -> List[int]:
-        """Prompt-lookup drafting: find the last earlier occurrence of the
-        trailing ``ngram`` tokens in this slot's history and propose the
-        tokens that followed it."""
+        """Prompt-lookup drafting: propose the tokens that followed the
+        most recent PRIOR occurrence of the trailing ``ngram`` tokens
+        (O(1) via the incremental index)."""
         k = self.speculative_k
         hist = self._history[slot]
         n = self.ngram
         if k <= 0 or len(hist) <= n:
             return []
-        key = hist[-n:]
-        # search backwards, excluding the trailing occurrence itself
-        for start in range(len(hist) - n - 1, -1, -1):
-            if hist[start: start + n] == key:
-                follow = hist[start + n: start + n + k]
-                return [t for t in follow if t != self.arch.pad_id][:k]
-        return []
+        entry = self._ngram_idx[slot].get(tuple(hist[-n:]))
+        if entry is None:
+            return []
+        latest, prev = entry
+        # the trailing occurrence indexes itself as `latest`; the draft
+        # source is the occurrence before it
+        start = prev if latest == len(hist) - n else latest
+        if start is None:
+            return []
+        follow = hist[start + n: start + n + k]
+        return [t for t in follow if t != self.arch.pad_id][:k]
+
     def _admit(self) -> bool:
         """Admit every queued request there is a free slot for. All device
         work (local cache init, chunked prefill, commit) is enqueued
@@ -358,6 +405,7 @@ class GenerationServer:
                 jnp.int32(len(row)), jnp.int32(padded))
             self._temp_host[slot] = temp
             self._history[slot] = list(row)
+            self._rebuild_ngram_idx(slot)
             self._slot_req[slot] = req
             self._produced[slot] = 0
             self._active[slot] = True
@@ -381,8 +429,11 @@ class GenerationServer:
         self._produced[slot] += 1
         hist = self._history[slot]
         hist.append(tok)
+        if self.speculative_k > 0 and len(hist) >= self.ngram:
+            self._index_ngram(slot, len(hist) - self.ngram)
         if len(hist) > 4 * self.window:
-            del hist[: 2 * self.window]   # bound the draft-lookup scan
+            del hist[: 2 * self.window]   # bound host memory per slot
+            self._rebuild_ngram_idx(slot)  # starts shifted
         if self._produced[slot] >= req.max_new:
             self._finish(slot)
 
