@@ -182,3 +182,23 @@ def test_summarize_fn_called_once_per_section():
     assert len([r for r in rows[1:] if r.get("title_summary")]) >= 4
     assert sorted(set(calls)) == ["Alpha", "Beta"]
     assert len(calls) == 2
+
+
+def test_cli_global_options_after_subcommand(tmp_path):
+    """The docstring examples put --config after the subcommand; both
+    orders must parse."""
+    import veritasfi_tpu.cli as cli
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("persist_directory: " + str(tmp_path / "idx") + "\n")
+    src = tmp_path / "raw"
+    src.mkdir()
+    (src / "a_2024-01-02.md").write_text("# T\n\nBody sentence one.")
+    rc = cli.main(["preprocess", "--config", str(cfg),
+                   "--source-dir", str(src),
+                   "--out-dir", str(tmp_path / "out1")])
+    assert rc == 0
+    rc = cli.main(["--config", str(cfg), "preprocess",
+                   "--source-dir", str(src),
+                   "--out-dir", str(tmp_path / "out2")])
+    assert rc == 0

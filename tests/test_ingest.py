@@ -68,3 +68,37 @@ def test_header_validation(tmp_path):
     p.write_text('[{"start": 1}]')
     with pytest.raises(ValueError, match="header row missing"):
         load_processed_dir(str(tmp_path), filenames=["bad.json"])
+
+
+def test_figure_rows_with_same_content_not_deduped(tmp_path):
+    """Identical placeholder content but different image_path must stay
+    distinct records (content-only dedup dropped one image)."""
+    import json
+
+    from veritasfi_tpu.ingest.contract import load_processed_dir
+
+    rows = [{"start": 1, "end": 5, "date_published": "2024-01-01"},
+            {"content": "[Figure]", "page_number": 1,
+             "modality": "image", "image_path": "a.png"},
+            {"content": "[Figure]", "page_number": 2,
+             "modality": "image", "image_path": "b.png"}]
+    d = tmp_path / "p"
+    d.mkdir()
+    (d / "f.json").write_text(json.dumps(rows))
+    records, _ = load_processed_dir(str(d))
+    assert len(records) == 2
+    assert {r.image_path for r in records} == {"a.png", "b.png"}
+
+
+def test_missing_page_number_defaults_to_range_start(tmp_path):
+    import json
+
+    from veritasfi_tpu.ingest.contract import load_processed_dir
+
+    rows = [{"start": 3, "end": 9, "date_published": "2024-01-01"},
+            {"content": "no page field here"}]
+    d = tmp_path / "p2"
+    d.mkdir()
+    (d / "f.json").write_text(json.dumps(rows))
+    records, _ = load_processed_dir(str(d))
+    assert len(records) == 1 and records[0].page_number == 3

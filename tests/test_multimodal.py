@@ -88,3 +88,22 @@ def test_dim_mismatch_raises(tmp_path):
         build_corpus_index(records, titles,
                            embed_fn=HashEmbedder(dim=64).encode,
                            image_embed_fn=bad_image_fn)
+
+
+def test_uint8_array_input_scaled():
+    """A uint8 numpy image must be scaled to [0,1] like the PIL path."""
+    import numpy as np
+
+    from veritasfi_tpu.models.image_encoder import ImageEncoder
+
+    enc = ImageEncoder(preset="tiny-test")
+    size = enc.arch.image_size
+    arr8 = np.full((size, size, 3), 255, np.uint8)
+    arrf = np.ones((size, size, 3), np.float32)
+    a = enc.encode([arr8])
+    b = enc.encode([arrf])
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        enc.preprocess(np.zeros((size, size), np.uint8))   # grayscale

@@ -26,8 +26,6 @@ import sys
 def _train_reranker(args) -> int:
     """CLI front of train.reranker_lora (reference: torchrun +
     FlagEmbedding run.py via train_bge_rr.sh:7-39)."""
-    import dataclasses
-
     from .models.reranker import DECODER_PRESETS
     from .train.reranker_lora import (LoRATrainConfig, RerankerTrainer,
                                       anonymize_company)
@@ -39,6 +37,8 @@ def _train_reranker(args) -> int:
             if not line:
                 continue
             row = json.loads(line)
+            if not row.get("pos"):
+                continue                       # incomplete row, like below
             passages = ([row["pos"][0]] +
                         list(row.get("neg", []))[: args.group_size - 1])
             if len(passages) < args.group_size:
@@ -87,17 +87,25 @@ def _train_reranker(args) -> int:
 
 
 def main(argv=None) -> int:
-    parser = argparse.ArgumentParser(prog="veritasfi_tpu")
-    parser.add_argument("--config", default=None)
-    parser.add_argument("--log-level", default="INFO")
+    # global options live on a PARENT parser shared by every subcommand, so
+    # `cli ingest --config c.yaml` (options after the subcommand, as every
+    # docstring example writes them) parses as well as `cli --config c.yaml
+    # ingest`
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--config", default=None)
+    common.add_argument("--log-level", default="INFO")
+    parser = argparse.ArgumentParser(prog="veritasfi_tpu", parents=[common])
     sub = parser.add_subparsers(dest="cmd", required=True)
 
-    p_ingest = sub.add_parser("ingest")
+    def add_parser(name, **kw):
+        return sub.add_parser(name, parents=[common], **kw)
+
+    p_ingest = add_parser("ingest")
     p_ingest.add_argument("--collection", required=True)
     p_ingest.add_argument("--source-dir", required=True)
     p_ingest.add_argument("--ignore-range", action="store_true")
 
-    p_pre = sub.add_parser(
+    p_pre = add_parser(
         "preprocess",
         help="raw .txt/.md documents -> processed-JSON chunk files "
              "(page-aware chunking, table/figure bundles, section title "
@@ -109,21 +117,21 @@ def main(argv=None) -> int:
                        help="date_published when the filename has no "
                             "YYYY-MM-DD pattern")
 
-    p_serve = sub.add_parser("serve")
+    p_serve = add_parser("serve")
     p_serve.add_argument("--host", default="0.0.0.0")
     p_serve.add_argument("--port", type=int, default=8080)
 
-    p_query = sub.add_parser("query")
+    p_query = add_parser("query")
     p_query.add_argument("question")
     p_query.add_argument("--session", default="cli")
 
-    p_e2e = sub.add_parser("e2e")
+    p_e2e = add_parser("e2e")
     p_e2e.add_argument("--questions", required=True)
     p_e2e.add_argument("--out-dir", required=True)
     p_e2e.add_argument("--self-judge", action="store_true")
 
     # retrieval-quality pipeline (reference experiments/retriever stages 1-4)
-    p_ret = sub.add_parser("eval-retrieval")
+    p_ret = add_parser("eval-retrieval")
     p_ret.add_argument("--samples", required=True,
                        help="JSON list of {question, evidences: [str]}")
     p_ret.add_argument("--out", required=True, help="statistic.json path")
@@ -132,7 +140,7 @@ def main(argv=None) -> int:
     p_ret.add_argument("--sim-threshold", type=float, default=0.9)
     p_ret.add_argument("--use-hyde", action="store_true")
 
-    p_col = sub.add_parser(
+    p_col = add_parser(
         "collect", help="tabulate + chart statistic.json trees "
                         "(reference collect_*.py parity)")
     p_col.add_argument("--root", required=True,
@@ -143,7 +151,7 @@ def main(argv=None) -> int:
                        help="directory for grouped-bar PNGs "
                             "(avg_hit_rate / avg_chunk)")
 
-    p_tr = sub.add_parser(
+    p_tr = add_parser(
         "train-reranker",
         help="LoRA fine-tune the cross-encoder reranker (the reference's "
              "train_bge_rr.sh surface; FlagEmbedding JSONL data format)")

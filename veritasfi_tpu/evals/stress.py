@@ -67,10 +67,17 @@ def stress_test(workload: Callable[[], None], num_threads: int = 2,
     """Runs ``workload`` in N threads until the deadline; returns stats."""
     stats = StressStats(warm_up_s=warm_up_s)
     stop = threading.Event()
+    errors: list = []
 
     def worker():
         while not stop.is_set():
-            workload()
+            try:
+                workload()
+            except Exception as exc:   # a dead thread silently skews rates
+                errors.append(repr(exc))
+                if len(errors) >= 3 * num_threads:
+                    return             # persistent failure; stop burning
+                continue
             stats.add_call()
 
     threads = [threading.Thread(target=worker, daemon=True)
@@ -81,7 +88,11 @@ def stress_test(workload: Callable[[], None], num_threads: int = 2,
     stop.set()
     for t in threads:
         t.join(timeout=30)
-    return stats.snapshot()
+    out = stats.snapshot()
+    if errors:
+        out["errors"] = len(errors)
+        out["first_error"] = errors[0]
+    return out
 
 
 def retrieval_throughput(retriever, queries: Sequence[str],
@@ -131,7 +142,12 @@ def generation_stress(n_requests: int = 8, slots: int = 4,
     from ..models.reranker import DECODER_PRESETS, CrossEncoderReranker
     from ..serving.generation_server import GenerationServer
 
-    arch_name = preset if preset in DECODER_PRESETS else "tiny-test"
+    if preset not in DECODER_PRESETS:
+        raise KeyError(
+            f"unknown decoder preset {preset!r}; choose from "
+            f"{sorted(DECODER_PRESETS)} — silently benchmarking tiny-test "
+            "would inflate tokens/s by orders of magnitude")
+    arch_name = preset
     rr = CrossEncoderReranker(preset=arch_name, dtype=jnp.bfloat16)
     server = GenerationServer(rr.module, rr.params, slots=slots,
                               window=512, chunk=chunk, max_prompt_len=256,

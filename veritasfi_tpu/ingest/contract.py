@@ -121,10 +121,21 @@ def load_processed_dir(
             modality = row.get("modality", "text")
             image_path = row.get("image_path", None)
 
-            if not (ignore_range or page_start <= int(page_number) <= page_end):
+            try:
+                page_number = int(page_number) if page_number is not None                     else page_start
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"{filename}: chunk row has invalid page_number "
+                    f"{page_number!r}")
+            if not (ignore_range or page_start <= page_number <= page_end):
                 continue
 
-            doc_id = hash_content(content)
+            # figure rows may share placeholder content text — the dedup
+            # key must include the image reference or one image silently
+            # vanishes from the multimodal index
+            doc_id = hash_content(
+                content if not image_path
+                else f"{content}\x00{image_path}")
             rec = ChunkRecord(
                 content=content,
                 filename=filename,

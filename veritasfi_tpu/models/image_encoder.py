@@ -127,7 +127,13 @@ class ImageEncoder:
         if hasattr(image, "resize") and not isinstance(image, np.ndarray):
             image = image.resize((self.arch.image_size, self.arch.image_size))
             image = np.asarray(image, np.float32) / 255.0
-        image = np.asarray(image, np.float32)
+        raw = np.asarray(image)
+        image = np.asarray(raw, np.float32)
+        if raw.dtype == np.uint8:
+            image = image / 255.0          # honor the [0, 1] contract for
+        if image.ndim != 3 or image.shape[2] != 3:   # uint8 array inputs
+            raise ValueError(f"expected [H, W, 3] image, got {raw.shape} "
+                             f"({raw.dtype})")
         if image.shape[:2] != (self.arch.image_size, self.arch.image_size):
             raise ValueError(f"expected {self.arch.image_size}px square "
                              f"image, got {image.shape}")

@@ -331,13 +331,10 @@ class CrossEncoderReranker:
                 self.module, p, ids, mask, self.yes_id))
 
         def _score_sim(p, ids, mask, emb):
+            from ..ops.similarity import cosine_similarity_matrix
+
             s = yes_logit_score(self.module, p, ids, mask, self.yes_id)
-            e = emb.astype(jnp.float32)
-            e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True),
-                                1e-12)
-            sim = jnp.matmul(e, e.T, precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-            return s, sim
+            return s, cosine_similarity_matrix(emb)
 
         self._score_sim = jax.jit(_score_sim)
 

@@ -65,7 +65,7 @@ class HashTokenizer:
             ids = [self.cls_id] + [self.token_id(tok) for tok in basic_tokens(t)]
             ids = ids[: max_length - 1] + [self.sep_id]
             rows.append(ids)
-        seq = max(len(r) for r in rows)
+        seq = max((len(r) for r in rows), default=0)
         input_ids = np.full((len(rows), seq), self.pad_id, np.int32)
         mask = np.zeros((len(rows), seq), np.int32)
         for i, r in enumerate(rows):
