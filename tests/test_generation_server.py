@@ -258,3 +258,25 @@ def test_speculative_survives_window_wrap(decoder):
         assert len(got) == 96
     finally:
         server.close()
+
+
+def test_long_prompt_adaptive_prefill_matches_solo(decoder):
+    """A long prompt replays mostly in big (4x) prefill chunks plus a
+    small tail; the result must match the solo whole-prompt Generator."""
+    rr = decoder
+    long_row = rr._encode_raw(" ".join(
+        f"metric {i} value {i * 3}" for i in range(110)))   # ~330 tokens
+    from veritasfi_tpu.models.generate import Generator
+
+    gen = Generator(rr.module, rr.params, max_prompt_len=448,
+                    max_new_tokens=12, cache_dtype=jnp.float32)
+    solo = gen.generate_tokens([long_row[-448:]], max_new_tokens=12,
+                               eos_id=-1)[0]
+    server = GenerationServer(rr.module, rr.params, slots=2, window=512,
+                              chunk=4, max_prompt_len=448,
+                              prefill_chunk=64, cache_dtype=jnp.float32)
+    try:
+        got = server.generate(long_row, 12, -1)
+        assert got == solo, (got, solo)
+    finally:
+        server.close()

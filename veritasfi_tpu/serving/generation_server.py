@@ -384,15 +384,23 @@ class GenerationServer:
             positions = np.maximum(mask.cumsum(axis=-1) - 1, 0).astype(
                 np.int32)
             local = self._local_init_jit(jnp.asarray(mask.astype(bool)))
-            # host-chunked prefill: the SAME compiled [1, C] program
-            # replays the prompt chunk by chunk (all dispatches async)
+            # host-chunked prefill, ADAPTIVE chunk width: the bulk of a
+            # long prompt replays in big (4c-wide) chunks — a [1, 64]
+            # forward underutilizes the MXU, and RAG prompts carry 1000+
+            # context tokens — with the c-wide program finishing the tail.
+            # Each width is one compiled program reused for every prompt
+            # length (first use of a width pays its remote compile once).
+            big = 4 * c
             last = None
-            for i in range(padded // c):
-                sl = slice(i * c, (i + 1) * c)
+            i = 0
+            while i < padded:
+                step = big if padded - i >= big else c
+                sl = slice(i, i + step)
                 local, last = self._prefill_chunk_jit(
                     self.params, local, jnp.asarray(ids[:, sl]),
-                    jnp.asarray(mask[:, sl]), jnp.int32(i * c),
+                    jnp.asarray(mask[:, sl]), jnp.int32(i),
                     jnp.asarray(positions[:, sl]))
+                i += step
             temp = (req.temperature if req.temperature is not None
                     else self.temperature)
             topp = req.top_p if req.top_p is not None else self.top_p
