@@ -117,8 +117,7 @@ def build_test_stack(corpus_size: int, seed: int = 0):
     return stack
 
 
-async def run_stress(port: int, concurrency: int, total: int,
-                     warmup: int = 4) -> dict:
+async def run_stress(port: int, concurrency: int, total: int) -> dict:
     import aiohttp
 
     url = f"http://127.0.0.1:{port}/v1/chat/async"
@@ -128,22 +127,34 @@ async def run_stress(port: int, concurrency: int, total: int,
 
     async with aiohttp.ClientSession() as session:
 
-        async def one(i: int, record: bool) -> None:
-            body = dict(payload, session_id=f"s{i % concurrency}")
+        async def one(session_slot: int, record: bool) -> None:
+            body = dict(payload, session_id=f"s{session_slot}")
             t0 = time.perf_counter()
             async with session.post(url, json=body) as resp:
-                assert resp.status == 200, await resp.text()
+                if resp.status != 200:    # not assert: -O must not hide it
+                    raise RuntimeError(
+                        f"HTTP {resp.status}: {await resp.text()}")
                 await resp.json()
             if record:
                 latencies.append((time.perf_counter() - t0) * 1000.0)
 
-        await asyncio.gather(*(one(i, False) for i in range(warmup)))
+        # warm EVERY session slot (cold session creation inside the timed
+        # window would inflate early latencies)
+        await asyncio.gather(*(one(s, False) for s in range(concurrency)))
         t0 = time.perf_counter()
-        sem = asyncio.Semaphore(concurrency)
+        # one session per semaphore SLOT: two concurrently in-flight
+        # requests must never share a session, or they serialize on the
+        # server's per-session lock and distort the measurement
+        slot_queue: "asyncio.Queue" = asyncio.Queue()
+        for s in range(concurrency):
+            slot_queue.put_nowait(s)
 
         async def bounded(i: int) -> None:
-            async with sem:
-                await one(i, True)
+            s = await slot_queue.get()
+            try:
+                await one(s, True)
+            finally:
+                slot_queue.put_nowait(s)
 
         await asyncio.gather(*(bounded(i) for i in range(total)))
         wall = time.perf_counter() - t0
@@ -159,7 +170,9 @@ async def run_stress(port: int, concurrency: int, total: int,
             "concurrency": concurrency,
             "requests": total,
             "p50_ms": round(statistics.median(latencies), 1),
-            "p90_ms": round(sorted(latencies)[int(0.9 * len(latencies))], 1),
+            # nearest-rank: int(0.9*n) degenerates to the max for small n
+            "p90_ms": round(sorted(latencies)[
+                max(0, -(-9 * len(latencies) // 10) - 1)], 1),
             "wall_s": round(wall, 2),
         },
     }

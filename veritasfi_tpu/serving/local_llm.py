@@ -102,58 +102,85 @@ class LocalChatBackend:
              temperature: float = 0.0, top_p: float = 0.8,
              stream: bool = False, **kwargs
              ) -> Union[ChatCompletion, Iterator[Choice]]:
+        max_new = kwargs.pop("max_tokens", None) or self.max_new_tokens
+        if kwargs.get("tools"):
+            # protocol-honest: this backend has no function calling — a
+            # silently-None tool_calls response would make tool execution
+            # never happen with no signal
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "LocalChatBackend ignores tools/tool_choice "
+                "(no function calling in the local backend)")
         prompt = self.render_prompt(messages)
         if stream:
-            return self._stream_iter(prompt, temperature, top_p)
+            return self._stream_iter(prompt, temperature, top_p, max_new)
         if self.server is not None:
             tokens = self.server.generate(prompt,
-                                          max_new_tokens=self.max_new_tokens,
+                                          max_new_tokens=max_new,
                                           eos_id=self.eos_id,
                                           temperature=temperature,
                                           top_p=top_p)
         else:
             tokens = self.generator.generate_tokens(
-                [prompt], temperature=temperature, top_p=top_p,
-                eos_id=self.eos_id)[0]
+                [prompt], max_new_tokens=max_new, temperature=temperature,
+                top_p=top_p, eos_id=self.eos_id)[0]
         text = self._decode(tokens)
+        finish = "length" if len(tokens) >= max_new else "stop"
         return ChatCompletion(
-            choices=[Choice(message=Message(content=text))],
+            choices=[Choice(message=Message(content=text),
+                            finish_reason=finish)],
             usage=Usage(prompt_tokens=len(prompt),
                         completion_tokens=len(tokens),
                         total_tokens=len(prompt) + len(tokens)))
 
     def _stream_iter(self, prompt: List[int], temperature: float,
-                     top_p: float) -> Iterator[Choice]:
+                     top_p: float, max_new: Optional[int] = None
+                     ) -> Iterator[Choice]:
         """True incremental streaming: tokens decode as they are sampled;
-        deltas are the text suffix new since the last yield (so multi-token
-        characters decode correctly)."""
+        deltas are the text suffix new since the last yield. Partial
+        multi-byte characters (byte-fallback tokens decoding to a trailing
+        U+FFFD) are HELD BACK until the character completes — emitting the
+        placeholder would permanently desync deltas when the real character
+        replaces it (HF TextStreamer's hold-back rule)."""
+        max_new = max_new or self.max_new_tokens
         if self.server is not None:
             source = self.server.stream(prompt,
-                                        max_new_tokens=self.max_new_tokens,
+                                        max_new_tokens=max_new,
                                         eos_id=self.eos_id,
                                         temperature=temperature,
                                         top_p=top_p)
         else:
             source = self.generator.generate_stream(
-                prompt, temperature=temperature, top_p=top_p,
-                eos_id=self.eos_id)
+                prompt, max_new_tokens=max_new, temperature=temperature,
+                top_p=top_p, eos_id=self.eos_id)
         tokens: List[int] = []
         emitted = ""
         for tok in source:
             tokens.append(tok)
             text = self._decode(tokens)
+            if text.endswith("\ufffd"):
+                continue    # incomplete multi-byte char — hold back
             if len(text) > len(emitted):
                 yield Choice(message=Message(),
                              delta=Message(content=text[len(emitted):]),
                              finish_reason=None)
                 emitted = text
+        finish = "length" if len(tokens) >= max_new else "stop"
         yield Choice(message=Message(), delta=Message(content=None),
-                     finish_reason="stop")
+                     finish_reason=finish)
 
     async def chat_async(self, *, model: str, messages: List[Dict],
                          **kwargs) -> ChatCompletion:
-        return self.chat(model=model, messages=messages, stream=False,
-                         **kwargs)
+        """Runs the blocking generation in a worker thread: a zero-await
+        coroutine would pin the event loop — asyncio.wait_for timeouts
+        could never fire, and concurrent sessions would serialize instead
+        of sharing GenerationServer decode steps."""
+        import asyncio
+
+        return await asyncio.to_thread(
+            self.chat, model=model, messages=messages, stream=False,
+            **kwargs)
 
     def close(self) -> None:
         if self.server is not None:

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from datetime import datetime
-from typing import List
+from typing import List, Optional
 
 
 @dataclass
@@ -45,11 +45,11 @@ def _now() -> str:
 
 
 def get_if_query_rag_prompt(question: str, qa_history: str,
-                            company: CompanyProfile = CompanyProfile()) -> str:
+                            company: Optional[CompanyProfile] = None) -> str:
     """Query preprocessing: translate -> split -> rewrite -> reference date ->
     need-RAG classification, answered in a strict 3-line protocol
     (parse contract: reference vllmManager.py:148-153)."""
-    c = company
+    c = company or CompanyProfile()
     examples = "\n".join(f'        "{q}"' for q in c.example_questions)
     return f"""You are a smart assistant that categorizes and rewrites user queries. Perform 3 steps:
 
@@ -86,8 +86,8 @@ Line 3: "YES" or "NO" — whether the question requires the dataset.
 Strictly adhere to this 3-line format with no additional text."""
 
 
-def get_sys_prompt(company: CompanyProfile = CompanyProfile()) -> str:
-    c = company
+def get_sys_prompt(company: Optional[CompanyProfile] = None) -> str:
+    c = company or CompanyProfile()
     return f"""You are {c.persona}, an LLM-driven guide for {c.name}.
 You assist users with questions about {c.name}'s brand and its famous historical models.
 You may receive background information from an internal human assistant for context; never quote it or mention [Internal Assistant] in responses.
@@ -101,12 +101,12 @@ Current time: {_now()}"""
 def get_qa_template(question: str, context: str, lang: str,
                     internal_assistant_message: str,
                     potential_qa_pairs=None,
-                    company: CompanyProfile = CompanyProfile()) -> str:
+                    company: Optional[CompanyProfile] = None) -> str:
     """Answer-generation template. Priority order and arbitration rules match
     the reference (qa.py:100-138): Additional Information > Potential QA
     Pairs > Retrieved Context; prefer newest Date Published; per-dimension
     breakdown; brand-safety rules."""
-    c = company
+    c = company or CompanyProfile()
     potential_qa_pairs = potential_qa_pairs if potential_qa_pairs is not None else [{}]
     if context == "":
         return (f"The question might be a daily common task; answer it "
