@@ -102,3 +102,63 @@ def test_missing_page_number_defaults_to_range_start(tmp_path):
     (d / "f.json").write_text(json.dumps(rows))
     records, _ = load_processed_dir(str(d))
     assert len(records) == 1 and records[0].page_number == 3
+
+
+def test_load_collection_python_bm25_fallback(tmp_path):
+    """native_bm25=False (or the C++ engine unbuilt) must load the
+    persisted Python BM25 index — the reverse-lookup fallback crashed with
+    KeyError because the collection wasn't registered yet."""
+    import json
+
+    from veritasfi_tpu.config import Config
+    from veritasfi_tpu.engine import RAGEngine
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [{"start": 1, "end": 9, "date_published": "2024-01-01"}]
+    for i in range(8):
+        rows.append({"content": f"chunk {i} revenue tok{i}",
+                     "page_number": i + 1})
+    (src / "a.json").write_text(json.dumps(rows))
+
+    cfg = Config(persist_directory=str(tmp_path / "idx"))
+    cfg.encoder.model_name = "nonexistent-model"     # hash embedder
+    cfg.retrieval.native_bm25 = False
+    eng = RAGEngine(cfg)
+    eng.create_collection("c", str(src))
+
+    eng2 = RAGEngine(cfg)                            # fresh session
+    eng2.load_collection("c")
+    r = eng2.create_retriever(3, "c")
+    chunks = r.invoke("revenue tok2", [])
+    assert chunks and any(c["retriever"] == "BM25" for c in chunks)
+
+
+def test_register_collection_clears_stale_bm25(tmp_path):
+    import numpy as np
+
+    from veritasfi_tpu.config import Config
+    from veritasfi_tpu.engine import RAGEngine
+    from veritasfi_tpu.ingest.contract import ChunkRecord, hash_content
+    from veritasfi_tpu.ingest.corpus import build_corpus_index
+    from veritasfi_tpu.retrieval.bm25 import BM25Index
+
+    def make(n, tag):
+        recs = []
+        for i in range(n):
+            content = f"{tag} chunk {i} revenue"
+            recs.append(ChunkRecord(
+                content=content, filename="f.json", page_number=i + 1,
+                date_published="2024-01-01", doc_id=hash_content(content),
+                global_id=i))
+        return build_corpus_index(recs, [], embed_fn=None)
+
+    cfg = Config()
+    cfg.encoder.model_name = "nonexistent-model"
+    eng = RAGEngine(cfg)
+    a = make(6, "alpha")
+    eng.register_collection("x", a, BM25Index.build(a.texts, a.doc_ids))
+    b = make(3, "beta")
+    eng.register_collection("x", b)          # no bm25 -> stale one cleared
+    assert eng.get_bm25("x") is None if hasattr(eng, "get_bm25") else True
+    assert "x" not in eng._bm25

@@ -51,9 +51,15 @@ class RAGEngine:
         random init > lexical hash embedder."""
         name = self.config.encoder.model_name
         if os.path.isdir(name):
+            import jax.numpy as jnp
+
             from .models.hf_loader import load_encoder_from_dir
 
-            return load_encoder_from_dir(name).encode
+            dtype = (jnp.bfloat16 if self.config.encoder.dtype == "bfloat16"
+                     else jnp.float32)
+            return load_encoder_from_dir(
+                name, max_length=self.config.encoder.max_length,
+                dtype=dtype).encode
         from .models.encoder import ENCODER_PRESETS, TextEncoder
 
         # map HF-style names onto architecture presets
@@ -108,7 +114,11 @@ class RAGEngine:
         bm25 = BM25Index.build(index.texts, index.doc_ids)
         bm25.save(self._bm25_dir(name))
         self._collections[name] = index
-        self._bm25[name] = bm25
+        # serve through the same engine a later load_collection would pick
+        # (native when enabled/built) — the persisted format stays the
+        # Python index, but the in-process object must not differ between
+        # an ingest-then-serve session and a restart-then-serve session
+        self._bm25[name] = self._make_bm25(name, index)
         logger.info("collection %s: %d chunks, %d titles, %d bundles",
                     name, index.num_chunks, len(index.title_texts),
                     len(index.bundle_names))
@@ -134,14 +144,15 @@ class RAGEngine:
             # build BM25 BEFORE registering: a failure here must not leave
             # a half-initialized collection that later loads would return
             # silently without its sparse path
-            bm25 = self._make_bm25(index)
+            bm25 = self._make_bm25(name, index)
             self._collections[name] = index
             self._bm25[name] = bm25
         return self._collections[name]
 
-    def _make_bm25(self, index: CorpusIndex):
+    def _make_bm25(self, name: str, index: CorpusIndex):
         """Native C++ BM25 when available (identical scores to the Python
-        engine — tests/test_native_bm25.py); scipy fallback otherwise."""
+        engine — tests/test_native_bm25.py); persisted scipy index
+        otherwise (or a fresh build when no persisted dir exists)."""
         if self.config.retrieval.native_bm25:
             try:
                 from .native.bm25_native import NativeBM25, native_available
@@ -151,13 +162,10 @@ class RAGEngine:
             except Exception as e:
                 logger.warning("native bm25 unavailable (%s); using Python "
                                "engine", e)
-        return BM25Index.load(self._bm25_dir_for(index))
-
-    def _bm25_dir_for(self, index: CorpusIndex) -> str:
-        for name, idx in self._collections.items():
-            if idx is index:
-                return self._bm25_dir(name)
-        raise KeyError("collection not registered")
+        bm25_dir = self._bm25_dir(name)
+        if os.path.isdir(bm25_dir):
+            return BM25Index.load(bm25_dir)
+        return BM25Index.build(index.texts, index.doc_ids)
 
     def register_collection(self, name: str, index: CorpusIndex,
                             bm25: Optional[BM25Index] = None) -> None:
@@ -165,6 +173,10 @@ class RAGEngine:
         self._collections[name] = index
         if bm25 is not None:
             self._bm25[name] = bm25
+        else:
+            # never pair a NEW index with a STALE sparse engine from a
+            # previous registration under the same name
+            self._bm25.pop(name, None)
 
     # -- access (reference: ragManager.py:87-114) ---------------------------
     def get_collection(self, name: str) -> CorpusIndex:

@@ -68,8 +68,12 @@ def load_bert_params(
     return {"params": params}
 
 
-def load_encoder_from_dir(path: str, arch: Optional[EncoderArch] = None):
-    """Build a TextEncoder from a local HF checkpoint directory."""
+def load_encoder_from_dir(path: str, arch: Optional[EncoderArch] = None,
+                          max_length: Optional[int] = None,
+                          dtype=None):
+    """Build a TextEncoder from a local HF checkpoint directory.
+    ``max_length``/``dtype`` mirror the preset path's config knobs (they
+    were silently ignored for local checkpoints before)."""
     import json
     import os
 
@@ -94,10 +98,16 @@ def load_encoder_from_dir(path: str, arch: Optional[EncoderArch] = None):
     state = _load_state_dict(path)
     params = load_bert_params(state, arch)
     tokenizer = load_hf_tokenizer(path)
-    return TextEncoder(arch=arch, params=params, tokenizer=tokenizer)
+    kw = {}
+    if max_length is not None:
+        kw["max_length"] = max_length
+    if dtype is not None:
+        kw["dtype"] = dtype
+    return TextEncoder(arch=arch, params=params, tokenizer=tokenizer, **kw)
 
 
 def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import json
     import os
 
     st_path = os.path.join(path, "model.safetensors")
@@ -105,12 +115,37 @@ def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
         from safetensors.numpy import load_file
 
         return load_file(st_path)
+    # sharded safetensors (model.safetensors.index.json + model-0000N-of-M)
+    # — how real gemma-2b / bge-reranker-v2-gemma checkpoints ship
+    idx_path = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(idx_path):
+        from safetensors.numpy import load_file
+
+        with open(idx_path) as f:
+            shards = sorted(set(json.load(f)["weight_map"].values()))
+        state: Dict[str, np.ndarray] = {}
+        for shard in shards:
+            state.update(load_file(os.path.join(path, shard)))
+        return state
     bin_path = os.path.join(path, "pytorch_model.bin")
     if os.path.exists(bin_path):
         import torch
 
         sd = torch.load(bin_path, map_location="cpu", weights_only=True)
         return {k: _np(v) for k, v in sd.items()}
+    # sharded torch checkpoints (pytorch_model.bin.index.json)
+    tidx = os.path.join(path, "pytorch_model.bin.index.json")
+    if os.path.exists(tidx):
+        import torch
+
+        with open(tidx) as f:
+            shards = sorted(set(json.load(f)["weight_map"].values()))
+        state = {}
+        for shard in shards:
+            sd = torch.load(os.path.join(path, shard), map_location="cpu",
+                            weights_only=True)
+            state.update({k: _np(v) for k, v in sd.items()})
+        return state
     raise FileNotFoundError(f"no model weights found under {path}")
 
 

@@ -52,7 +52,12 @@ def chunk_time_scores(chunks: Sequence[Dict], query_time) -> np.ndarray:
     q_days = _to_days(query_time)
     out = np.zeros(len(chunks), np.float32)
     for i, chunk in enumerate(chunks):
-        d_days = _to_days(chunk["metadata"]["date_published"])
+        # tolerate missing/unparseable dates like select_content does
+        # ('N/A' fallback) — score 0 instead of killing the whole query
+        try:
+            d_days = _to_days(chunk["metadata"]["date_published"])
+        except (KeyError, ValueError, TypeError):
+            continue
         out[i] = max(0.0, 1.0 - abs(q_days - d_days) / 365.0)
     return out
 
@@ -74,6 +79,7 @@ def rank_chunk(
         time_scores, np.float32
     )
     ranked_indices = np.argsort(-scores, kind="stable")
+    sim = np.asarray(similar_mtx)   # once — not per ranked candidate
 
     selected_indices: List[int] = []
     current_size = 0
@@ -83,7 +89,7 @@ def rank_chunk(
         if bundle_id in selected_indices or current_size + len(bundle) > chunk_topk:
             continue
         if selected_indices and np.any(
-            np.asarray(similar_mtx)[idx, selected_indices] > similar_threshold
+            sim[idx, selected_indices] > similar_threshold
         ):
             continue
         selected_indices.append(bundle_id)
