@@ -1,0 +1,31 @@
+"""Scale-bench machinery at toy row counts (the 10M artifact run happens
+on real hardware; this pins the device-side corpus generation, the lazy
+index, and both bench paths end to end)."""
+
+import numpy as np
+
+from veritasfi_tpu.evals import scale_bench
+
+
+def test_device_corpus_normalized_blocks():
+    import jax.numpy as jnp
+
+    mat = scale_bench._device_corpus(1000, 64, jnp.bfloat16, seed=1)
+    assert mat.shape == (1000, 64) and mat.dtype == jnp.bfloat16
+    norms = np.linalg.norm(np.asarray(mat.astype(jnp.float32)), axis=1)
+    # unit rows up to bf16 rounding; no zero rows anywhere (every row of
+    # every block, including the overlapping final partial block, filled)
+    np.testing.assert_allclose(norms, 1.0, atol=0.05)
+
+
+def test_run_single_chip_small():
+    r = scale_bench.run_single_chip(n=4096, dim=64, iters=2)
+    assert r["corpus_rows"] == 4096
+    assert r["invoke_p50_ms"] > 0
+    assert r["dtype"] == "bfloat16"
+    assert r["kernel"] == "xla_chunked_fallback"  # CPU suite
+
+
+def test_run_sharded_dryrun_small():
+    r = scale_bench.run_sharded_dryrun(n=2048, dim=64)
+    assert r["ok"] and r["shards"] == 8

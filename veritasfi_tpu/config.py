@@ -44,6 +44,13 @@ class RetrievalConfig:
     expand_max_chunks: int = 4     # ensembleRetriever.py:89
     max_queries: int = 4         # 1 original + up to 3 HyDE rewrites
     native_bm25: bool = True     # prefer the C++ BM25 engine when built
+    # Storage dtype of the content embedding matrix on device.
+    # "float32" = exact FAISS parity (default). "bfloat16" = half the HBM
+    # footprint/traffic; dense search then routes through the fused Pallas
+    # MIPS kernel on real TPUs (ops/pallas_mips.py) — the BASELINE config
+    # #5 (10M-chunk single-chip) storage mode. Scores stay exact f32
+    # products of the bf16-rounded embeddings (see ops.topk.dense_topk_large).
+    corpus_dtype: str = "float32"
 
     def path_k(self) -> tuple[int, int, int]:
         f = self.faiss_k if self.faiss_k is not None else self.k

@@ -204,6 +204,7 @@ class RAGEngine:
             bm25_k=kwargs.get("bm25_k", r.bm25_k),
             faiss_ts_k=kwargs.get("faiss_ts_k", r.faiss_ts_k),
             enable_expand=kwargs.get("enable_expand", r.enable_expand),
+            corpus_dtype=kwargs.get("corpus_dtype", r.corpus_dtype),
             depth=r.depth,
             expand_trigger=r.expand_trigger,
             expand_accept=r.expand_accept,

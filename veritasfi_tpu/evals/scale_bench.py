@@ -1,0 +1,252 @@
+"""BASELINE config #5 scale bench: a 10M-chunk corpus on one chip.
+
+The reference's largest configuration is "FAISS flat IP over the full
+filing corpus" searched at depth 2048 (reference:
+src/utils/ensembleRetriever.py:66, faissRetriever.py:18-37); BASELINE.json
+configs[4] states it at 10M chunks, ICI-sharded. This module actually runs
+that scale two ways:
+
+* single chip — the corpus lives in HBM as a bf16 matrix
+  (retrieval.corpus_dtype: bfloat16, ~8 GB at 10.5M x 384), generated and
+  normalized ON DEVICE in blocks (no multi-GB host->device transfer), and
+  searched by the engine's streaming path: fused Pallas MIPS top-k + exact
+  neighbor probes + streamed depth-2048 rank cutoffs;
+* 8-shard virtual mesh (CPU) — the same row count through
+  parallel.mesh.distributed_fused_search, validating the sharded program
+  at config-#5 scale (run with JAX_PLATFORMS=cpu
+  --xla_force_host_platform_device_count=8).
+
+Writes one JSON artifact with p50/p90 invoke latency, raw top-k kernel
+timings, and an HBM accounting.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+from typing import Optional
+
+import numpy as np
+
+# 10*2^20: divisible by the Pallas block (1024) and the streaming block
+# (262144), so no padding copy of the multi-GB matrix anywhere.
+DEFAULT_ROWS = 10 * 2 ** 20          # 10,485,760
+GEN_BLOCK = 2 ** 18                  # fp32 gen scratch: 256k x 384 = 402 MB
+
+
+class _ConstSeq:
+    """O(1)-memory stand-in for the 10M-entry host text/metadata lists
+    (the bench never materializes them; the engine reads only the rows it
+    emits)."""
+
+    def __init__(self, fmt, n: int):
+        self._fmt = fmt
+        self._n = n
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self._fmt(j) for j in range(*i.indices(self._n))]
+        return self._fmt(int(i))
+
+
+def _device_corpus(n: int, dim: int, dtype, seed: int = 0):
+    """Generate an L2-normalized [n, dim] matrix on device, block by block,
+    with the big buffer donated through the fill loop (peak extra memory =
+    one fp32 block, not a second corpus copy)."""
+    import jax
+    import jax.numpy as jnp
+
+    alloc = jax.jit(lambda: jnp.zeros((n, dim), dtype))
+    gb = min(GEN_BLOCK, n)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill(buf, key, start):
+        blk = jax.random.normal(key, (gb, dim), jnp.float32)
+        blk = blk / jnp.linalg.norm(blk, axis=1, keepdims=True)
+        return jax.lax.dynamic_update_slice(
+            buf, blk.astype(buf.dtype), (start, 0))
+
+    buf = alloc()
+    num_blocks = -(-n // gb)
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_blocks)
+    for b, key in enumerate(keys):
+        # final partial block overlaps the previous one (start clamped so
+        # the write stays in bounds; overwritten rows are just re-randomized)
+        buf = fill(buf, key, jnp.int32(min(b * gb, n - gb)))
+    buf.block_until_ready()
+    return buf
+
+
+def build_scale_index(n: int, dim: int, num_titles: int = 4096):
+    """CorpusIndex at row count ``n`` with lazy host stores and a
+    device-resident bf16 embedding matrix."""
+    import jax.numpy as jnp
+
+    from ..ingest.corpus import CorpusIndex, _csr_from_codes, normalize_rows
+
+    prev = np.arange(-1, n - 1, dtype=np.int32)
+    nxt = np.arange(1, n + 1, dtype=np.int32)
+    prev[::5] = -1
+    nxt[4::5] = -1
+    nxt[-1] = -1
+    title_code = np.where(np.arange(n) % 2 == 0,
+                          np.arange(n) % num_titles, -1).astype(np.int32)
+    t_indptr, t_members = _csr_from_codes(title_code, num_titles)
+    bundle_code = np.full(n, -1, np.int32)
+    b_indptr, b_members = _csr_from_codes(bundle_code, 0)
+    rng = np.random.default_rng(3)
+    index = CorpusIndex(
+        texts=_ConstSeq(lambda i: f"c{i}", n),
+        doc_ids=_ConstSeq(str, n),
+        filenames=_ConstSeq(lambda i: "f", n),
+        page_numbers=_ConstSeq(lambda i: 1, n),
+        dates=_ConstSeq(lambda i: "2024-01-15", n),
+        bundle_names=[], title_texts=[f"T{i}" for i in range(num_titles)],
+        modalities=_ConstSeq(lambda i: "text", n),
+        global_id=np.arange(n, dtype=np.int32),
+        date_days=np.full(n, 19738, np.int32),
+        prev_idx=prev, next_idx=nxt,
+        bundle_code=bundle_code, title_code=title_code,
+        bundle_indptr=b_indptr, bundle_members=b_members,
+        title_indptr=t_indptr, title_members=t_members,
+        embeddings=_device_corpus(n, dim, jnp.bfloat16),
+        ts_embeddings=normalize_rows(
+            rng.standard_normal((num_titles, dim), np.float32)),
+    )
+    return index
+
+
+def run_single_chip(n: int = DEFAULT_ROWS, dim: int = 384, iters: int = 15,
+                    expand: bool = True) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.hash_embedder import HashEmbedder
+    from ..ops.topk import dense_topk_large
+    from ..retrieval.ensemble import EnsembleRetriever
+    from ..utils.profiler import profiler
+
+    t_build = time.perf_counter()
+    index = build_scale_index(n, dim)
+    build_s = time.perf_counter() - t_build
+
+    emb = HashEmbedder(dim=dim)
+    engine = EnsembleRetriever(index, emb.encode, bm25=None, k=10,
+                               enable_expand=expand, depth=2048,
+                               corpus_dtype="bfloat16")
+    query = "quarterly revenue growth delivery guidance"
+    hyde = ["revenue grew strongly in the quarter",
+            "table of quarterly revenue by region",
+            "cash flow and capex guidance improved"]
+    engine.invoke(query, hyde)   # compile
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        engine.invoke(query, hyde)
+        lat.append((time.perf_counter() - t0) * 1000.0)
+    lat.sort()
+
+    # raw exact-top-k kernel at this scale (Pallas MIPS on TPU)
+    q_emb = jnp.asarray(emb.encode([query] + hyde))
+    corpus = engine.dense.corpus
+
+    def topk():
+        jax.block_until_ready(dense_topk_large(corpus, q_emb, 16))
+
+    topk()
+    kt = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        topk()
+        kt.append((time.perf_counter() - t0) * 1000.0)
+    kt.sort()
+
+    mem = {}
+    try:
+        for device, s in profiler.device_memory_stats().items():
+            mem[device] = {k: s.get(k) for k in
+                           ("bytes_in_use", "peak_bytes_in_use",
+                            "bytes_limit")}
+    except Exception:
+        pass
+
+    return {
+        "corpus_rows": n, "dim": dim, "dtype": "bfloat16",
+        "corpus_bytes": n * dim * 2,
+        "device": str(jax.devices()[0]),
+        "build_on_device_s": round(build_s, 2),
+        "invoke_p50_ms": round(lat[len(lat) // 2], 2),
+        "invoke_p90_ms": round(lat[int(0.9 * len(lat))], 2),
+        "expansion": expand, "depth": 2048,
+        "topk_kernel_p50_ms": round(kt[len(kt) // 2], 2),
+        "kernel": ("pallas_mips" if jax.default_backend() == "tpu"
+                   else "xla_chunked_fallback"),
+        "device_memory": mem,
+    }
+
+
+def run_sharded_dryrun(n: int = DEFAULT_ROWS, dim: int = 384,
+                       shards: int = 8) -> dict:
+    """Sharded search correctness at config-#5 row count on a virtual mesh
+    (CPU). One batched (4-query) distributed_fused_search; checks shapes
+    and the global index range. Expansion off — the rank psum is validated
+    functionally elsewhere (tests/test_distributed_ensemble.py); at 10M
+    CPU rows it would only add minutes of emulated matmul."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.mesh import distributed_fused_search, make_mesh, \
+        shard_corpus
+
+    mesh = make_mesh([("corpus", shards)])
+    corpus = np.asarray(
+        _device_corpus(n, dim, jnp.bfloat16))     # host bf16 via backend
+    sharded, valid_n = shard_corpus(corpus, mesh, "corpus")
+    del corpus
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((4, dim)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ts = rng.standard_normal((64, dim)).astype(np.float32)
+    prev = jnp.full((n,), -1, jnp.int32)
+    t0 = time.perf_counter()
+    out = distributed_fused_search(
+        sharded, jnp.asarray(ts), jnp.asarray(q), prev, prev,
+        10, 4, 0, 2048, False, mesh, valid_n, "corpus")
+    top_s, top_i = jax.device_get(out[:2])
+    wall = time.perf_counter() - t0
+    assert top_i.shape == (4, 10) and (top_i >= 0).all() and \
+        (top_i < n).all(), top_i
+    assert (np.diff(top_s, axis=1) <= 1e-6).all()
+    return {"corpus_rows": n, "shards": shards, "ok": True,
+            "backend": jax.default_backend(),
+            "search_wall_s": round(wall, 1)}
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rows", type=int, default=DEFAULT_ROWS)
+    parser.add_argument("--iters", type=int, default=15)
+    parser.add_argument("--sharded", action="store_true",
+                        help="run the virtual-mesh sharded dryrun instead "
+                             "of the single-chip bench")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+    if args.sharded:
+        result = run_sharded_dryrun(args.rows)
+    else:
+        result = run_single_chip(args.rows, iters=args.iters)
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -147,6 +147,34 @@ def dense_topk_chunked(
     return best_s, best_i
 
 
+def dense_topk_large(corpus: Array, queries: Array, k: int,
+                     block: int = 65536) -> Tuple[Array, Array]:
+    """Large-corpus exact top-k router (the FAISS IndexFlatIP equivalent at
+    scale, reference faissRetriever.py:18-37).
+
+    fp32 corpus -> the streaming XLA kernel (``dense_topk_chunked``, exact
+    FAISS parity). bf16 corpus on a real TPU -> the fused Pallas
+    matmul+top-k MIPS kernel (ops/pallas_mips.py): the [Q, N] score matrix
+    never exists in HBM and the corpus is read once at bf16 width — half
+    the HBM traffic of the fp32 path (2.0 ms vs 3.4-5.9 ms at 1M x 384 on
+    v5e, module docstring there). bf16 off-TPU (tests, CPU meshes) falls
+    back to the chunked kernel on the bf16 operand.
+
+    Numerics: queries are cast to the corpus dtype, so every path computes
+    f32-accumulated products of IDENTICAL bf16 inputs (a bf16 x bf16
+    product is exact in f32) — orderings agree across paths up to
+    accumulation-order ulps, and ties break FAISS-style (index asc) in
+    both kernels.
+    """
+    q = queries.astype(corpus.dtype)
+    if (corpus.dtype == jnp.bfloat16 and k <= 1024
+            and jax.default_backend() == "tpu"):
+        from .pallas_mips import pallas_mips_topk
+
+        return pallas_mips_topk(corpus, q, k)
+    return dense_topk_chunked(corpus, q, k, block=block)
+
+
 def rank_from_scores(scores: Array, cand_s: Array, block: int = 65536,
                      tol: float = 1e-6) -> Array:
     """rank[q, c] = #{j : scores[q, j] > cand_s[q, c] + tol}, streamed over

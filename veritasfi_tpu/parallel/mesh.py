@@ -106,7 +106,7 @@ def _distributed_topk_impl(corpus, queries, k, mesh, axis, valid_n):
     local_k = min(k, per_shard)   # a shard can hold fewer rows than k
 
     def local(corpus_shard, q):
-        s = jnp.matmul(q, corpus_shard.T,
+        s = jnp.matmul(q.astype(corpus_shard.dtype), corpus_shard.T,
                        precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
         offset = _axis_linear_index(mesh, axis) * per_shard
@@ -176,7 +176,11 @@ def distributed_fused_search(corpus_sharded, ts_emb, q_emb, prev_idx,
 
     def local(corpus_shard, ts, q, prev, nxt, *maybe_ts_rows):
         qn = q.shape[0]
-        s = jnp.matmul(q, corpus_shard.T,
+        # bf16-stored corpora (retrieval.corpus_dtype) score bf16-cast
+        # queries — identical products to the single-chip bf16 path; the
+        # title matmul below keeps the fp32 queries (ts stays fp32)
+        q_c = q.astype(corpus_shard.dtype)
+        s = jnp.matmul(q_c, corpus_shard.T,
                        precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)     # [Q, per]
         offset = _axis_linear_index(mesh, axis) * per_shard

@@ -56,8 +56,13 @@ def _search_body(corpus, ts_emb, q_emb, prev_idx, next_idx,
 
     ``ts_rows``: int32 [R] rows of q_emb that are request originals (title
     path runs per request); defaults to row 0 (single-request mode).
+
+    A bf16 corpus operand (retrieval.corpus_dtype: bfloat16) is searched
+    with bf16-cast queries — products are exact in the f32 accumulator, so
+    the only delta vs fp32 is the storage rounding of the embeddings.
     """
-    scores = jnp.matmul(q_emb, corpus.T,
+    q_c = q_emb.astype(corpus.dtype)
+    scores = jnp.matmul(q_c, corpus.T,
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
     top_s, top_i = jax.lax.top_k(_tie_break(scores), k)
@@ -115,10 +120,16 @@ def _search_body_streaming(corpus, ts_emb, q_emb, prev_idx, next_idx,
     (scores_at), and a second streaming pass for the depth-cutoff ranks
     (rank_of). Outputs are bit-identical to ``_search_body`` (same
     tie-break, same 1e-6 rank tolerance); memory is O(Q*(k+C)) + one score
-    block, so BASELINE config #5 corpora (10M chunks) fit on one chip."""
-    from ..ops.topk import dense_topk_chunked, rank_of, scores_at
+    block, so BASELINE config #5 corpora (10M chunks) fit on one chip.
 
-    top_s, top_i = dense_topk_chunked(corpus, q_emb, k, block=block)
+    A bf16 corpus routes the top-k through the fused Pallas MIPS kernel on
+    real TPUs (ops.topk.dense_topk_large) — half the HBM traffic, same
+    FAISS tie order; neighbor probes and depth ranks then run on the same
+    bf16-cast queries so all three stages score identical products."""
+    from ..ops.topk import dense_topk_large, rank_of, scores_at
+
+    q_c = q_emb.astype(corpus.dtype)
+    top_s, top_i = dense_topk_large(corpus, q_c, k, block=block)
 
     ts_q = q_emb[:1] if ts_rows is None else q_emb[ts_rows]
     ts_scores = jnp.matmul(ts_q, ts_emb.T,
@@ -148,8 +159,8 @@ def _search_body_streaming(corpus, ts_emb, q_emb, prev_idx, next_idx,
 
     cand = jnp.concatenate([walk(prev_idx), walk(next_idx)], axis=-1)
     safe = jnp.maximum(cand, 0)
-    cand_s = scores_at(corpus, q_emb, safe)
-    rank = rank_of(corpus, q_emb, cand_s, block=block)
+    cand_s = scores_at(corpus, q_c, safe)
+    rank = rank_of(corpus, q_c, cand_s, block=block)
     eff = jnp.where((cand >= 0) & (rank < depth), cand_s, 0.0)
     return top_s, top_i, ts_s, ts_i, cand, eff
 
@@ -193,6 +204,7 @@ class EnsembleRetriever:
         encoder=None,
         mesh=None,
         corpus_axis: str = "corpus",
+        corpus_dtype: str = "float32",
     ) -> None:
         """``encoder``: optional models.encoder.TextEncoder. When provided,
         query embedding runs INSIDE the fused search jit (one device
@@ -202,7 +214,16 @@ class EnsembleRetriever:
         ``mesh``: optional jax.sharding.Mesh with a ``corpus_axis``. When
         provided the embedding matrix is sharded across devices and search
         runs through parallel.mesh.distributed_fused_search (identical
-        outputs; cross-shard merge over ICI)."""
+        outputs; cross-shard merge over ICI).
+
+        ``corpus_dtype``: device storage dtype of the CONTENT embedding
+        matrix ("float32" = exact FAISS parity, "bfloat16" = half the HBM
+        footprint + fused Pallas MIPS search on TPU — retrieval.corpus_dtype
+        in Config). Title embeddings stay fp32 (they are tiny)."""
+        if corpus_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"corpus_dtype must be float32|bfloat16, got {corpus_dtype!r}")
+        self._corpus_dtype = jnp.dtype(corpus_dtype)
         self.corpus = corpus
         self.embed_fn = embed_fn
         self.faiss_k = faiss_k if faiss_k is not None else k
@@ -220,7 +241,8 @@ class EnsembleRetriever:
             from ..parallel.mesh import replicated, shard_corpus
 
             self._sharded_corpus, self._valid_n = shard_corpus(
-                normalize_rows(corpus.embeddings), mesh, corpus_axis)
+                normalize_rows(corpus.embeddings).astype(self._corpus_dtype),
+                mesh, corpus_axis)
             self.dense = None
             ts = corpus.ts_embeddings
             self.ts_dense = None
@@ -232,7 +254,8 @@ class EnsembleRetriever:
             self._has_ts = ts is not None and len(ts) > 0
         else:
             self.dense = (
-                DenseRetriever(corpus.embeddings, embed_fn)
+                DenseRetriever(corpus.embeddings, embed_fn,
+                               dtype=self._corpus_dtype)
                 if corpus.embeddings is not None and len(corpus.embeddings)
                 else None
             )
