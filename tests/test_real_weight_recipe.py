@@ -1,0 +1,96 @@
+"""RECIPES.md real-weight procedure, executed end to end with a SYNTHETIC
+HF checkpoint: the image ships no model weights (zero egress), so step 1
+(download BGE checkpoints) is the only blocked step — everything after it
+(config -> hf_loader conversion -> ingest -> 4-stage eval) must run
+mechanically on a checkpoint directory of the exact HF on-disk format.
+
+This is the round-3 'run the recipe as far as the image allows' evidence:
+swap the tiny random BertModel below for a real bge checkpoint dir and the
+identical code path produces true parity numbers."""
+
+import json
+
+import numpy as np
+import pytest
+
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def hf_checkpoint(tmp_path_factory):
+    """Tiny random-weight BERT in genuine HF format (config.json +
+    model.safetensors + tokenizer files), like a downloaded bge dir."""
+    from transformers import BertConfig, BertModel, BertTokenizerFast
+
+    d = tmp_path_factory.mktemp("ckpt")
+    cfg = BertConfig(vocab_size=200, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=64)
+    model = BertModel(cfg)
+    model.save_pretrained(d)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + \
+        [f"tok{i}" for i in range(50)] + \
+        ["revenue", "margin", "segment", "what", "was", "the", "for",
+         "quarterly", "report", "million", "in", "commentary"]
+    vf = d / "vocab.txt"
+    vf.write_text("\n".join(vocab))
+    BertTokenizerFast(vocab_file=str(vf), do_lower_case=True
+                      ).save_pretrained(d)
+    return str(d)
+
+
+def test_load_encoder_from_dir(hf_checkpoint):
+    from veritasfi_tpu.models.hf_loader import load_encoder_from_dir
+
+    enc = load_encoder_from_dir(hf_checkpoint, max_length=64)
+    out = enc.encode(["what was the revenue", "quarterly report margin"])
+    assert out.shape == (2, 32)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+
+
+def test_recipe_steps_2_to_4(hf_checkpoint, tmp_path):
+    """RECIPES.md steps 2-4: config pointing at the checkpoint dir
+    (reference flat-YAML keys), CLI ingest, CLI eval-retrieval."""
+    from conftest import make_processed_file, synth_chunk
+    from veritasfi_tpu.cli import main as cli_main
+
+    # step 2: config (reference flat key embeddings_model_name)
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(
+        f"embeddings_model_name: {hf_checkpoint}\n"
+        f"persist_directory: {tmp_path / 'index'}\n"
+        f"collection: c\n"
+        # localhost:0 = build_stack's FakeLLM switch (no chat endpoint in
+        # the image; rewrite falls back to the original question)
+        f"llm_base_url: http://localhost:0/v1\n"
+        f"rerank_model: tiny-test\n")
+
+    # step 3: ingest a processed-JSON corpus
+    src = tmp_path / "src"
+    src.mkdir()
+    make_processed_file(
+        src / "a.json", "2024-03-01",
+        [synth_chunk(i, content=f"quarterly report segment {i} revenue "
+                                f"was {100 + i} million")
+         for i in range(12)])
+    rc = cli_main(["--config", str(cfg_path), "ingest",
+                   "--collection", "c", "--source-dir", str(src)])
+    assert rc == 0
+
+    # step 4: 4-stage retrieval eval -> statistic.json
+    samples = tmp_path / "eval.jsonl"
+    with open(samples, "w") as f:
+        for i in (2, 5):
+            f.write(json.dumps({
+                "question": f"what was the revenue for segment {i}?",
+                "evidences": [f"segment {i} revenue was {100 + i} million"],
+            }) + "\n")
+    out = tmp_path / "statistic.json"
+    rc = cli_main(["--config", str(cfg_path), "eval-retrieval",
+                   "--samples", str(samples),
+                   "--judge", "string", "--out", str(out)])
+    assert rc == 0
+    stats = json.load(open(out))
+    assert stats["num_samples"] == 2
+    # random weights -> no quality claim; the machinery must still judge
+    assert 0.0 <= stats["avg_hit_rate"] <= 1.0

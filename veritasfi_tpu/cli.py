@@ -91,9 +91,14 @@ def main(argv=None) -> int:
     # `cli ingest --config c.yaml` (options after the subcommand, as every
     # docstring example writes them) parses as well as `cli --config c.yaml
     # ingest`
+    # SUPPRESS defaults: the parent is attached to the main parser AND each
+    # subparser, and argparse applies every parser's defaults in sequence —
+    # a plain default=None on the subparser copy would CLOBBER a value
+    # parsed before the subcommand (`cli --config c.yaml ingest` silently
+    # ran on defaults)
     common = argparse.ArgumentParser(add_help=False)
-    common.add_argument("--config", default=None)
-    common.add_argument("--log-level", default="INFO")
+    common.add_argument("--config", default=argparse.SUPPRESS)
+    common.add_argument("--log-level", default=argparse.SUPPRESS)
     parser = argparse.ArgumentParser(prog="veritasfi_tpu", parents=[common])
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -173,7 +178,7 @@ def main(argv=None) -> int:
                       help="e.g. 4x2 = dp4 tp2 over the available devices")
 
     args = parser.parse_args(argv)
-    logging.basicConfig(level=args.log_level)
+    logging.basicConfig(level=getattr(args, "log_level", "INFO"))
 
     if args.cmd == "train-reranker":
         return _train_reranker(args)
@@ -189,7 +194,7 @@ def main(argv=None) -> int:
 
     from .config import load_config
 
-    config = load_config(args.config)
+    config = load_config(getattr(args, "config", None))
 
     if args.cmd == "collect":
         from .evals.retrieval_eval import collect_experiments, plot_experiments
@@ -238,8 +243,17 @@ def main(argv=None) -> int:
                                 hit_rate_eval, rewrite_dataset)
             from .evals.retrieval_eval import hyde_with_perplexity
 
+            # JSON array or JSONL (the reference eval sets ship as
+            # JSONL of {question, evidences} rows - RECIPES.md step 4)
             with open(args.samples, encoding="utf-8") as f:
-                samples = json.load(f)
+                text = f.read()
+            try:
+                samples = json.loads(text)
+                if isinstance(samples, dict):
+                    samples = [samples]     # single-row JSONL parses as one
+            except json.JSONDecodeError:
+                samples = [json.loads(line) for line in text.splitlines()
+                           if line.strip()]
             manager = stack.chat_service.get_or_create_chat_manager(
                 "eval-retrieval")
             records = rewrite_dataset(samples, manager)

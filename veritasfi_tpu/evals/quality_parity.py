@@ -1,19 +1,32 @@
 """Deterministic quality-parity run: the full retrieval-quality pipeline +
-reranker IR metrics on a fixed fixture corpus, checked against committed
-golden numbers.
+reranker IR metrics on a fixed fixture corpus with models TRAINED IN-REPO,
+checked against committed golden numbers.
 
 Why this exists: the image ships no model checkpoints, so recall@10 /
 NDCG@10 parity against the reference's real BGE/gemma weights cannot be
-*measured* here — but the metric machinery can be proven end-to-end and
-pinned. This harness runs, with the deterministic hash embedder and a
-seeded corpus:
+*measured* here — but the metric machinery can be proven end-to-end with
+numbers that actually move when ranking breaks. A random or lexical
+embedder cannot do that (its cos@0.9 judge pins 0.0 and a random
+reranker's NDCG is noise — round-2 verdict), so this harness first trains
+the fixture models on the synthetic corpus:
+
+  * a tiny contrastive-trained text encoder (train/contrastive.py) —
+    cosine ranking becomes semantically meaningful, so the cos-judged hit
+    rate and the relevance labels are non-degenerate;
+  * a tiny decoder reranker (train/reranker_lora.py, full fine-tune —
+    LoRA-only on a random base plateaus) trained on (question,
+    [positive + hard negatives + distractors]) groups — NDCG/MRR reflect
+    a genuinely learned ordering.
+
+Then it runs:
 
   stage 1  query rewrite (3-line protocol, scripted LLM)
   stage 3  recall collection through the EnsembleRetriever
-  stage 4  hit-rate judging (cos >= threshold) + aggregation
-  reranker NDCG/MRR/P/R over rerank orderings (relevance = cosine >= 0.95)
+  stage 4  hit-rate judging (string exact + cos >= 0.9) + aggregation
+  reranker NDCG/MRR/P/R over the trained reranker's orderings
 
-and compares every number to `tests/golden/quality_v1.json`. The same
+and compares every number to `tests/golden/quality_v1.json` (trained-model
+metrics at a 0.02 tolerance — backend-portable; counts exact). The same
 functions run the real-weight recipe (see RECIPES.md): point
 `Config.encoder.model_name` / `Config.rerank.model_name` at local HF
 checkpoint dirs (models/hf_loader.py) and feed the reference eval JSONL.
@@ -36,13 +49,10 @@ GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "tests",
                            "golden", "quality_v1.json")
 
 
-def build_fixture(seed: int = 0):
-    """Seeded corpus with evidence-bearing chunks: 40 'fact' chunks whose
-    text contains a question's evidence sentence, 160 distractors."""
+def build_records(seed: int = 0):
+    """Seeded corpus records with evidence-bearing chunks: 40 'fact' chunks
+    whose text contains a question's evidence sentence, 160 distractors."""
     from ..ingest.contract import ChunkRecord, hash_content
-    from ..ingest.corpus import build_corpus_index
-    from ..models.hash_embedder import HashEmbedder
-    from ..retrieval.bm25 import BM25Index
 
     rng = np.random.default_rng(seed)
     topics = ["revenue", "margin", "deliveries", "stores", "battery",
@@ -73,25 +83,102 @@ def build_fixture(seed: int = 0):
             page_number=100 + i, date_published="2023-12-31",
             doc_id=hash_content(content), global_id=gid))
         gid += 1
+    return records, facts
+
+
+def train_fixture_encoder(facts, encoder_steps: int = 120, seed: int = 0):
+    """Contrastive-train a tiny encoder so fixture cosine ranking has
+    semantics: (question, chunk) pairs anchor retrieval, (evidence, chunk)
+    pairs anchor the cos>=0.9 hit judge. Returns (encoder, diagnostics)."""
+    from ..models.encoder import TextEncoder
+    from ..train.contrastive import ContrastiveTrainer
+
+    enc = TextEncoder(preset="tiny-test", max_length=64, seed=seed)
+    pairs = [(q, content) for q, _, content in facts]
+    pairs += [(fact, content) for _, fact, content in facts]
+    trainer = ContrastiveTrainer(enc, total_steps=encoder_steps)
+    losses = trainer.fit(pairs, steps=encoder_steps, batch_size=40,
+                         seed=seed)
+    q_emb = enc.encode([q for q, _, _ in facts])
+    c_emb = enc.encode([c for _, _, c in facts])
+    mean_cos_pos = float(np.mean(np.sum(q_emb * c_emb, axis=1)))
+    return enc, {"steps": encoder_steps,
+                 "final_loss": round(float(losses[-1]), 6),
+                 "mean_cos_q_pos": round(mean_cos_pos, 4)}
+
+
+def train_fixture_reranker(facts, distractors, steps: int = 96,
+                           seed: int = 0):
+    """Train the tiny decoder reranker on fixture groups: positive chunk +
+    4 HARD negatives (other questions' fact chunks — the format-identical
+    candidates retrieval actually surfaces) + 3 filler distractors per
+    question. FULL fine-tune (lora_only=False): LoRA-only training on a
+    RANDOM base plateaus at loss ~1.1 / NDCG ~0.4 on this binding task
+    (measured) — the reference trains LoRA on a pretrained base, which the
+    image doesn't ship. Returns (reranker, diagnostics)."""
+    from ..models.reranker import DECODER_PRESETS
+    from ..train import LoRATrainConfig, RerankerTrainer
+
+    import dataclasses
+
+    arch = dataclasses.replace(DECODER_PRESETS["tiny-test"], lora_rank=8,
+                               lora_alpha=16.0)
+    cfg = LoRATrainConfig(group_size=8, total_steps=steps,
+                          learning_rate=3e-3, query_max_length=64,
+                          passage_max_length=96, seed=seed,
+                          lora_only=False)
+    trainer = RerankerTrainer(arch=arch, config=cfg)
+    rng = np.random.default_rng(seed)
+    fact_chunks = [content for _, _, content in facts]
+    losses = []
+    step = 0
+    while step < steps:
+        for qi in range(0, len(facts), 4):
+            if step >= steps:
+                break
+            groups = []
+            for gi, (question, _, content) in enumerate(
+                    facts[qi: qi + 4], start=qi):
+                other = [c for j, c in enumerate(fact_chunks) if j != gi]
+                hard = [other[j] for j in
+                        rng.choice(len(other), size=4, replace=False)]
+                easy = [distractors[j] for j in
+                        rng.choice(len(distractors), size=3, replace=False)]
+                groups.append((question, [content] + hard + easy))
+            ids, mask = trainer.make_batch(groups)
+            losses.append(trainer.train_step(ids, mask))
+            step += 1
+    return trainer.reranker, {"steps": steps, "full_finetune": True,
+                              "first_loss": round(losses[0], 6),
+                              "final_loss": round(float(losses[-1]), 6)}
+
+
+def build_fixture(seed: int = 0, encoder_steps: int = 120):
+    """Trained-encoder fixture: records + corpus index embedded by the
+    in-repo contrastive-trained tiny encoder."""
+    from ..ingest.corpus import build_corpus_index
+    from ..retrieval.bm25 import BM25Index
+
+    records, facts = build_records(seed)
+    enc, enc_diag = train_fixture_encoder(facts, encoder_steps, seed)
     titles = sorted({r.title_summary for r in records if r.title_summary})
-    emb = HashEmbedder(dim=256)
-    index = build_corpus_index(records, titles, embed_fn=emb.encode)
+    index = build_corpus_index(records, titles, embed_fn=enc.encode)
     bm25 = BM25Index.build(index.texts, index.doc_ids)
-    return index, bm25, emb, facts
+    return index, bm25, enc, facts, enc_diag
 
 
-def run_pipeline(seed: int = 0) -> Dict:
+def run_pipeline(seed: int = 0, encoder_steps: int = 120,
+                 reranker_steps: int = 96) -> Dict:
     from ..evals.reranker_eval import (calculate_ndcg, calculate_precision,
                                        calculate_recall, compute_rr,
                                        relevance_by_similarity)
     from ..evals.retrieval_eval import (aggregate_hit_stats, hit_rate_eval,
                                         rewrite_dataset)
-    from ..models.encoder_reranker import EncoderReranker
     from ..retrieval.ensemble import EnsembleRetriever
     from ..serving.chat_manager import ChatManager
     from ..serving.llm_client import FakeLLM
 
-    index, bm25, emb, facts = build_fixture(seed)
+    index, bm25, emb, facts, enc_diag = build_fixture(seed, encoder_steps)
     retriever = EnsembleRetriever(index, emb.encode, bm25=bm25, k=10,
                                   faiss_k=10, bm25_k=10, faiss_ts_k=5)
 
@@ -118,9 +205,11 @@ def run_pipeline(seed: int = 0) -> Dict:
                                 sim_threshold=0.9)
     stats_cos = aggregate_hit_stats(results_cos)
 
-    # -- reranker IR metrics over rerank orderings -----------------------
-    reranker = EncoderReranker(preset="tiny-test", passage_max_length=128,
-                               seed=0)
+    # -- reranker IR metrics over a TRAINED reranker's orderings ----------
+    distractor_texts = [index.texts[r] for r in range(40, index.num_chunks)]
+    reranker, rr_diag = train_fixture_reranker(facts, distractor_texts,
+                                               steps=reranker_steps,
+                                               seed=seed)
     ndcgs, rrs, precs, recs = [], [], [], []
     shuffle_rng = np.random.default_rng(99)
     for (question, fact, gt_text), rec in zip(facts[:16], records[:16]):
@@ -143,8 +232,11 @@ def run_pipeline(seed: int = 0) -> Dict:
 
     return {
         "fixture": {"chunks": index.num_chunks, "queries": len(facts),
-                    "seed": seed, "embedder": "hash-256",
-                    "reranker": "tiny-test(random, seed 0)"},
+                    "seed": seed,
+                    "embedder": f"tiny-test contrastive {encoder_steps}st",
+                    "reranker": f"tiny-test full-ft {reranker_steps}st",
+                    "encoder_train": enc_diag,
+                    "reranker_train": rr_diag},
         "retrieval": {
             "hit_rate_string": round(stats_str["avg_hit_rate"], 6),
             "hit_rate_cos@0.9": round(stats_cos["avg_hit_rate"], 6),
@@ -164,7 +256,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--write-golden", action="store_true")
     parser.add_argument("--out", default=None)
-    parser.add_argument("--tolerance", type=float, default=1e-4)
+    parser.add_argument("--tolerance", type=float, default=0.02,
+                        help="tolerance on trained-model metrics (counts "
+                             "are always exact). 0.02 is backend-portable "
+                             "(cpu golden vs tpu run) while still biting: "
+                             "a ranking regression moves these by >>0.02")
     args = parser.parse_args(argv)
 
     result = run_pipeline()

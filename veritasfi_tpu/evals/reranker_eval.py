@@ -50,10 +50,12 @@ def relevance_by_similarity(ranked_texts: List[str], gt_texts: List[str],
     (reference evaluate.py:14-43)."""
     if not ranked_texts or not gt_texts:
         return [0.0] * len(ranked_texts)
+    # no in-place ops: real encoders (TextEncoder.encode) return read-only
+    # views of device buffers
     a = np.asarray(embed_fn(ranked_texts), np.float32)
     b = np.asarray(embed_fn(gt_texts), np.float32)
-    a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
-    b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+    a = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+    b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
     sims = a @ b.T
     return [1.0 if sims[i].max() >= threshold else 0.0
             for i in range(len(ranked_texts))]

@@ -180,10 +180,14 @@ def judge_hits(
             "expensive judging loop")
     if not evidences or not chunk_texts:
         return [False] * len(evidences)
+    # no in-place ops: real encoders (TextEncoder.encode) return read-only
+    # views of device buffers
     emb_e = np.asarray(embed_fn(evidences), np.float32)
     emb_c = np.asarray(embed_fn(chunk_texts), np.float32)
-    emb_e /= np.maximum(np.linalg.norm(emb_e, axis=1, keepdims=True), 1e-12)
-    emb_c /= np.maximum(np.linalg.norm(emb_c, axis=1, keepdims=True), 1e-12)
+    emb_e = emb_e / np.maximum(np.linalg.norm(emb_e, axis=1, keepdims=True),
+                               1e-12)
+    emb_c = emb_c / np.maximum(np.linalg.norm(emb_c, axis=1, keepdims=True),
+                               1e-12)
     sims = emb_e @ emb_c.T
     hits = []
     for i, evidence in enumerate(evidences):

@@ -81,24 +81,31 @@ def _device_corpus(n: int, dim: int, dtype, seed: int = 0):
     return buf
 
 
-def build_scale_index(n: int, dim: int, num_titles: int = 4096):
+def build_scale_index(n: int, dim: int, num_titles: Optional[int] = None):
     """CorpusIndex at row count ``n`` with lazy host stores and a
-    device-resident bf16 embedding matrix."""
+    device-resident bf16 embedding matrix. Title membership is realistic
+    (~4 chunks per title, titled every 4th chunk): a section title covers
+    the handful of chunks under it, and the title path emits EVERY member
+    row of each hit title (reference ensembleRetriever.py:145) — a fixture
+    where titles map to thousands of rows benchmarks host dict-building,
+    not retrieval."""
     import jax.numpy as jnp
 
-    from ..ingest.corpus import CorpusIndex, _csr_from_codes, normalize_rows
+    from ..ingest.corpus import CorpusIndex, _csr_from_codes
 
+    if num_titles is None:
+        num_titles = min(max(n // 16, 1), 65536)
     prev = np.arange(-1, n - 1, dtype=np.int32)
     nxt = np.arange(1, n + 1, dtype=np.int32)
     prev[::5] = -1
     nxt[4::5] = -1
     nxt[-1] = -1
-    title_code = np.where(np.arange(n) % 2 == 0,
-                          np.arange(n) % num_titles, -1).astype(np.int32)
+    rows = np.arange(n)
+    title_code = np.where(rows % 4 == 0, (rows // 16) % num_titles,
+                          -1).astype(np.int32)
     t_indptr, t_members = _csr_from_codes(title_code, num_titles)
     bundle_code = np.full(n, -1, np.int32)
     b_indptr, b_members = _csr_from_codes(bundle_code, 0)
-    rng = np.random.default_rng(3)
     index = CorpusIndex(
         texts=_ConstSeq(lambda i: f"c{i}", n),
         doc_ids=_ConstSeq(str, n),
@@ -114,8 +121,10 @@ def build_scale_index(n: int, dim: int, num_titles: int = 4096):
         bundle_indptr=b_indptr, bundle_members=b_members,
         title_indptr=t_indptr, title_members=t_members,
         embeddings=_device_corpus(n, dim, jnp.bfloat16),
-        ts_embeddings=normalize_rows(
-            rng.standard_normal((num_titles, dim), np.float32)),
+        # titles generated on device too (a 65k x 384 fp32 host transfer
+        # is seconds over the relay; normalize_rows import kept above for
+        # callers overriding with host matrices)
+        ts_embeddings=_device_corpus(num_titles, dim, jnp.float32, seed=3),
     )
     return index
 
@@ -173,6 +182,22 @@ def run_single_chip(n: int = DEFAULT_ROWS, dim: int = 384, iters: int = 15,
                             "bytes_limit")}
     except Exception:
         pass
+    if not mem:
+        try:
+            d = jax.devices()[0]
+            s = d.memory_stats() or {}
+            mem[str(d)] = {k: s.get(k) for k in
+                           ("bytes_in_use", "peak_bytes_in_use",
+                            "bytes_limit") if k in s}
+        except Exception:
+            pass
+    # the relay backend exposes no allocator stats; account the resident
+    # arrays explicitly so the artifact always carries a memory story
+    mem["accounted"] = {
+        "corpus_bf16": n * dim * 2,
+        "titles_f32": int(index.ts_embeddings.shape[0]) * dim * 4,
+        "prev_next_int32": 2 * n * 4,
+    }
 
     return {
         "corpus_rows": n, "dim": dim, "dtype": "bfloat16",

@@ -108,18 +108,7 @@ class EncoderReranker:
             params = self.module.init(jax.random.PRNGKey(seed), ids,
                                       jnp.ones_like(ids))
         self.params = params
-        self._forward = jax.jit(self.module.apply)
-
-        def _fwd_sim(params, ids, mask, emb):
-            logits = self.module.apply(params, ids, mask)
-            e = emb.astype(jnp.float32)
-            e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True),
-                                1e-12)
-            sim = jnp.matmul(e, e.T, precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-            return logits, sim
-
-        self._forward_sim = jax.jit(_fwd_sim)
+        self._rebuild_forwards()
         self._passage_cache: Dict[str, List[int]] = {}
 
     def quantize_mlp(self) -> "EncoderReranker":
@@ -138,6 +127,28 @@ class EncoderReranker:
         self.module = FlaxCrossEncoderClassifier(self.arch,
                                                  dtype=self.module.dtype)
         self.params = quantize_mlp_params(self.params)
+        self._rebuild_forwards()
+        return self
+
+    def fuse_qkv(self) -> "EncoderReranker":
+        """Switch the backbone to fused-QKV attention projections in place
+        (one [hidden, 3*hidden] GEMM instead of three square GEMMs per
+        layer); outputs are bit-identical — each output column's dot
+        product is unchanged. Returns self."""
+        import dataclasses
+
+        from .encoder import fuse_qkv_params
+
+        if self.arch.qkv_impl == "fused":
+            return self
+        self.arch = dataclasses.replace(self.arch, qkv_impl="fused")
+        self.module = FlaxCrossEncoderClassifier(self.arch,
+                                                 dtype=self.module.dtype)
+        self.params = fuse_qkv_params(self.params)
+        self._rebuild_forwards()
+        return self
+
+    def _rebuild_forwards(self) -> None:
         self._forward = jax.jit(self.module.apply)
 
         def _fwd_sim(params, ids, mask, emb):
@@ -150,7 +161,6 @@ class EncoderReranker:
             return logits, sim
 
         self._forward_sim = jax.jit(_fwd_sim)
-        return self
 
     # -- tokenization -----------------------------------------------------
     def tokenize_passage(self, passage: str) -> List[int]:

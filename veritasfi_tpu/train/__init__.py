@@ -1,3 +1,4 @@
+from .contrastive import ContrastiveTrainer, info_nce
 from .reranker_lora import (
     LoRATrainConfig,
     RerankerTrainer,
@@ -7,4 +8,5 @@ from .reranker_lora import (
 )
 
 __all__ = ["LoRATrainConfig", "RerankerTrainer", "group_loss",
-           "param_sharding_rules", "anonymize_company"]
+           "param_sharding_rules", "anonymize_company",
+           "ContrastiveTrainer", "info_nce"]

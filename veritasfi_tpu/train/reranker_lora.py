@@ -44,6 +44,12 @@ class LoRATrainConfig:
     passage_max_length: int = 1024    # train_bge_rr.sh:21
     save_every: int = 100             # train_bge_rr.sh:38
     seed: int = 0
+    # True = reference behavior (only LoRA adapters get gradients,
+    # train_bge_rr.sh:26-28). False = full fine-tune — needed when the
+    # base is randomly initialized (no pretrained weights in the image):
+    # a low-rank perturbation of random weights plateaus on tasks that
+    # require token binding (measured on the quality fixture).
+    lora_only: bool = True
 
 
 def anonymize_company(text: str, company: str = "Zeekr",
@@ -171,8 +177,12 @@ class RerankerTrainer:
             init_value=0.0, peak_value=config.learning_rate,
             warmup_steps=max(int(config.warmup_ratio * config.total_steps), 1),
             decay_steps=config.total_steps)
-        labels = jax.tree_util.tree_map(
-            lambda m: "train" if m else "freeze", _lora_mask(self.params))
+        if config.lora_only:
+            labels = jax.tree_util.tree_map(
+                lambda m: "train" if m else "freeze",
+                _lora_mask(self.params))
+        else:
+            labels = jax.tree_util.tree_map(lambda _: "train", self.params)
         self.optimizer = optax.multi_transform(
             {"train": optax.adamw(schedule, weight_decay=config.weight_decay),
              "freeze": optax.set_to_zero()},
