@@ -169,6 +169,15 @@ def main():
                              "). Wins ~2 ms standalone but LOSES ~5 ms/req "
                              "inside the serve program on this relay "
                              "(measured r2) — off by default")
+    parser.add_argument("--attn", default="pallas",
+                        choices=["xla", "pallas"],
+                        help="reranker attention kernel: pallas = the "
+                             "VMEM-resident short-seq MHA "
+                             "(ops/pallas_attention.py). Default: measured "
+                             "-4.4 ms p50 inside the serve program "
+                             "(46.0 vs 50.4, p90 47.0 vs 53.4, r3) — "
+                             "unlike the int8 MLP custom call it does not "
+                             "defeat whole-program scheduling")
     parser.add_argument("--classic", action="store_true",
                         help="use the two-readback path (host fusion between "
                              "search and rerank) instead of FusedServePath")
@@ -212,7 +221,8 @@ def main():
     enc_arch = dataclasses.replace(ENCODER_PRESETS["bge-small-en"],
                                    gelu_impl="tanh")
     rr_arch = dataclasses.replace(
-        RERANKER_ENCODER_PRESETS["bge-reranker-base"], gelu_impl="tanh")
+        RERANKER_ENCODER_PRESETS["bge-reranker-base"], gelu_impl="tanh",
+        attn_impl=args.attn)
     encoder = TextEncoder(arch=enc_arch, dtype=jnp.bfloat16, max_length=256)
     engine = EnsembleRetriever(index, encoder.encode, bm25=bm25, k=10,
                                enable_expand=True, depth=2048,

@@ -89,8 +89,22 @@ class Generator:
 
     def __init__(self, module: FlaxDecoderLM, params: Any,
                  max_prompt_len: int = 512, max_new_tokens: int = 256,
-                 cache_dtype=jnp.float32) -> None:
+                 cache_dtype=jnp.float32, mesh=None,
+                 model_axis: str = "model") -> None:
+        """``mesh``: optional jax.sharding.Mesh with a ``model_axis`` —
+        tensor-parallel generation. Params are laid out with the same rules
+        as training (train.reranker_lora.param_sharding_rules: column-
+        parallel q/k/v/gate/up, row-parallel o/down, vocab-sharded
+        embedding); the KV cache sharding (kv_heads over the model axis)
+        is propagated by GSPMD from the projections, and XLA inserts the
+        all-reduces after o_proj/down_proj. Outputs are bit-comparable to
+        single-device generation up to psum reassociation ulps."""
         self.module = module
+        if mesh is not None:
+            from ..train.reranker_lora import shard_params
+
+            params = shard_params(params, mesh, model_axis)
+        self.mesh = mesh
         self.params = params
         self.arch = module.arch
         self.max_prompt_len = max_prompt_len

@@ -414,14 +414,20 @@ class FusedServePath:
         self._bm25_pool.shutdown(wait=False)
 
     # -- the fused program --------------------------------------------------
-    def _unpack(self, pack_i, pack_f, *, num_q, enc_len, seq, with_encoder):
-        """Static-offset unpacking of the two packed input transfers.
+    def _unpack(self, pack, *, num_q, enc_len, seq, with_encoder):
+        """Static-offset unpacking of the ONE packed input transfer (each
+        host->device transfer costs ~1.5 ms of enqueue overhead on the
+        relay, measured — the f32 section rides as int32 bits and is
+        bitcast back on device, which is free).
 
         int32 layout: [enc ids (num_q*enc_len)] [enc mask (num_q*enc_len)]
                       [prefix (seq)] [bm25 rows (kb)] [prefix_len] [budget]
-        f32 layout:   [bm25 scores (kb)] [qdays] [q_emb (num_q*dim), no-enc]
+        f32 tail:     [bm25 scores (kb)] [qdays] [q_emb (num_q*dim), no-enc]
         """
         kb = max(self.bm25_k, 1)
+        int_len = 2 * num_q * enc_len + seq + kb + 2   # enc_len=0 w/o enc
+        pack_i = pack[:int_len]
+        pack_f = jax.lax.bitcast_convert_type(pack[int_len:], _F32)
         off = 0
         enc_ids = enc_mask = q_emb = None
         if with_encoder:
@@ -445,13 +451,13 @@ class FusedServePath:
         return (enc_ids, enc_mask, q_emb, prefix, prefix_len, budget,
                 bm25_rows, bm25_scores, qtime_days)
 
-    def _body_search(self, pack_i, pack_f, enc_params,
+    def _body_search(self, pack, enc_params,
                      *, num_q, enc_len, with_encoder, seq):
         """Stage 1: encoder forward -> tripartite search -> device fusion
         loop -> rerank pair assembly -> time scores."""
         (enc_ids, enc_mask, q_emb_in, prefix, prefix_len, budget, bm25_rows,
          bm25_scores, qtime_days) = self._unpack(
-            pack_i, pack_f, num_q=num_q, enc_len=enc_len, seq=seq,
+            pack, num_q=num_q, enc_len=enc_len, seq=seq,
             with_encoder=with_encoder)
         if with_encoder:
             q_emb = self.encoder.module.apply(enc_params, enc_ids, enc_mask)
@@ -535,14 +541,43 @@ class FusedServePath:
             combined, out_group, valid, sim)
         return logits, sel, sel_cnt
 
-    def _body(self, pack_i, pack_f, enc_params, rr_params,
+    def _body(self, pack, enc_params, rr_params,
               *, num_q, enc_len, with_encoder, seq):
         (out_row, out_group, out_score, out_path, n_out, ids, mask,
          tscores) = self._body_search(
-            pack_i, pack_f, enc_params,
+            pack, enc_params,
             num_q=num_q, enc_len=enc_len, with_encoder=with_encoder, seq=seq)
         logits, sel, sel_cnt = self._body_rerank(
             rr_params, ids, mask, out_row, out_group, tscores)
+        return self._pack_out(out_row, out_group, out_score, out_path,
+                              n_out, logits, tscores, sel, sel_cnt)
+
+    def _pack_out(self, out_row, out_group, out_score, out_path, n_out,
+                  logits, tscores, sel, sel_cnt):
+        """ONE readback leaf: every per-leaf device_get costs extra relay
+        latency (~1.3 ms for the old 9-leaf pytree, measured) — f32
+        sections ride as int32 bits (bitcast is free on device)."""
+        return jnp.concatenate([
+            out_row, out_group, out_path, sel,
+            jnp.stack([n_out.astype(jnp.int32), sel_cnt.astype(jnp.int32)]),
+            jax.lax.bitcast_convert_type(out_score, jnp.int32),
+            jax.lax.bitcast_convert_type(logits, jnp.int32),
+            jax.lax.bitcast_convert_type(tscores, jnp.int32),
+        ])
+
+    def _unpack_out(self, host):
+        """Host-side inverse of _pack_out (numpy views, no copies)."""
+        cap, topk = self.rerank_cap, self.chunk_topk
+        host = np.asarray(host)
+        out_row = host[:cap]
+        out_group = host[cap: 2 * cap]
+        out_path = host[2 * cap: 3 * cap]
+        sel = host[3 * cap: 3 * cap + topk]
+        n_out, sel_cnt = host[3 * cap + topk: 3 * cap + topk + 2]
+        f = host[3 * cap + topk + 2:].view(np.float32)
+        out_score = f[:cap]
+        logits = f[cap: 2 * cap]
+        tscores = f[2 * cap: 3 * cap]
         return (out_row, out_group, out_score, out_path, n_out,
                 logits, tscores, sel, sel_cnt)
 
@@ -582,7 +617,7 @@ class FusedServePath:
 
         inputs = [query] + list(hyde_chunks)
         with profiler.span("serve_host_prep"):
-            pack_i, pack_f, num_q, enc_len, seq = self._prep(
+            pack, num_q, enc_len, seq = self._prep(
                 inputs, query, query_time)
             with_encoder = self.encoder is not None
             # Pallas custom calls (the int8 fused-MLP rerank) defeat XLA's
@@ -593,7 +628,7 @@ class FusedServePath:
             if split:
                 (out_row, out_group, out_score, out_path, n_out, rr_ids,
                  rr_mask, tscores) = self._jit_search(
-                    pack_i, pack_f, self.encoder.params if with_encoder
+                    pack, self.encoder.params if with_encoder
                     else None, num_q=num_q, enc_len=enc_len,
                     with_encoder=with_encoder, seq=seq)
                 logits, sel, sel_cnt = self._jit_rerank(
@@ -603,7 +638,7 @@ class FusedServePath:
                        logits, tscores, sel, sel_cnt)
             else:
                 out = self._jit(
-                    pack_i, pack_f,
+                    pack,
                     self.encoder.params if with_encoder else None,
                     self.reranker.params, num_q=num_q, enc_len=enc_len,
                     with_encoder=with_encoder, seq=seq)
@@ -648,34 +683,33 @@ class FusedServePath:
         else:
             bm25_rows, bm25_scores = self._bm25_inputs(query)
 
-        # every per-request input rides in TWO transfers (~0.3-0.5 ms
-        # of enqueue overhead per transfer on the relay, measured)
+        # every per-request input rides in ONE transfer (~1.5 ms of
+        # enqueue overhead per host->device transfer on the relay,
+        # measured) — the f32 section travels as int32 bits
         kb = max(self.bm25_k, 1)
-        pack_i = np.empty(
-            (2 * num_q * enc_len + seq + kb + 2,), np.int32)
+        ni = 2 * num_q * enc_len + seq + kb + 2
+        nf = kb + 1 + (0 if with_encoder else num_q * self._emb.shape[1])
+        pack = np.empty((ni + nf,), np.int32)
         off = 0
         if with_encoder:
-            pack_i[off: off + num_q * enc_len] = ids.ravel()
+            pack[off: off + num_q * enc_len] = ids.ravel()
             off += num_q * enc_len
-            pack_i[off: off + num_q * enc_len] = mask.ravel()
+            pack[off: off + num_q * enc_len] = mask.ravel()
             off += num_q * enc_len
-        pack_i[off: off + seq] = self.reranker.arch.pad_id
-        pack_i[off: off + min(len(prefix), seq)] = prefix[:seq]
+        pack[off: off + seq] = self.reranker.arch.pad_id
+        pack[off: off + min(len(prefix), seq)] = prefix[:seq]
         off += seq
-        pack_i[off: off + kb] = bm25_rows
+        pack[off: off + kb] = bm25_rows
         off += kb
-        pack_i[off] = len(prefix)
-        pack_i[off + 1] = budget
-        nf = kb + 1 + (0 if with_encoder else num_q * self._emb.shape[1])
-        pack_f = np.empty((nf,), np.float32)
+        pack[off] = len(prefix)
+        pack[off + 1] = budget
+        pack_f = pack[ni:].view(np.float32)
         pack_f[:kb] = bm25_scores
         pack_f[kb] = np.float32(_to_days(query_time))
         if not with_encoder:
             pack_f[kb + 1:] = q_emb.ravel()
-        pack_i = jnp.asarray(pack_i)
-        pack_f = jnp.asarray(pack_f)
 
-        return pack_i, pack_f, num_q, enc_len, seq
+        return jnp.asarray(pack), num_q, enc_len, seq
 
     def finish(self, out) -> Tuple[List[Dict], List[int], Dict]:
         """ONE host readback, then build reference-schema outputs."""
@@ -701,11 +735,11 @@ class FusedServePath:
         batched device program."""
         inputs = [query] + list(hyde_chunks)
         with profiler.span("serve_host_prep"):
-            pack_i, pack_f, num_q, enc_len, seq = self._prep(
+            pack, num_q, enc_len, seq = self._prep(
                 inputs, query, query_time)
             with_encoder = self.encoder is not None
             out = self._jit_search(
-                pack_i, pack_f, self.encoder.params if with_encoder
+                pack, self.encoder.params if with_encoder
                 else None, num_q=num_q, enc_len=enc_len,
                 with_encoder=with_encoder, seq=seq)
         return out, seq
@@ -773,6 +807,8 @@ class FusedServePath:
         return [self._format(h) for h in host]
 
     def _format(self, host_out) -> Tuple[List[Dict], List[int], Dict]:
+        if not isinstance(host_out, (tuple, list)):
+            host_out = self._unpack_out(host_out)    # packed single leaf
         (out_row, out_group, out_score, out_path, n_out, logits,
          tscores, sel, sel_cnt) = host_out
         chunks: List[Dict] = []
