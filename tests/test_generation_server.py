@@ -146,120 +146,6 @@ def test_per_slot_sampling_params(decoder):
         server.close()
 
 
-def test_speculative_matches_plain_greedy(decoder):
-    """Prompt-lookup speculative decoding must be a pure accelerator:
-    greedy output identical to the non-speculative server, accepted or
-    rejected drafts alike. Random tiny models cycle under greedy decode,
-    so lookup drafts genuinely accept here (asserted via stats)."""
-    rr = decoder
-    rows = prompts(rr, 2)
-    max_new = 48
-    plain = GenerationServer(rr.module, rr.params, slots=2, window=256,
-                             chunk=4, max_prompt_len=64,
-                             cache_dtype=jnp.float32)
-    try:
-        base = [plain.generate(r, max_new, -1) for r in rows]
-    finally:
-        plain.close()
-    spec = GenerationServer(rr.module, rr.params, slots=2, window=256,
-                            chunk=4, max_prompt_len=64, speculative_k=4,
-                            cache_dtype=jnp.float32)
-    try:
-        got = [spec.generate(r, max_new, -1) for r in rows]
-        assert got == base, (got, base)
-        assert spec.stats["spec_steps"] > 0
-        # greedy cycles -> drafts accept; require at least some acceptance
-        assert spec.stats["spec_accepted_tokens"] > 0, spec.stats
-    finally:
-        spec.close()
-
-
-def test_speculative_with_sampling_neighbour(decoder):
-    """A sampling slot (never speculated) next to a speculating greedy
-    slot: the greedy slot must still match its solo run."""
-    rr = decoder
-    rows = prompts(rr, 2)
-    solo = solo_generate(rr, rows[0], max_new=24)
-    server = GenerationServer(rr.module, rr.params, slots=2, window=256,
-                              chunk=4, max_prompt_len=64, speculative_k=4,
-                              cache_dtype=jnp.float32, seed=9)
-    try:
-        with ThreadPoolExecutor(2) as ex:
-            f_greedy = ex.submit(server.generate, rows[0], 24, -1)
-            f_sample = ex.submit(server.generate, rows[1], 24, -1, 1.0, 0.95)
-            greedy = f_greedy.result(180)
-            f_sample.result(180)
-        assert greedy == solo, (greedy, solo)
-    finally:
-        server.close()
-
-
-def test_spec_commit_restores_rejected_slots(decoder):
-    """After a ring wrap, a spec step overwrites k/v at all K+1 written
-    ring slots; the commit must keep the new values ONLY for the accepted
-    prefix and restore the pre-forward k/v AND mask everywhere else —
-    otherwise wrapped rows permanently lose K valid keys per step."""
-    import jax
-    import jax.numpy as jnp
-
-    rr = decoder
-    server = GenerationServer(rr.module, rr.params, slots=2, window=16,
-                              chunk=2, max_prompt_len=16, speculative_k=4,
-                              cache_dtype=jnp.float32)
-    try:
-        w = server.window
-        # simulate a fully wrapped ring: every mask bit True, k/v = 7.0
-        cache = [(jnp.full_like(k, 7.0), jnp.full_like(v, 7.0),
-                  jnp.ones_like(km)) for k, v, km in server._cache]
-        off = jnp.asarray(np.array([5, 11], np.int32))
-        tok = jnp.asarray(np.array([3, 7], np.int32))
-        pos = jnp.asarray(np.array([40, 40], np.int32))
-        active = jnp.asarray(np.array([True, True]))
-        temp = jnp.zeros((2,), jnp.float32)          # both greedy
-        topp = jnp.full((2,), 0.8, jnp.float32)
-        drafts = jnp.asarray(np.array([[9, 10, 11, 12],
-                                       [13, 14, 15, 16]], np.int32))
-        (cache, tok, pos, off2, rng, emit, accepted) = server._spec_jit(
-            server.params, cache, tok, pos, off, active, temp, topp,
-            drafts, jax.random.PRNGKey(0))
-        acc = np.asarray(accepted)
-        km = np.asarray(cache[0][2])
-        kk = np.asarray(cache[0][0])
-        offs = np.asarray(off)
-        js = np.arange(5)
-        for row in range(2):
-            slots = (offs[row] + js) % w
-            # mask: True everywhere (keep -> True, rejected -> restored True)
-            np.testing.assert_array_equal(km[row, slots], True)
-            for j, slot in enumerate(slots):
-                if j <= acc[row]:
-                    assert not np.allclose(kk[row, slot], 7.0), (
-                        f"row{row} j{j}: accepted slot kept old k/v")
-                else:
-                    np.testing.assert_allclose(
-                        kk[row, slot], 7.0,
-                        err_msg=f"row{row} j{j}: rejected slot not restored")
-    finally:
-        server.close()
-
-
-def test_speculative_survives_window_wrap(decoder):
-    """Long speculative generation past the ring window must stay sane
-    (full token count, no crash). Exact equality with the plain server is
-    only guaranteed pre-wrap: in-place draft verification temporarily
-    shrinks a wrapped row's window by K - accepted."""
-    rr = decoder
-    row = prompts(rr, 1)[0]
-    server = GenerationServer(rr.module, rr.params, slots=1, window=32,
-                              chunk=4, max_prompt_len=32, speculative_k=4,
-                              prefill_chunk=16, cache_dtype=jnp.float32)
-    try:
-        got = server.generate(row[:20], 96, -1)
-        assert len(got) == 96
-    finally:
-        server.close()
-
-
 def test_long_prompt_adaptive_prefill_matches_solo(decoder):
     """A long prompt replays mostly in big (4x) prefill chunks plus a
     small tail; the result must match the solo whole-prompt Generator."""

@@ -120,8 +120,7 @@ def retrieval_throughput(retriever, queries: Sequence[str],
 
 def generation_stress(n_requests: int = 8, slots: int = 4,
                       max_new: int = 64, chunk: int = 8,
-                      preset: str = "gemma-mini",
-                      speculative_k: int = 0) -> dict:
+                      preset: str = "gemma-mini") -> dict:
     """Continuous-batching generation throughput + time-to-first-token with
     the local JAX backend (serving/generation_server.py). The reference
     delegates generation to an external vLLM process; this measures the
@@ -129,10 +128,6 @@ def generation_stress(n_requests: int = 8, slots: int = 4,
 
     ``preset``: DECODER_PRESETS key ('gemma-mini' = a scaled-down gemma
     shape for bench plumbing; real checkpoints load via models/hf_loader).
-
-    ``speculative_k`` > 0 turns on prompt-lookup speculative decoding
-    (wins in the heavy-quoting regime it targets — RAG answers quoting
-    retrieved context; the detail row reports draft acceptance).
     """
     import time
     from concurrent.futures import ThreadPoolExecutor
@@ -150,8 +145,7 @@ def generation_stress(n_requests: int = 8, slots: int = 4,
     arch_name = preset
     rr = CrossEncoderReranker(preset=arch_name, dtype=jnp.bfloat16)
     server = GenerationServer(rr.module, rr.params, slots=slots,
-                              window=512, chunk=chunk, max_prompt_len=256,
-                              speculative_k=speculative_k)
+                              window=512, chunk=chunk, max_prompt_len=256)
     prompts = [rr._encode_raw(f"Summarize quarterly metric {i} performance "
                               f"and guidance for the segment.")
                for i in range(n_requests)]
@@ -184,10 +178,5 @@ def generation_stress(n_requests: int = 8, slots: int = 4,
             "ttft_p50_ms": round(ttft[len(ttft) // 2], 1),
             "ttft_p90_ms": round(ttft[int(0.9 * len(ttft))], 1),
             "arch": arch_name,
-            "speculative_k": speculative_k,
-            **({"spec_steps": server.stats["spec_steps"],
-                "spec_accepted_tokens":
-                    server.stats["spec_accepted_tokens"]}
-               if speculative_k else {}),
         },
     }

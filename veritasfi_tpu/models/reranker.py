@@ -163,8 +163,8 @@ class _Attention(nn.Module):
                 # (query j sees writes k <= j — ring wraps can overwrite
                 # old slots, so physical position no longer orders time).
                 # Key masks for the new slots are NOT persisted here; the
-                # caller commits them after (speculative steps roll back
-                # rejected drafts by simply not setting their mask bits).
+                # caller commits them after the step (decode steps set the
+                # written slot's bit in their own program).
                 w = ck.shape[1]
                 rows = jnp.arange(b)[:, None]
                 js = jnp.arange(t)[None, :]

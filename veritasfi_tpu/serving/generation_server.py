@@ -72,8 +72,7 @@ class GenerationServer:
     def __init__(self, module, params, *, slots: int = 4, window: int = 1024,
                  chunk: int = 8, max_prompt_len: int = 512,
                  temperature: float = 0.0, top_p: float = 0.8,
-                 prefill_chunk: int = 64, speculative_k: int = 0,
-                 ngram: int = 2,
+                 prefill_chunk: int = 64,
                  cache_dtype=jnp.bfloat16, seed: int = 0) -> None:
         self.module = module
         self.params = params
@@ -85,26 +84,11 @@ class GenerationServer:
         self.temperature = float(temperature)   # default when a request
         self.top_p = float(top_p)               # doesn't set its own
         self.prefill_chunk = prefill_chunk
-        # prompt-lookup speculative decoding (vLLM's ngram speculator):
-        # draft the K tokens that followed the last occurrence of the
-        # current ngram in prompt+history, verify all K in ONE forward.
-        # RAG answers quote retrieved context heavily, so lookup drafts
-        # accept often; greedy rows only (sampling rows fall back to
-        # one-token steps — no rejection-sampling correction needed).
-        # MEASURED (v5e, gemma-mini, ~28 ms/readback relay): each spec
-        # step pays one readback for accepted+1 tokens, so it beats the
-        # chunked scan (chunk tokens/readback) only when acceptance
-        # approaches K >= chunk — i.e. heavy-quoting workloads. At ~1
-        # accepted/step it measured 60 vs 87 tok/s; OFF by default.
-        self.speculative_k = int(speculative_k)
-        self.ngram = int(ngram)
-        if self.speculative_k > 0:
-            if self.ngram < 1:
-                raise ValueError("ngram must be >= 1 (0 silently disables "
-                                 "drafting: hist[-0:] is the whole history)")
-            if self.speculative_k + 1 > window:
-                raise ValueError("speculative_k + 1 must fit the window "
-                                 "(duplicate ring slots in one verify step)")
+        # NOTE: prompt-lookup speculative decoding was built, measured, and
+        # REMOVED (SPEC_DECODE_r03.json): with the chunked scan amortizing
+        # one readback over chunk x occupancy tokens, a verify step costs a
+        # full dispatch+readback and lost tok/s in every configuration EVEN
+        # AT 100% draft acceptance on a trained quoting workload (0.59-0.73x).
         self.cache_dtype = cache_dtype
         # a prompt padded to prefill_chunk must fit the ring window, else
         # prefill writes past the cache and the mask init silently clips;
@@ -150,17 +134,7 @@ class GenerationServer:
         self._decode_jit = jax.jit(
             self._decode_impl, donate_argnums=(1,),
             static_argnames=("chunk",))
-        self._spec_jit = jax.jit(self._spec_impl, donate_argnums=(1,))
-        # host-side token history per slot (prompt + emitted) for drafting,
-        # with an incremental ngram index (key -> (latest, previous) start
-        # positions) so each draft lookup is O(1) instead of an O(len)
-        # backward scan on the scheduler hot path
-        self._history: List[List[int]] = [[] for _ in range(slots)]
-        self._ngram_idx: List[Dict[Tuple[int, ...], Tuple[int, Optional[int]]]] = [
-            {} for _ in range(slots)]
-
-        self.stats = {"spec_steps": 0, "spec_accepted_tokens": 0,
-                      "decode_chunks": 0}
+        self.stats = {"decode_chunks": 0}
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -248,111 +222,9 @@ class GenerationServer:
             step, init, None, length=chunk)
         return cache, tok, pos, off, rng, live, toks.T   # [S, chunk]
 
-    def _spec_impl(self, params, cache, tok, pos, off, active,
-                   temp, topp, drafts, rng):
-        """Speculative verify step: feed [current token, K drafts] through
-        the model in ONE forward, accept the longest draft prefix the model
-        would itself have produced (greedy rows), emit accepted+1 tokens.
-
-        Rollback is EXACT on the cache: the forward overwrites k/v at the
-        K+1 ring slots of every row (pad drafts of sampling rows
-        included), so the pre-forward contents of those slots are saved
-        and restored for every position beyond the accepted prefix —
-        after the step, every row's window matches what the plain chunked
-        scan would have left. The only post-wrap approximation is inside
-        the verification forward itself: the K+1 oldest wrapped keys are
-        overwritten in place, so they are invisible to the in-block
-        positions (sequential decoding would still have seen them until
-        their individual overwrite)."""
-        s, kd = drafts.shape
-        w = self.window
-        rows = jnp.arange(s)
-        js = jnp.arange(kd + 1)[None, :]
-        slots = (off[:, None] + js) % w                           # [S,K+1]
-        rows2 = rows[:, None]
-        saved = [(k[rows2, slots], v[rows2, slots], km[rows2, slots])
-                 for k, v, km in cache]
-        tokens = jnp.concatenate([tok[:, None], drafts], axis=1)  # [S,K+1]
-        positions = pos[:, None] + jnp.arange(kd + 1)[None, :]
-        logits, cache = self.module.apply(
-            params, tokens, jnp.ones((s, kd + 1), jnp.int32),
-            cache=cache, cache_offset=off, positions=positions)
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [S,K+1]
-        # accepted[s] = leading drafts the model reproduces (greedy rows,
-        # real drafts only — pad drafts never match argmax of live rows)
-        match = (drafts == greedy[:, :kd]) & (drafts != self.arch.pad_id)
-        accepted = jnp.cumprod(match.astype(jnp.int32),
-                               axis=1).sum(axis=1)               # [S]
-        accepted = jnp.where((temp <= 0.0) & active, accepted, 0)
-        # the bonus token comes from the distribution at the last accepted
-        # position; _sample_rows handles greedy and sampling rows alike
-        rng, key = jax.random.split(rng)
-        final = _sample_rows(logits[rows, accepted], key, temp, topp)
-        final = jnp.where(active, final, self.arch.pad_id)
-        # emitted tokens: d1..da then final, pad after
-        emit = jnp.where(
-            js < accepted[:, None],
-            drafts[rows2, jnp.minimum(js, kd - 1)], self.arch.pad_id)
-        emit = jnp.where(js == accepted[:, None], final[:, None], emit)
-        emit = jnp.where(active[:, None], emit, self.arch.pad_id)
-        # commit: positions <= accepted keep the NEW k/v with mask True
-        # (current token + accepted drafts); every other written slot —
-        # rejected drafts, sampling rows' pad drafts, inactive rows — is
-        # restored to its saved pre-forward contents, mask included
-        keep = (js <= accepted[:, None]) & active[:, None]
-        keep_kv = keep[..., None, None]
-        cache = [
-            (k.at[rows2, slots].set(
-                jnp.where(keep_kv, k[rows2, slots], old_k)),
-             v.at[rows2, slots].set(
-                jnp.where(keep_kv, v[rows2, slots], old_v)),
-             km.at[rows2, slots].set(jnp.where(keep, True, old_m)))
-            for (k, v, km), (old_k, old_v, old_m) in zip(cache, saved)]
-        adv = jnp.where(active, accepted + 1, 0)
-        return (cache, jnp.where(active, final, tok), pos + adv, off + adv,
-                rng, emit, accepted)
-
     # ------------------------------------------------------------------
     # host scheduler
     # ------------------------------------------------------------------
-    def _index_ngram(self, slot: int, start: int) -> None:
-        """Record the ngram occurrence starting at ``start``."""
-        hist = self._history[slot]
-        n = self.ngram
-        key = tuple(hist[start: start + n])
-        idx = self._ngram_idx[slot]
-        prev = idx.get(key)
-        idx[key] = (start, prev[0] if prev is not None else None)
-
-    def _rebuild_ngram_idx(self, slot: int) -> None:
-        self._ngram_idx[slot] = {}
-        hist = self._history[slot]
-        n = self.ngram
-        if self.speculative_k > 0 and n >= 1:
-            for start in range(len(hist) - n + 1):
-                self._index_ngram(slot, start)
-
-    def _draft(self, slot: int) -> List[int]:
-        """Prompt-lookup drafting: propose the tokens that followed the
-        most recent PRIOR occurrence of the trailing ``ngram`` tokens
-        (O(1) via the incremental index)."""
-        k = self.speculative_k
-        hist = self._history[slot]
-        n = self.ngram
-        if k <= 0 or len(hist) <= n:
-            return []
-        entry = self._ngram_idx[slot].get(tuple(hist[-n:]))
-        if entry is None:
-            return []
-        latest, prev = entry
-        # the trailing occurrence indexes itself as `latest`; the draft
-        # source is the occurrence before it
-        start = prev if latest == len(hist) - n else latest
-        if start is None:
-            return []
-        follow = hist[start + n: start + n + k]
-        return [t for t in follow if t != self.arch.pad_id][:k]
-
     def _admit(self) -> bool:
         """Admit every queued request there is a free slot for. All device
         work (local cache init, chunked prefill, commit) is enqueued
@@ -412,8 +284,6 @@ class GenerationServer:
                 self._pos, self._off, self._temp, self._topp,
                 jnp.int32(len(row)), jnp.int32(padded))
             self._temp_host[slot] = temp
-            self._history[slot] = list(row)
-            self._rebuild_ngram_idx(slot)
             self._slot_req[slot] = req
             self._produced[slot] = 0
             self._active[slot] = True
@@ -435,13 +305,6 @@ class GenerationServer:
         req.emitted.append(tok)
         req.tokens.put(tok)
         self._produced[slot] += 1
-        hist = self._history[slot]
-        hist.append(tok)
-        if self.speculative_k > 0 and len(hist) >= self.ngram:
-            self._index_ngram(slot, len(hist) - self.ngram)
-        if len(hist) > 4 * self.window:
-            del hist[: 2 * self.window]   # bound host memory per slot
-            self._rebuild_ngram_idx(slot)  # starts shifted
         if self._produced[slot] >= req.max_new:
             self._finish(slot)
 
@@ -456,7 +319,7 @@ class GenerationServer:
         self._active[slot] = False
         # No mask clear needed: the next tenant's prefill commit overwrites
         # the slot's key mask over the FULL window (dynamic_update_slice of
-        # the [1, W] local mask), decode/spec steps never set mask bits for
+        # the [1, W] local mask), decode steps never set mask bits for
         # inactive rows, and inactive rows' attention output is discarded.
         # (The old per-layer .at[slot].set(False) here built fresh scatter
         # executables whose first-use remote compile stalled the next
@@ -476,49 +339,6 @@ class GenerationServer:
                     self._closed = True
                     continue
                 self._queue.queue.appendleft(req)   # re-admit via _admit
-                continue
-            # hybrid scheduler: verify drafts in one wide forward when any
-            # greedy slot has a prompt-lookup hit, otherwise the scan chunk
-            drafts = None
-            if self.speculative_k > 0:
-                kd = self.speculative_k
-                drafts_np = np.full((self.slots, kd), self.arch.pad_id,
-                                    np.int32)
-                n_drafting = 0
-                for slot in range(self.slots):
-                    if self._active[slot] and self._temp_host[slot] <= 0:
-                        d = self._draft(slot)
-                        if d:
-                            drafts_np[slot, : len(d)] = d
-                            n_drafting += 1
-                # a spec step advances non-drafting slots by only ONE token
-                # (vs `chunk` in the scan) — take it only when drafting
-                # slots are not outnumbered, so a single heavy-quoting
-                # stream can't starve a batch of sampling streams down to
-                # one token per readback
-                n_other = int(self._active.sum()) - n_drafting
-                if n_drafting and n_drafting >= n_other:
-                    drafts = drafts_np
-            if drafts is not None:
-                with profiler.span("generation_spec_step"):
-                    active = jnp.asarray(self._active)
-                    (self._cache, self._tok, self._pos, self._off,
-                     self._rng, emit, accepted) = self._spec_jit(
-                        self.params, self._cache, self._tok, self._pos,
-                        self._off, active, self._temp, self._topp,
-                        jnp.asarray(drafts), self._rng)
-                    emit, accepted = jax.device_get((emit, accepted))
-                    self.stats["spec_steps"] += 1
-                    self.stats["spec_accepted_tokens"] += int(accepted.sum())
-                    profiler.add_metric("spec_accepted",
-                                        float(accepted.max()))
-                for slot in range(self.slots):
-                    if not self._active[slot]:
-                        continue
-                    for t in emit[slot, : int(accepted[slot]) + 1]:
-                        self._emit(slot, int(t))
-                        if not self._active[slot]:
-                            break
                 continue
             with profiler.span("generation_chunk"):
                 self.stats["decode_chunks"] += 1

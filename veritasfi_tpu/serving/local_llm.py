@@ -33,8 +33,7 @@ class LocalChatBackend:
                  template: Optional[Dict[str, str]] = None,
                  stream_chunk: int = 8,
                  continuous_batching: bool = False, slots: int = 4,
-                 window: int = 1024, decode_chunk: int = 8,
-                 speculative_k: int = 0) -> None:
+                 window: int = 1024, decode_chunk: int = 8) -> None:
         """``continuous_batching``: serve generations through a
         GenerationServer — concurrent chat() calls share decode steps in
         one device program (slot-based, rolling KV window) instead of
@@ -62,8 +61,7 @@ class LocalChatBackend:
 
             self.server = GenerationServer(
                 module, params, slots=slots, window=window,
-                chunk=decode_chunk, max_prompt_len=max_prompt_len,
-                speculative_k=speculative_k)
+                chunk=decode_chunk, max_prompt_len=max_prompt_len)
         hf = getattr(tokenizer, "hf", None)
         if eos_id is not None:
             self.eos_id = eos_id
