@@ -178,6 +178,15 @@ def main():
                              "(46.0 vs 50.4, p90 47.0 vs 53.4, r3) — "
                              "unlike the int8 MLP custom call it does not "
                              "defeat whole-program scheduling")
+    parser.add_argument("--enc-attn", default="xla",
+                        choices=["xla", "pallas"],
+                        help="query-encoder attention kernel (separate "
+                             "from --attn: the [4, 256] encoder shapes "
+                             "are too small for the Pallas MHA to pay)")
+    parser.add_argument("--qkv", default="split",
+                        choices=["split", "fused"],
+                        help="qkv projection layout: fused = one "
+                             "[hidden, 3*hidden] GEMM per layer")
     parser.add_argument("--classic", action="store_true",
                         help="use the two-readback path (host fusion between "
                              "search and rerank) instead of FusedServePath")
@@ -219,10 +228,11 @@ def main():
     # serving-perf arch: tanh gelu (erf costs ~5 ms/fwd on this TPU; the
     # delta is below bf16 rounding — models/encoder.py gelu_impl note)
     enc_arch = dataclasses.replace(ENCODER_PRESETS["bge-small-en"],
-                                   gelu_impl="tanh")
+                                   gelu_impl="tanh", attn_impl=args.enc_attn,
+                                   qkv_impl=args.qkv)
     rr_arch = dataclasses.replace(
         RERANKER_ENCODER_PRESETS["bge-reranker-base"], gelu_impl="tanh",
-        attn_impl=args.attn)
+        attn_impl=args.attn, qkv_impl=args.qkv)
     encoder = TextEncoder(arch=enc_arch, dtype=jnp.bfloat16, max_length=256)
     engine = EnsembleRetriever(index, encoder.encode, bm25=bm25, k=10,
                                enable_expand=True, depth=2048,

@@ -166,3 +166,78 @@ def test_long_prompt_adaptive_prefill_matches_solo(decoder):
         assert got == solo, (got, solo)
     finally:
         server.close()
+
+
+def test_prefix_cache_multiturn_matches_cold(decoder):
+    """Chat-history resend: turn 2's prompt = turn 1's prompt + answer +
+    new user tokens. The warm server must reuse the retained slot KV
+    (prefix_hits > 0, fewer prefill chunks) and still produce EXACTLY the
+    cold server's output (f32 cache: bit-identical numerics)."""
+    rr = decoder
+    turn1 = rr._encode_raw("user: summarize metric three performance")
+    server = GenerationServer(rr.module, rr.params, slots=2, window=256,
+                              chunk=4, max_prompt_len=192, prefill_chunk=16,
+                              cache_dtype=jnp.float32)
+    try:
+        ans1 = server.generate(turn1, 24, -1)
+        turn2 = turn1 + ans1 + rr._encode_raw("user: and the outlook?")
+        base_chunks = server.stats["prefill_chunks"]
+        ans2 = server.generate(turn2, 24, -1)
+        warm_chunks = server.stats["prefill_chunks"] - base_chunks
+        assert server.stats["prefix_hits"] == 1, server.stats
+        assert server.stats["prefix_reused_tokens"] >= len(turn1), \
+            server.stats
+    finally:
+        server.close()
+    cold = GenerationServer(rr.module, rr.params, slots=2, window=256,
+                            chunk=4, max_prompt_len=192, prefill_chunk=16,
+                            prefix_cache=False, cache_dtype=jnp.float32)
+    try:
+        cold_ans2 = cold.generate(turn2, 24, -1)
+        assert cold.stats["prefix_hits"] == 0
+        cold_base = cold.stats["prefill_chunks"]
+    finally:
+        cold.close()
+    assert ans2 == cold_ans2, (ans2, cold_ans2)
+    # the whole point: the warm resend prefills fewer chunks
+    assert warm_chunks < cold_base, (warm_chunks, cold_base)
+
+
+def test_prefix_cache_partial_match_and_divergence(decoder):
+    """A second prompt sharing only PART of the retained history (same
+    prefix, divergent tail) must still match its solo run — the resume
+    mask must hide retained tokens past the divergence point."""
+    rr = decoder
+    turn1 = rr._encode_raw(" ".join(f"word{i} metric{i}"
+                                    for i in range(16)))   # ~32 tokens
+    server = GenerationServer(rr.module, rr.params, slots=1, window=256,
+                              chunk=4, max_prompt_len=192, prefill_chunk=8,
+                              cache_dtype=jnp.float32)
+    try:
+        server.generate(turn1, 16, -1)
+        # shares the first tokens of turn1 then diverges
+        probe = turn1[: len(turn1) // 2] + rr._encode_raw(
+            "totally different continuation of the question here")
+        got = server.generate(probe, 16, -1)
+        assert server.stats["prefix_hits"] == 1, server.stats
+    finally:
+        server.close()
+    assert got == solo_generate(rr, probe, max_new=16), got
+
+
+def test_prefix_cache_survives_slot_churn(decoder):
+    """Interleaved sessions: slot retention must key on token content, so
+    an unrelated request in between does not corrupt the resumed chat."""
+    rr = decoder
+    chat = rr._encode_raw("session A asks about quarterly deliveries")
+    server = GenerationServer(rr.module, rr.params, slots=2, window=256,
+                              chunk=4, max_prompt_len=192, prefill_chunk=16,
+                              cache_dtype=jnp.float32)
+    try:
+        a1 = server.generate(chat, 16, -1)
+        server.generate(rr._encode_raw("session B other question"), 16, -1)
+        turn2 = chat + a1 + rr._encode_raw("any update?")
+        got = server.generate(turn2, 16, -1)
+    finally:
+        server.close()
+    assert got == solo_generate(rr, turn2, max_new=16), got

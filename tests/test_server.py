@@ -197,3 +197,23 @@ def test_same_session_requests_serialize(service):
     # both turns recorded in qa_history, in some serial order
     mgr = service.get_or_create_chat_manager("same-session")
     assert len(mgr.qa_history) == 2
+
+
+def test_protocol_responder_compound_split():
+    """The ' ||| ' compound-question marker must yield one rewritten
+    sub-question per part (soak harness's 80/15/5 mix rides on this)."""
+    import json as _json
+
+    from veritasfi_tpu.serving.llm_client import ProtocolResponder
+
+    r = ProtocolResponder()
+    user = ("You are an assistant that categorizes and rewrites user "
+            "queries.\n\nQuestion: What was revenue? ||| What is "
+            "guidance?\n\nCurrent time: now")
+    out = r([{"role": "user", "content": user}])
+    lines = out.split("\n")
+    assert _json.loads(lines[0]) == ["What was revenue?",
+                                     "What is guidance?"]
+    single = r([{"role": "user", "content": user.replace(
+        " ||| What is guidance?", "")}])
+    assert _json.loads(single.split("\n")[0]) == ["What was revenue?"]

@@ -178,6 +178,114 @@ async def run_stress(port: int, concurrency: int, total: int) -> dict:
     }
 
 
+def _rss_mb() -> float:
+    with open("/proc/self/statm") as f:
+        pages = int(f.read().split()[1])
+    import os
+
+    return pages * os.sysconf("SC_PAGE_SIZE") / 1e6
+
+
+def _pcts(xs: List[float]) -> dict:
+    xs = sorted(xs)
+    n = len(xs)
+    # nearest-rank (int(q*n) degenerates to max for small n)
+    pick = lambda q: xs[max(0, -(-int(q * 10 * n) // 10) - 1)] if n else 0.0
+    return {"p50_ms": round(pick(0.5), 1), "p90_ms": round(pick(0.9), 1),
+            "p99_ms": round(pick(0.99), 1), "n": n}
+
+
+async def run_soak(port: int, concurrency: int, seconds: float,
+                   churn: int, bucket_s: float = 10.0) -> dict:
+    """Sustained fixed-concurrency soak with the reference's query mix
+    (80% 1 sub-question / 15% 2 / 5% 3 — stress_theory.js:12-15), session
+    churn every ``churn`` requests per slot (exercises creation + the
+    1800 s GC sweep), and time-bucketed latency so drift is visible."""
+    import random
+
+    import aiohttp
+
+    url = f"http://127.0.0.1:{port}/v1/chat/async"
+    subq = ["What was the quarterly revenue growth?",
+            "What is the delivery guidance for next year?",
+            "How did gross margin develop in Europe?"]
+    rng = random.Random(7)
+    samples: List[tuple] = []    # (t_rel, latency_ms, n_subs)
+    rss: List[tuple] = []
+    epoch = [0] * concurrency    # per-slot churn counter
+    served = [0] * concurrency
+
+    async with aiohttp.ClientSession() as session:
+
+        async def one(slot: int, record: bool) -> None:
+            n = rng.choices((1, 2, 3), weights=(80, 15, 5))[0]
+            q = " ||| ".join(subq[:n])
+            body = {"question": q,
+                    "session_id": f"soak-{slot}-{epoch[slot]}"}
+            t0 = time.perf_counter()
+            async with session.post(url, json=body) as resp:
+                if resp.status != 200:
+                    raise RuntimeError(
+                        f"HTTP {resp.status}: {await resp.text()}")
+                await resp.json()
+            if record:
+                samples.append((time.perf_counter() - start,
+                                (time.perf_counter() - t0) * 1000.0, n))
+            served[slot] += 1
+            if served[slot] % churn == 0:
+                epoch[slot] += 1     # next request opens a NEW session
+
+        await asyncio.gather(*(one(s, False) for s in range(concurrency)))
+        start = time.perf_counter()
+
+        async def worker(slot: int) -> None:
+            while time.perf_counter() - start < seconds:
+                await one(slot, True)
+
+        async def rss_sampler() -> None:
+            while time.perf_counter() - start < seconds:
+                rss.append((round(time.perf_counter() - start, 1),
+                            round(_rss_mb(), 1)))
+                await asyncio.sleep(bucket_s / 2)
+
+        await asyncio.gather(rss_sampler(),
+                             *(worker(s) for s in range(concurrency)))
+        wall = time.perf_counter() - start
+
+    lat = [l for _, l, _ in samples]
+    buckets = []
+    b = 0.0
+    while b < wall:
+        xs = [l for t, l, _ in samples if b <= t < b + bucket_s]
+        if xs:
+            buckets.append({"t_s": round(b, 1), **_pcts(xs)})
+        b += bucket_s
+    by_subs = {n: _pcts([l for _, l, k in samples if k == n])
+               for n in (1, 2, 3)}
+    sessions = sum(e + 1 for e in epoch)
+    return {
+        "metric": "server_soak_qps",
+        "value": round(len(samples) / wall, 2),
+        "unit": "req/s",
+        "vs_baseline": round(len(samples) / wall
+                             * REFERENCE_RETRIEVE_RERANK_S, 1),
+        "detail": {
+            "endpoint": "/v1/chat/async",
+            "concurrency": concurrency,
+            "duration_s": round(wall, 1),
+            "requests": len(samples),
+            "mix": "80/15/5 x 1/2/3 sub-questions (stress_theory.js:12-15)",
+            "sessions_created": sessions,
+            "churn_every": churn,
+            **_pcts(lat),
+            "by_sub_questions": by_subs,
+            "buckets": buckets,
+            "rss_mb": rss,
+            "rss_growth_mb": round(rss[-1][1] - rss[0][1], 1) if rss else 0,
+        },
+    }
+
+
 async def main_async(args) -> dict:
     from aiohttp import web
 
@@ -190,7 +298,12 @@ async def main_async(args) -> dict:
     site = web.TCPSite(runner, "127.0.0.1", args.port)
     await site.start()
     try:
-        result = await run_stress(args.port, args.concurrency, args.requests)
+        if args.soak_seconds > 0:
+            result = await run_soak(args.port, args.concurrency,
+                                    args.soak_seconds, args.churn)
+        else:
+            result = await run_stress(args.port, args.concurrency,
+                                      args.requests)
     finally:
         await runner.cleanup()
         stack.close()
@@ -203,6 +316,13 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--concurrency", type=int, default=8)
     parser.add_argument("--requests", type=int, default=64)
     parser.add_argument("--port", type=int, default=18321)
+    parser.add_argument("--soak-seconds", type=float, default=0.0,
+                        help="run a sustained soak for N seconds (80/15/5 "
+                             "sub-question mix + session churn) instead of "
+                             "the fixed-request burst")
+    parser.add_argument("--churn", type=int, default=8,
+                        help="soak: open a fresh session after every N "
+                             "requests per slot")
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
 

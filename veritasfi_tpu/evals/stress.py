@@ -180,3 +180,60 @@ def generation_stress(n_requests: int = 8, slots: int = 4,
             "arch": arch_name,
         },
     }
+
+
+def multiturn_ttft(preset: str = "gemma-mini", turns: int = 4,
+                   turn_tokens: int = 96, max_new: int = 48,
+                   window: int = 2048, prefill_chunk: int = 64,
+                   prefix_cache: bool = True, seed: int = 3) -> dict:
+    """Multi-turn chat script TTFT: every turn resends the full history
+    (prompt + prior answers + a new user block, the OpenAI-protocol chat
+    shape). With the prefix cache the server replays only the new turn's
+    suffix; the ablation (prefix_cache=False) re-prefills everything.
+    Returns per-turn TTFT so the growing-history effect is visible."""
+    import time
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from ..models.reranker import DECODER_PRESETS, CrossEncoderReranker
+    from ..serving.generation_server import GenerationServer
+
+    if preset not in DECODER_PRESETS:
+        raise KeyError(f"unknown decoder preset {preset!r}")
+    rr = CrossEncoderReranker(preset=preset, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(seed)
+    vocab = rr.module.arch.vocab_size
+    server = GenerationServer(rr.module, rr.params, slots=2, window=window,
+                              chunk=8, max_prompt_len=window,
+                              prefill_chunk=prefill_chunk,
+                              prefix_cache=prefix_cache)
+    try:
+        # warm every prefill width + the decode program
+        server.generate(rng.integers(8, vocab, 2 * prefill_chunk).tolist(),
+                        max_new_tokens=8, eos_id=-1, temperature=0.0)
+        history = rng.integers(8, vocab, turn_tokens).tolist()
+        per_turn = []
+        for t in range(turns):
+            t0 = time.perf_counter()
+            first = None
+            out = []
+            for j, tok in enumerate(server.stream(
+                    history, max_new_tokens=max_new, eos_id=-1,
+                    temperature=0.0)):
+                if j == 0:
+                    first = (time.perf_counter() - t0) * 1000.0
+                out.append(tok)
+            per_turn.append({"turn": t + 1, "history_tokens": len(history),
+                             "ttft_ms": round(first, 1)})
+            history = history + out + rng.integers(
+                8, vocab, turn_tokens).tolist()
+    finally:
+        server.close()
+    return {"preset": preset, "prefix_cache": prefix_cache,
+            "turns": per_turn,
+            "prefix_hits": server.stats["prefix_hits"],
+            "prefix_reused_tokens": server.stats["prefix_reused_tokens"],
+            "prefill_chunks": server.stats["prefill_chunks"],
+            "last_turn_ttft_ms": per_turn[-1]["ttft_ms"]}

@@ -61,6 +61,7 @@ class _Request:
     temperature: Optional[float] = None   # None -> server default
     top_p: Optional[float] = None
     emitted: List[int] = field(default_factory=list)
+    _row: Optional[List[int]] = None      # truncated prompt actually served
 
 
 _END = object()
@@ -72,7 +73,7 @@ class GenerationServer:
     def __init__(self, module, params, *, slots: int = 4, window: int = 1024,
                  chunk: int = 8, max_prompt_len: int = 512,
                  temperature: float = 0.0, top_p: float = 0.8,
-                 prefill_chunk: int = 64,
+                 prefill_chunk: int = 64, prefix_cache: bool = True,
                  cache_dtype=jnp.bfloat16, seed: int = 0) -> None:
         self.module = module
         self.params = params
@@ -126,6 +127,7 @@ class GenerationServer:
         self._prefill_chunk_jit = jax.jit(self._prefill_chunk_impl,
                                           donate_argnums=(1,))
         self._local_init_jit = jax.jit(self._local_init_impl)
+        self._local_from_slot_jit = jax.jit(self._local_from_slot_impl)
         # local (argnum 1) is NOT donated: the slot-copy reads it through a
         # dtype cast, so XLA can't alias it anyway (it would only warn)
         self._prefill_commit_jit = jax.jit(
@@ -134,7 +136,17 @@ class GenerationServer:
         self._decode_jit = jax.jit(
             self._decode_impl, donate_argnums=(1,),
             static_argnames=("chunk",))
-        self.stats = {"decode_chunks": 0}
+        # prefix cache (chat-history resend): a finished slot RETAINS its
+        # KV + token history; a new prompt beginning with those tokens
+        # replays only the suffix. Entries: (tokens, kv_coverage, shift)
+        # where slot(h) = shift + h maps history index -> ring slot.
+        self.prefix_cache = bool(prefix_cache)
+        self._retained: List[Optional[Tuple[List[int], int, int]]] = \
+            [None] * slots
+        self._shift_host = np.zeros((slots,), np.int64)   # per-slot shift
+        self._hw_host = np.zeros((slots,), np.int64)      # ring high-water
+        self.stats = {"decode_chunks": 0, "prefill_chunks": 0,
+                      "prefix_hits": 0, "prefix_reused_tokens": 0}
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -145,16 +157,20 @@ class GenerationServer:
     # device programs
     # ------------------------------------------------------------------
     def _prefill_chunk_impl(self, params, local, ids, mask, offset,
-                            positions):
+                            positions, last_idx):
         """Advance a batch-1 LOCAL prefill cache by one [1, C] prompt chunk
         at physical ``offset``. One compiled program serves every chunk of
         every prompt length (offset/positions are traced scalars/arrays),
         so long prompts never trigger fresh compiles, and attention memory
-        is bounded at C x W."""
+        is bounded at C x W. ``last_idx``: in-chunk index whose logits to
+        return — width-1 for left-padded fresh prefill, the last REAL
+        token's index for the right-padded suffix chunks of a prefix-cache
+        resume."""
         logits, local = self.module.apply(
             params, ids, mask, cache=local, cache_offset=offset,
             positions=positions)
-        return local, logits[:, -1, :]
+        return local, jax.lax.dynamic_index_in_dim(
+            logits, last_idx, axis=1, keepdims=False)
 
     def _local_init_impl(self, mask):
         """Build a fresh batch-1 local prefill cache ON DEVICE (host-side
@@ -172,6 +188,26 @@ class GenerationServer:
         zv = jnp.zeros((a.layers, 1, w, a.kv_heads, a.head_dim),
                        self.cache_dtype)
         return [(zk[i], zv[i], kms[i]) for i in range(a.layers)]
+
+    def _local_from_slot_impl(self, cache, slot, mask):
+        """Seed a batch-1 local prefill cache from a RETAINED slot's rows
+        (prefix-cache resume: the new prompt begins with a finished
+        request's prompt+answer tokens, so their k/v are already correct —
+        chat-history resend). ``mask`` is the full [1, W] visibility init:
+        retained prefix + the real suffix positions (slot-position
+        causality in the scalar-offset attention path keeps not-yet-written
+        suffix slots invisible until their chunk lands, exactly as in fresh
+        prefill)."""
+        a = self.arch
+        kms = jnp.zeros((a.layers, 1, self.window), bool) | mask[None]
+        out = []
+        for i, (gk, gv, _) in enumerate(cache):
+            lk = jax.lax.dynamic_slice(
+                gk, (slot, 0, 0, 0), (1,) + gk.shape[1:])
+            lv = jax.lax.dynamic_slice(
+                gv, (slot, 0, 0, 0), (1,) + gv.shape[1:])
+            out.append((lk, lv, kms[i]))
+        return out
 
     def _prefill_commit_impl(self, cache, local, last_logits, slot, rng,
                              temp, topp, tok, pos, off, temps, topps,
@@ -215,7 +251,14 @@ class GenerationServer:
             nxt = _sample_rows(logits[:, -1, :], key, temp, topp)
             nxt = jnp.where(live, nxt, self.arch.pad_id)
             live = live & (nxt != eos)
-            return (cache, nxt, pos + 1, off + 1, rng, live), nxt
+            # dead rows freeze: advancing off for inactive slots would
+            # smear junk k/v writes around their ring, eventually
+            # clobbering the retained prefix a later request could reuse
+            # (the write at the FIXED off slot is junk beyond the retained
+            # history, mask never set — harmless)
+            pos = jnp.where(live, pos + 1, pos)
+            off = jnp.where(live, off + 1, off)
+            return (cache, nxt, pos, off, rng, live), nxt
 
         init = (cache, tok, pos, off, rng, active)
         (cache, tok, pos, off, rng, live), toks = jax.lax.scan(
@@ -243,19 +286,65 @@ class GenerationServer:
             if req is _END:
                 self._closed = True
                 break
-            slot = free[0]
             row = req.prompt[-self._prompt_cap:]
             c = self.prefill_chunk
-            padded = max(-(-len(row) // c) * c, c)
-            ids, mask = left_pad([row], self.arch.pad_id)
-            pad = padded - ids.shape[1]
-            if pad:
-                ids = np.pad(ids, ((0, 0), (pad, 0)),
-                             constant_values=self.arch.pad_id)
-                mask = np.pad(mask, ((0, 0), (pad, 0)))
-            positions = np.maximum(mask.cumsum(axis=-1) - 1, 0).astype(
-                np.int32)
-            local = self._local_init_jit(jnp.asarray(mask.astype(bool)))
+            # prefix-cache probe: the free slot whose retained history
+            # shares the longest usable token prefix with this prompt
+            slot, reuse_m = free[0], 0
+            if self.prefix_cache:
+                for s in free:
+                    r = self._retained[s]
+                    if r is None:
+                        continue
+                    toks, cov, shift = r
+                    m = 0
+                    for a_t, b_t in zip(toks, row):
+                        if a_t != b_t:
+                            break
+                        m += 1
+                    m = min(m, cov)
+                    sfx_pad = max(-(-(len(row) - m) // c) * c, c)
+                    # no-wrap restriction: resume prefill writes straight
+                    # slots (scalar-offset path), so everything must fit
+                    if m >= c and m > reuse_m and \
+                            shift + m + sfx_pad <= self.window:
+                        slot, reuse_m = s, m
+            if reuse_m:
+                toks, cov, shift = self._retained[slot]
+                sfx = row[reuse_m:]
+                padded_sfx = max(-(-len(sfx) // c) * c, c)
+                ids = np.full((1, padded_sfx), self.arch.pad_id, np.int32)
+                ids[0, : len(sfx)] = sfx
+                mask = np.zeros((1, padded_sfx), np.int32)
+                mask[0, : len(sfx)] = 1
+                # rope positions = history index; pad tail positions are
+                # junk (their slots stay mask-False forever)
+                positions = (reuse_m
+                             + np.arange(padded_sfx)[None]).astype(np.int32)
+                vis = np.zeros((1, self.window), bool)
+                vis[0, shift: shift + reuse_m] = True
+                vis[0, shift + reuse_m: shift + reuse_m + len(sfx)] = True
+                local = self._local_from_slot_jit(
+                    self._cache, jnp.int32(slot), jnp.asarray(vis))
+                start = shift + reuse_m
+                last_real = len(sfx) - 1
+                self.stats["prefix_hits"] += 1
+                self.stats["prefix_reused_tokens"] += reuse_m
+            else:
+                padded = max(-(-len(row) // c) * c, c)
+                ids, mask = left_pad([row], self.arch.pad_id)
+                pad = padded - ids.shape[1]
+                if pad:
+                    ids = np.pad(ids, ((0, 0), (pad, 0)),
+                                 constant_values=self.arch.pad_id)
+                    mask = np.pad(mask, ((0, 0), (pad, 0)))
+                positions = np.maximum(mask.cumsum(axis=-1) - 1, 0).astype(
+                    np.int32)
+                local = self._local_init_jit(jnp.asarray(mask.astype(bool)))
+                start = 0
+                last_real = padded - 1
+                shift = padded - len(row)
+            self._retained[slot] = None
             # host-chunked prefill, ADAPTIVE chunk width: the bulk of a
             # long prompt replays in big (4c-wide) chunks — a [1, 64]
             # forward underutilizes the MXU, and RAG prompts carry 1000+
@@ -265,13 +354,18 @@ class GenerationServer:
             big = 4 * c
             last = None
             i = 0
-            while i < padded:
-                step = big if padded - i >= big else c
+            n_ids = ids.shape[1]
+            while i < n_ids:
+                step = big if n_ids - i >= big else c
                 sl = slice(i, i + step)
+                # last_real is always inside the final chunk (no pure-pad
+                # chunks: padding is < one c-chunk on either layout)
+                idx = min(max(last_real - i, 0), step - 1)
                 local, last = self._prefill_chunk_jit(
                     self.params, local, jnp.asarray(ids[:, sl]),
-                    jnp.asarray(mask[:, sl]), jnp.int32(i),
-                    jnp.asarray(positions[:, sl]))
+                    jnp.asarray(mask[:, sl]), jnp.int32(start + i),
+                    jnp.asarray(positions[:, sl]), jnp.int32(idx))
+                self.stats["prefill_chunks"] += 1
                 i += step
             temp = (req.temperature if req.temperature is not None
                     else self.temperature)
@@ -282,8 +376,11 @@ class GenerationServer:
                 self._cache, local, last, jnp.int32(slot), key,
                 jnp.float32(temp), jnp.float32(topp), self._tok,
                 self._pos, self._off, self._temp, self._topp,
-                jnp.int32(len(row)), jnp.int32(padded))
+                jnp.int32(len(row)), jnp.int32(shift + len(row)))
             self._temp_host[slot] = temp
+            self._shift_host[slot] = shift
+            self._hw_host[slot] = shift + len(row)
+            req._row = row
             self._slot_req[slot] = req
             self._produced[slot] = 0
             self._active[slot] = True
@@ -317,6 +414,16 @@ class GenerationServer:
             req.result.set_result(list(req.emitted))
         self._slot_req[slot] = None
         self._active[slot] = False
+        # retain for prefix reuse (chat-history resend sends prompt +
+        # answer + new turn): kv coverage excludes the last emitted token
+        # (still pending in _tok, never fed through the model) — and is
+        # void if the ring ever wrapped (high-water past the window means
+        # early slots were overwritten)
+        if self.prefix_cache and self._hw_host[slot] < self.window:
+            row = req._row or []
+            cov = len(row) + max(0, len(req.emitted) - 1)
+            self._retained[slot] = (row + req.emitted, cov,
+                                    int(self._shift_host[slot]))
         # No mask clear needed: the next tenant's prefill commit overwrites
         # the slot's key mask over the FULL window (dynamic_update_slice of
         # the [1, W] local mask), decode steps never set mask bits for
@@ -342,6 +449,10 @@ class GenerationServer:
                 continue
             with profiler.span("generation_chunk"):
                 self.stats["decode_chunks"] += 1
+                # ring high-water: active slots may advance up to `chunk`
+                # writes this program (conservative — host-side finish
+                # mid-chunk still lets the device run the chunk out)
+                self._hw_host[self._active] += self.chunk
                 active = jnp.asarray(self._active)
                 eos = jnp.asarray(self._eos)
                 (self._cache, self._tok, self._pos, self._off, self._rng,

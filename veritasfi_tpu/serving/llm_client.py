@@ -275,7 +275,13 @@ class ProtocolResponder:
             m = self._QUESTION_RE.search(user)
             question = m.group(1).strip() if m else user[:120]
             line3 = "YES" if self.need_rag else "NO"
-            return (json.dumps([question]) + "\n" + self.date + "\n" + line3)
+            # " ||| " marks compound questions (stress harness's 80/15/5
+            # sub-question mix, reference stress_theory.js:12-15): each part
+            # becomes one rewritten sub-question, like the real rewrite LLM
+            # splitting "A and also B"
+            parts = [p.strip() for p in question.split("|||") if p.strip()]
+            return (json.dumps(parts or [question]) + "\n" + self.date
+                    + "\n" + line3)
         if "hypothetical answers" in system:
             return ("ANSWER: first hypothetical answer\n\n"
                     "ANSWER: second hypothetical answer\n\n"
