@@ -1,7 +1,15 @@
 import json
 import threading
 
-from veritasfi_tpu.utils.profiler import Profiler, _aggregate
+from veritasfi_tpu.utils.profiler import (WINDOW, Profiler, _aggregate,
+                                          _Series)
+
+
+def _series(values):
+    s = _Series()
+    for v in values:
+        s.add(v)
+    return s
 
 
 def test_span_and_decorator():
@@ -31,9 +39,23 @@ def test_metrics_aggregation():
 
 
 def test_aggregate_edge_cases():
-    assert _aggregate([]) == {"count": 0}
-    one = _aggregate([5.0])
+    assert _aggregate(_series([])) == {"count": 0}
+    one = _aggregate(_series([5.0]))
     assert one["min"] == one["max"] == one["p95"] == 5.0
+
+
+def test_bounded_retention_keeps_exact_count_min_max_mean():
+    # long-lived server: count/mean/min/max stay exact past the window,
+    # percentiles are over the recent WINDOW samples
+    s = _series(range(WINDOW + 100))
+    assert len(s.window) == WINDOW
+    agg = _aggregate(s)
+    n = WINDOW + 100
+    assert agg["count"] == n
+    assert agg["min"] == 0 and agg["max"] == n - 1
+    assert abs(agg["mean"] - (n - 1) / 2) < 1e-9
+    # window holds the most recent samples: [100, n)
+    assert agg["median"] >= 100
 
 
 def test_thread_safety_and_dump(tmp_path):

@@ -214,7 +214,12 @@ class FakeLLM:
                  stream_chunk: int = 8) -> None:
         self.responder = responder or (lambda messages, **kw: "OK")
         self.stream_chunk = stream_chunk
-        self.calls: List[Dict[str, Any]] = []
+        # bounded call spy: tests inspect recent calls only; an unbounded
+        # list pins every request's full prompt text (~29 KB/request — it
+        # read as a server leak in the first soak run, RSS +66 MB/60 s)
+        from collections import deque
+
+        self.calls: "deque" = deque(maxlen=256)
 
     def _respond(self, messages, **kwargs) -> Message:
         out = self.responder(messages, **kwargs)

@@ -17,31 +17,62 @@ import json
 import math
 import threading
 import time
+from collections import deque
 from contextlib import contextmanager
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
+
+# Samples kept per series for percentile estimation. Retention must be
+# BOUNDED: a long-lived server records a handful of spans per request, and
+# an unbounded list is a slow leak (the r3 soak's RSS-growth audit).
+# count/mean/min/max/stddev stay exact over the whole history via running
+# moments; median/p95/p99 are over the most recent WINDOW samples.
+WINDOW = 4096
 
 
-def _aggregate(values: List[float]) -> Dict[str, float]:
-    n = len(values)
+class _Series:
+    __slots__ = ("count", "total", "sq_total", "lo", "hi", "window")
+
+    def __init__(self) -> None:
+        self.count = 0
+        self.total = 0.0
+        self.sq_total = 0.0
+        self.lo = math.inf
+        self.hi = -math.inf
+        self.window: "deque[float]" = deque(maxlen=WINDOW)
+
+    def add(self, v: float) -> None:
+        self.count += 1
+        self.total += v
+        self.sq_total += v * v
+        if v < self.lo:
+            self.lo = v
+        if v > self.hi:
+            self.hi = v
+        self.window.append(v)
+
+
+def _aggregate(series: _Series) -> Dict[str, float]:
+    n = series.count
     if n == 0:
         return {"count": 0}
-    xs = sorted(values)
-    mean = sum(xs) / n
+    xs = sorted(series.window)
+    m = len(xs)
+    mean = series.total / n
 
     def pct(p: float) -> float:
-        if n == 1:
+        if m == 1:
             return xs[0]
-        rank = p / 100.0 * (n - 1)
+        rank = p / 100.0 * (m - 1)
         lo = int(math.floor(rank))
-        hi = min(lo + 1, n - 1)
+        hi = min(lo + 1, m - 1)
         frac = rank - lo
         return xs[lo] * (1 - frac) + xs[hi] * frac
 
-    var = sum((x - mean) ** 2 for x in xs) / n
+    var = max(series.sq_total / n - mean * mean, 0.0)
     return {
         "count": n,
-        "min": xs[0],
-        "max": xs[-1],
+        "min": series.lo,
+        "max": series.hi,
         "mean": mean,
         "median": pct(50),
         "p95": pct(95),
@@ -56,8 +87,8 @@ class Profiler:
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self._local = threading.local()
-        self._durations: Dict[str, List[float]] = {}
-        self._metrics: Dict[str, List[float]] = {}
+        self._durations: Dict[str, _Series] = {}
+        self._metrics: Dict[str, _Series] = {}
 
     # -- spans ---------------------------------------------------------
     def start(self, name: str) -> None:
@@ -76,7 +107,7 @@ class Profiler:
         t0 = stack.pop()
         dt = time.perf_counter() - t0
         with self._lock:
-            self._durations.setdefault(name, []).append(dt)
+            self._durations.setdefault(name, _Series()).add(dt)
         return dt
 
     @contextmanager
@@ -103,7 +134,7 @@ class Profiler:
     # -- metrics -------------------------------------------------------
     def add_metric(self, name: str, value: float) -> None:
         with self._lock:
-            self._metrics.setdefault(name, []).append(float(value))
+            self._metrics.setdefault(name, _Series()).add(float(value))
 
     # -- reporting -----------------------------------------------------
     def results(self) -> Dict[str, Any]:
