@@ -1,0 +1,136 @@
+"""Scanned-page OCR front (ingest/ocr.py).
+
+Closes the reference README's advertised-but-unshipped PDF pipeline gap
+(/root/reference/README.md:17-19): page image -> text -> processed-JSON.
+The recognizer is trained in-repo on a reduced charset here to keep the
+suite fast; the full-charset accuracy numbers live in the module docstring
+and OCR_r03.json.
+"""
+import difflib
+import json
+
+import numpy as np
+import pytest
+
+from veritasfi_tpu.ingest.ocr import (OCRModel, _crop_glyph, ocr_page,
+                                      ocr_pages_to_processed, render_page,
+                                      segment_glyphs, segment_lines,
+                                      train_ocr)
+
+# letters chosen to spell the fixture sentences; digits for the weld
+# tokens ("N," etc.) the thousands-separator tests need
+TINY = "0123456789,.$abcdeinrst"
+
+
+@pytest.fixture(scope="module")
+def model():
+    return train_ocr(charset=TINY, steps=260, batch=128,
+                     font_sizes=(14, 16), seed=0)
+
+
+def _acc(ref: str, out: str) -> float:
+    return difflib.SequenceMatcher(
+        None, ref.replace("\n", ""), out.replace("\n", "")).ratio()
+
+
+# -- segmentation (no model needed) ------------------------------------
+def test_segment_lines_counts():
+    img = render_page("abc\ndef\n123", font_size=16)
+    assert len(segment_lines(img)) == 3
+    blank = np.full((64, 64), 255, np.uint8)
+    assert segment_lines(blank) == []
+
+
+def test_segment_glyphs_boxes_and_word_gap():
+    img = render_page("abc de", font_size=16)
+    (y0, y1), = segment_lines(img)
+    boxes = segment_glyphs(img[y0:y1])
+    assert len(boxes) == 5
+    gaps = [boxes[i][0] - boxes[i - 1][1] for i in range(1, 5)]
+    assert max(gaps) == gaps[2]   # the word space is the widest gap
+
+
+def test_multipart_glyphs_merge_to_one_box():
+    # i-dot, colon pieces and '=' bars x-overlap their partner and must
+    # read as ONE glyph box each
+    for ch in "i:=":
+        img = render_page(f"a {ch} a", font_size=18)
+        (y0, y1), = segment_lines(img)
+        assert len(segment_glyphs(img[y0:y1])) == 3, ch
+
+
+def test_crop_glyph_normalization():
+    img = render_page("a", font_size=16)
+    (y0, y1), = segment_lines(img)
+    (x0, x1, _), = segment_glyphs(img[y0:y1])
+    crop = _crop_glyph(img[y0:y1], x0, x1)
+    assert crop.shape == (24, 16)
+    assert crop.min() >= 0.0 and crop.max() <= 1.0
+    assert crop.max() > 0.5   # ink present
+
+
+def test_empty_page_ocr(model):
+    assert ocr_page(model, np.full((64, 64), 255, np.uint8)) == ""
+
+
+# -- recognition -------------------------------------------------------
+PAGE = "\n".join([
+    "net assets increased 18.3",
+    "interest stand at $4,211 said",
+    "trade debt decreased since 2024.",
+])
+
+
+def test_roundtrip_clean(model):
+    out = ocr_page(model, render_page(PAGE, font_size=16))
+    assert _acc(PAGE, out) >= 0.97, out
+
+
+def test_roundtrip_noisy(model):
+    out = ocr_page(model, render_page(PAGE, font_size=16,
+                                      noise=0.05, seed=11))
+    assert _acc(PAGE, out) >= 0.93, out
+
+
+def test_weld_thousands_separator(model):
+    # ',' welds under (or kerns tightly against) the preceding digit;
+    # whether the weld class or the split-glyph path handles it, the
+    # number must reassemble with no inserted space — ','/'.' identity
+    # is the tiny fixture model's hardest pair, so either is accepted
+    import re
+
+    out = ocr_page(model, render_page("interest stand at $4,211 said",
+                                      font_size=16))
+    assert re.search(r"4[.,]211", out), out
+
+
+def test_font_size_generalization(model):
+    out = ocr_page(model, render_page("net assets increased", font_size=14))
+    assert _acc("net assets increased", out) >= 0.9, out
+
+
+# -- persistence -------------------------------------------------------
+def test_save_load_roundtrip(model, tmp_path):
+    path = str(tmp_path / "ocr_model")
+    model.save(path)
+    loaded = OCRModel.load(path)
+    assert loaded.tokens == model.tokens
+    img = render_page(PAGE, font_size=16)
+    assert ocr_page(loaded, img) == ocr_page(model, img)
+
+
+# -- processed-JSON integration ---------------------------------------
+def test_pages_to_processed_contract(model, tmp_path):
+    pages = [render_page("net assets increased 18.3", font_size=16),
+             render_page("trade debt decreased since 2024.", font_size=16)]
+    out_path = str(tmp_path / "doc.json")
+    rows = ocr_pages_to_processed(model, pages, "2024-03-01",
+                                  doc_name="scan", out_path=out_path)
+    header, chunks = rows[0], rows[1:]
+    assert header["date_published"] == "2024-03-01"
+    assert header["start"] == 1 and header["end"] >= 2
+    assert chunks and all("content" in c and "page_number" in c
+                          for c in chunks)
+    # round-trips through the ingestion contract file format
+    with open(out_path) as f:
+        assert json.load(f) == rows

@@ -122,6 +122,21 @@ def main(argv=None) -> int:
                        help="date_published when the filename has no "
                             "YYYY-MM-DD pattern")
 
+    p_ocr = add_parser(
+        "ocr",
+        help="scanned page images (sorted filenames = page order) -> one "
+             "processed-JSON chunk file, via the in-repo glyph recognizer "
+             "(trained on first use and cached in --model-dir)")
+    p_ocr.add_argument("--images-dir", required=True)
+    p_ocr.add_argument("--out", required=True)
+    p_ocr.add_argument("--model-dir", default=None,
+                       help="recognizer checkpoint dir; loaded if it "
+                            "exists, else trained and saved there")
+    p_ocr.add_argument("--train-steps", type=int, default=700)
+    p_ocr.add_argument("--date", default="1970-01-01",
+                       help="date_published for the produced chunks")
+    p_ocr.add_argument("--doc-name", default=None)
+
     p_serve = add_parser("serve")
     p_serve.add_argument("--host", default="0.0.0.0")
     p_serve.add_argument("--port", type=int, default=8080)
@@ -182,6 +197,37 @@ def main(argv=None) -> int:
 
     if args.cmd == "train-reranker":
         return _train_reranker(args)
+
+    if args.cmd == "ocr":
+        import os
+
+        import numpy as np
+        from PIL import Image
+
+        from .ingest.ocr import OCRModel, ocr_pages_to_processed, train_ocr
+
+        if args.model_dir and os.path.exists(
+                os.path.join(args.model_dir, "meta.json")):
+            model = OCRModel.load(args.model_dir)
+        else:
+            model = train_ocr(steps=args.train_steps)
+            if args.model_dir:
+                model.save(args.model_dir)
+        exts = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+        paths = sorted(
+            os.path.join(args.images_dir, f)
+            for f in os.listdir(args.images_dir)
+            if f.lower().endswith(exts))
+        if not paths:
+            parser.error(f"no page images in {args.images_dir}")
+        pages = [np.asarray(Image.open(p).convert("L")) for p in paths]
+        doc = args.doc_name or os.path.basename(
+            os.path.normpath(args.images_dir))
+        rows = ocr_pages_to_processed(model, pages, args.date,
+                                      doc_name=doc, out_path=args.out)
+        print(json.dumps({"pages": len(pages), "chunks": len(rows) - 1,
+                          "out": args.out}))
+        return 0
 
     if args.cmd == "preprocess":
         from .ingest.chunker import preprocess_dir
