@@ -225,6 +225,31 @@ def test_prefix_cache_partial_match_and_divergence(decoder):
     assert got == solo_generate(rr, probe, max_new=16), got
 
 
+def test_prefix_cache_identical_prompt_resend(decoder):
+    """Resending the EXACT prompt of a retained slot (user retry): the
+    match is capped at len(prompt)-1 so the last prompt token is re-fed —
+    an empty suffix would sample the first token from a pad position's
+    junk logits."""
+    rr = decoder
+    prompt = rr._encode_raw(
+        "user: what were the fourth quarter vehicle deliveries and how did "
+        "they compare with the prior year guidance for total production")
+    assert len(prompt) > 9, "prompt must exceed prefill_chunk+1 for reuse"
+    server = GenerationServer(rr.module, rr.params, slots=1, window=256,
+                              chunk=4, max_prompt_len=192, prefill_chunk=8,
+                              cache_dtype=jnp.float32)
+    try:
+        first = server.generate(prompt, 16, -1)
+        again = server.generate(prompt, 16, -1)
+        assert server.stats["prefix_hits"] == 1, server.stats
+        assert server.stats["prefix_reused_tokens"] == len(prompt) - 1
+    finally:
+        server.close()
+    solo = solo_generate(rr, prompt, max_new=16)
+    assert first == solo, (first, solo)
+    assert again == solo, (again, solo)
+
+
 def test_prefix_cache_survives_slot_churn(decoder):
     """Interleaved sessions: slot retention must key on token content, so
     an unrelated request in between does not corrupt the resumed chat."""

@@ -80,6 +80,32 @@ def test_title_only_corpus_invoke(tmp_path):
     assert [strip_rows(r) for r in batched] == [strip_rows(chunks)]
 
 
+def test_dense_only_corpus_invoke(tmp_path):
+    """content embeddings present, ts embeddings absent: the dense path
+    runs and the title path is compiled out (run_ts=False) — no
+    placeholder title operand in the fused program."""
+    idx, bm25 = make_corpus(tmp_path, seed=8)
+    idx.ts_embeddings = None
+    eng = EnsembleRetriever(idx, EMB.encode, bm25=None, k=4,
+                            enable_expand=True)
+    chunks = eng.invoke("zeekr revenue margin", ["hypo"])
+    assert chunks and all(c["retriever"] == "FAISS" for c in chunks)
+    batched = eng.invoke_batch([("zeekr revenue margin", ["hypo"])])
+    assert [strip_rows(r) for r in batched] == [strip_rows(chunks)]
+
+
+def test_faiss_k_zero_compiles_out_dense(tmp_path):
+    """faiss_k=0 with content embeddings present: the dense top-k is
+    compiled out (run_dense=False), and results equal title+BM25 only."""
+    idx, bm25 = make_corpus(tmp_path, seed=9)
+    eng = EnsembleRetriever(idx, EMB.encode, bm25=bm25, k=4, faiss_k=0)
+    chunks = eng.invoke("zeekr revenue margin", [])
+    assert chunks and all(c["retriever"] in ("Title Summary", "BM25")
+                          for c in chunks)
+    batched = eng.invoke_batch([("zeekr revenue margin", [])])
+    assert [strip_rows(r) for r in batched] == [strip_rows(chunks)]
+
+
 def test_expand_max_chunks_edge_values(tmp_path):
     """expand_max_chunks of 0 or 1 means zero walk steps — must not crash
     (the walk's empty concatenate) and must equal expansion-off output."""

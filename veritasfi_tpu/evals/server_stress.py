@@ -26,7 +26,8 @@ from typing import List, Optional
 REFERENCE_RETRIEVE_RERANK_S = 4.0   # stress_theory.js:5
 
 
-def build_test_stack(corpus_size: int, seed: int = 0):
+def build_test_stack(corpus_size: int, seed: int = 0,
+                     session_timeout_s: int = 1800):
     """Synthetic-corpus stack: random-weight bge-small encoder +
     bge-reranker-base, FakeLLM, fused serve path on."""
     import numpy as np
@@ -87,6 +88,7 @@ def build_test_stack(corpus_size: int, seed: int = 0):
     config = Config()
     config.rerank.max_candidates = 50
     config.llm.base_url = ""
+    config.serving.session_timeout_s = session_timeout_s
     # protocol-faithful offline LLM so the FULL RAG path runs (rewrite ->
     # retrieve -> rerank -> answer); without it need_rag=False short-circuits
     stack = build_stack(config, collections={}, embed_fn=encoder.encode,
@@ -125,7 +127,11 @@ async def run_stress(port: int, concurrency: int, total: int) -> dict:
                            "delivery guidance?"}
     latencies: List[float] = []
 
-    async with aiohttp.ClientSession() as session:
+    # the first request triggers the LAZY remote compile of the fused serve
+    # program — minutes-slow on a cold relay; aiohttp's 300 s default total
+    # timeout kills the run right there
+    timeout = aiohttp.ClientTimeout(total=1800)
+    async with aiohttp.ClientSession(timeout=timeout) as session:
 
         async def one(session_slot: int, record: bool) -> None:
             body = dict(payload, session_id=f"s{session_slot}")
@@ -196,7 +202,8 @@ def _pcts(xs: List[float]) -> dict:
 
 
 async def run_soak(port: int, concurrency: int, seconds: float,
-                   churn: int, bucket_s: float = 10.0) -> dict:
+                   churn: int, bucket_s: float = 10.0,
+                   trace_malloc: bool = False) -> dict:
     """Sustained fixed-concurrency soak with the reference's query mix
     (80% 1 sub-question / 15% 2 / 5% 3 — stress_theory.js:12-15), session
     churn every ``churn`` requests per slot (exercises creation + the
@@ -215,7 +222,10 @@ async def run_soak(port: int, concurrency: int, seconds: float,
     epoch = [0] * concurrency    # per-slot churn counter
     served = [0] * concurrency
 
-    async with aiohttp.ClientSession() as session:
+    # warmup triggers the lazy remote compile (minutes on a cold relay);
+    # the 300 s aiohttp default total timeout kills the soak right there
+    timeout = aiohttp.ClientTimeout(total=1800)
+    async with aiohttp.ClientSession(timeout=timeout) as session:
 
         async def one(slot: int, record: bool) -> None:
             n = rng.choices((1, 2, 3), weights=(80, 15, 5))[0]
@@ -242,15 +252,55 @@ async def run_soak(port: int, concurrency: int, seconds: float,
             while time.perf_counter() - start < seconds:
                 await one(slot, True)
 
+        # tracemalloc diff between mid-run and end separates a real
+        # per-request retention (top stats grow linearly) from allocator /
+        # arena fragmentation (python-level sizes flat while RSS climbs)
+        snap_mid = None
+
+        async def tracer() -> None:
+            nonlocal snap_mid
+            import tracemalloc
+
+            tracemalloc.start(10)
+            await asyncio.sleep(seconds / 2)
+            snap_mid = tracemalloc.take_snapshot()
+
         async def rss_sampler() -> None:
+            # sample live-session count alongside RSS: session state (chat
+            # history + rag_info) is the expected post-fix growth source,
+            # reclaimed by the GC sweep — the two series must move together
+            health = f"http://127.0.0.1:{port}/v1/health"
             while time.perf_counter() - start < seconds:
+                async with session.get(health) as resp:
+                    live = (await resp.json())["sessions"]
                 rss.append((round(time.perf_counter() - start, 1),
-                            round(_rss_mb(), 1)))
+                            round(_rss_mb(), 1), live))
                 await asyncio.sleep(bucket_s / 2)
 
-        await asyncio.gather(rss_sampler(),
-                             *(worker(s) for s in range(concurrency)))
+        tasks = [rss_sampler()] + [worker(s) for s in range(concurrency)]
+        if trace_malloc:
+            tasks.append(tracer())
+        await asyncio.gather(*tasks)
         wall = time.perf_counter() - start
+
+    malloc_top = None
+    if trace_malloc and snap_mid is not None:
+        import tracemalloc
+
+        snap_end = tracemalloc.take_snapshot()
+        filt = (tracemalloc.Filter(False, tracemalloc.__file__),)
+        growth = snap_end.filter_traces(filt).compare_to(
+            snap_mid.filter_traces(filt), "lineno")
+        malloc_top = [{"where": str(g.traceback[0]),
+                       "growth_kb": round(g.size_diff / 1024, 1),
+                       "count_diff": g.count_diff}
+                      for g in growth[:12]]
+        py_total_mb = sum(s.size for s in snap_end.statistics("filename"))
+        malloc_top.append({"where": "TOTAL python-tracked",
+                           "growth_kb": round(sum(
+                               g.size_diff for g in growth) / 1024, 1),
+                           "total_mb": round(py_total_mb / 1e6, 1)})
+        tracemalloc.stop()
 
     lat = [l for _, l, _ in samples]
     buckets = []
@@ -280,8 +330,14 @@ async def run_soak(port: int, concurrency: int, seconds: float,
             **_pcts(lat),
             "by_sub_questions": by_subs,
             "buckets": buckets,
-            "rss_mb": rss,
+            "rss_mb_sessions": rss,
             "rss_growth_mb": round(rss[-1][1] - rss[0][1], 1) if rss else 0,
+            # growth over the second half only: a GC-bounded server rises
+            # while sessions accumulate toward the timeout, then plateaus
+            "rss_growth_2nd_half_mb": round(
+                rss[-1][1] - rss[len(rss) // 2][1], 1) if rss else 0,
+            **({"malloc_growth_2nd_half": malloc_top}
+               if malloc_top is not None else {}),
         },
     }
 
@@ -291,7 +347,8 @@ async def main_async(args) -> dict:
 
     from ..serving.server import create_app
 
-    stack = build_test_stack(args.corpus_size)
+    stack = build_test_stack(args.corpus_size,
+                             session_timeout_s=args.session_timeout)
     app = create_app(stack, bearer_token="")
     runner = web.AppRunner(app)
     await runner.setup()
@@ -300,7 +357,8 @@ async def main_async(args) -> dict:
     try:
         if args.soak_seconds > 0:
             result = await run_soak(args.port, args.concurrency,
-                                    args.soak_seconds, args.churn)
+                                    args.soak_seconds, args.churn,
+                                    trace_malloc=args.trace_malloc)
         else:
             result = await run_stress(args.port, args.concurrency,
                                       args.requests)
@@ -323,6 +381,14 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--churn", type=int, default=8,
                         help="soak: open a fresh session after every N "
                              "requests per slot")
+    parser.add_argument("--trace-malloc", action="store_true",
+                        help="soak: tracemalloc diff mid-run vs end — "
+                             "separates real retention from allocator "
+                             "fragmentation (adds CPU overhead)")
+    parser.add_argument("--session-timeout", type=int, default=1800,
+                        help="server session GC timeout in seconds; set "
+                             "short (e.g. 60) to demonstrate the RSS "
+                             "plateau once the sweep reclaims sessions")
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
 

@@ -44,8 +44,32 @@ from .bm25 import BM25Index
 from .dense import DenseRetriever
 
 
+def _ts_path(ts_emb, q_emb, ts_k, ts_rows, run_ts):
+    """Title-summary top-k (shared by the dense and streaming bodies).
+    With ``run_ts`` statically False, returns width-0 outputs and leaves
+    ``ts_emb`` dead (no placeholder operand needed)."""
+    if not run_ts:
+        if ts_rows is None:
+            return (jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32))
+        return (jnp.zeros((ts_rows.shape[0], 0), jnp.float32),
+                jnp.zeros((ts_rows.shape[0], 0), jnp.int32))
+    ts_q = q_emb[:1] if ts_rows is None else q_emb[ts_rows]
+    ts_scores = jnp.matmul(ts_q, ts_emb.T,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+    _, ts_i = jax.lax.top_k(_tie_break(ts_scores), ts_k)
+    # return TRUE scores, not tie-break-biased ones (dense path and the
+    # distributed search both do; biased scores would leak into the
+    # chunk dicts and differ from mesh runs)
+    ts_s = jnp.take_along_axis(ts_scores, ts_i, axis=-1)
+    if ts_rows is None:
+        ts_s, ts_i = ts_s[0], ts_i[0]
+    return ts_s, ts_i
+
+
 def _search_body(corpus, ts_emb, q_emb, prev_idx, next_idx,
-                 k, ts_k, steps, depth, expand, ts_rows=None):
+                 k, ts_k, steps, depth, expand, ts_rows=None,
+                 run_dense=True, run_ts=True):
     """One-dispatch multi-path search: dense top-k for every query, title
     top-k for the original query of every request, and (when expanding)
     every prev/next-chain neighbor's exact score + depth-cutoff flag — the
@@ -60,27 +84,27 @@ def _search_body(corpus, ts_emb, q_emb, prev_idx, next_idx,
     A bf16 corpus operand (retrieval.corpus_dtype: bfloat16) is searched
     with bf16-cast queries — products are exact in the f32 accumulator, so
     the only delta vs fp32 is the storage rounding of the embeddings.
+
+    ``run_dense`` / ``run_ts`` (static): compile the path in or out. A
+    disabled path returns width-0 outputs and its operand (corpus / ts_emb)
+    is dead — the retriever passes whatever array it has on device and XLA
+    drops it, so a title-only or dense-only corpus needs no placeholder
+    operand with fabricated contents.
     """
     q_c = q_emb.astype(corpus.dtype)
-    scores = jnp.matmul(q_c, corpus.T,
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-    top_s, top_i = jax.lax.top_k(_tie_break(scores), k)
-    top_s = jnp.take_along_axis(scores, top_i, axis=-1)
+    if run_dense:
+        scores = jnp.matmul(q_c, corpus.T,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+        top_s, top_i = jax.lax.top_k(_tie_break(scores), k)
+        top_s = jnp.take_along_axis(scores, top_i, axis=-1)
+    else:
+        top_s = jnp.zeros((q_emb.shape[0], 0), jnp.float32)
+        top_i = jnp.zeros((q_emb.shape[0], 0), jnp.int32)
 
-    ts_q = q_emb[:1] if ts_rows is None else q_emb[ts_rows]
-    ts_scores = jnp.matmul(ts_q, ts_emb.T,
-                           precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)
-    _, ts_i = jax.lax.top_k(_tie_break(ts_scores), ts_k)
-    # return TRUE scores, not tie-break-biased ones (dense path and the
-    # distributed search both do; biased scores would leak into the
-    # chunk dicts and differ from mesh runs)
-    ts_s = jnp.take_along_axis(ts_scores, ts_i, axis=-1)
-    if ts_rows is None:
-        ts_s, ts_i = ts_s[0], ts_i[0]
+    ts_s, ts_i = _ts_path(ts_emb, q_emb, ts_k, ts_rows, run_ts)
 
-    if not expand or steps <= 0:
+    if not expand or steps <= 0 or not run_dense:
         zero_i = jnp.zeros((q_emb.shape[0], 0), jnp.int32)
         zero_s = jnp.zeros((q_emb.shape[0], 0), jnp.float32)
         return top_s, top_i, ts_s, ts_i, zero_i, zero_s
@@ -113,6 +137,7 @@ from ..ops.topk import rank_from_scores as _rank_stream  # noqa: E402
 
 def _search_body_streaming(corpus, ts_emb, q_emb, prev_idx, next_idx,
                            k, ts_k, steps, depth, expand, ts_rows=None,
+                           run_dense=True, run_ts=True,
                            block: int = 262144):
     """Large-corpus variant of ``_search_body``: never materializes the
     [Q, N] score matrix. One streaming pass for the dense top-k
@@ -129,21 +154,15 @@ def _search_body_streaming(corpus, ts_emb, q_emb, prev_idx, next_idx,
     from ..ops.topk import dense_topk_large, rank_of, scores_at
 
     q_c = q_emb.astype(corpus.dtype)
-    top_s, top_i = dense_topk_large(corpus, q_c, k, block=block)
+    if run_dense:
+        top_s, top_i = dense_topk_large(corpus, q_c, k, block=block)
+    else:
+        top_s = jnp.zeros((q_emb.shape[0], 0), jnp.float32)
+        top_i = jnp.zeros((q_emb.shape[0], 0), jnp.int32)
 
-    ts_q = q_emb[:1] if ts_rows is None else q_emb[ts_rows]
-    ts_scores = jnp.matmul(ts_q, ts_emb.T,
-                           precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)
-    _, ts_i = jax.lax.top_k(_tie_break(ts_scores), ts_k)
-    # return TRUE scores, not tie-break-biased ones (dense path and the
-    # distributed search both do; biased scores would leak into the
-    # chunk dicts and differ from mesh runs)
-    ts_s = jnp.take_along_axis(ts_scores, ts_i, axis=-1)
-    if ts_rows is None:
-        ts_s, ts_i = ts_s[0], ts_i[0]
+    ts_s, ts_i = _ts_path(ts_emb, q_emb, ts_k, ts_rows, run_ts)
 
-    if not expand or steps <= 0:
+    if not expand or steps <= 0 or not run_dense:
         zero_i = jnp.zeros((q_emb.shape[0], 0), jnp.int32)
         zero_s = jnp.zeros((q_emb.shape[0], 0), jnp.float32)
         return top_s, top_i, ts_s, ts_i, zero_i, zero_s
@@ -172,18 +191,22 @@ STREAMING_THRESHOLD = 262144
 
 
 def _search_dispatch(corpus, ts_emb, q_emb, prev_idx, next_idx,
-                     k, ts_k, steps, depth, expand, ts_rows=None):
-    if corpus.shape[0] > STREAMING_THRESHOLD:
+                     k, ts_k, steps, depth, expand, ts_rows=None,
+                     run_dense=True, run_ts=True):
+    if run_dense and corpus.shape[0] > STREAMING_THRESHOLD:
         return _search_body_streaming(corpus, ts_emb, q_emb, prev_idx,
                                       next_idx, k, ts_k, steps, depth,
-                                      expand, ts_rows=ts_rows)
+                                      expand, ts_rows=ts_rows,
+                                      run_dense=run_dense, run_ts=run_ts)
     return _search_body(corpus, ts_emb, q_emb, prev_idx, next_idx, k, ts_k,
-                        steps, depth, expand, ts_rows=ts_rows)
+                        steps, depth, expand, ts_rows=ts_rows,
+                        run_dense=run_dense, run_ts=run_ts)
 
 
 _fused_search = jax.jit(
     _search_dispatch,
-    static_argnames=("k", "ts_k", "steps", "depth", "expand"))
+    static_argnames=("k", "ts_k", "steps", "depth", "expand",
+                     "run_dense", "run_ts"))
 
 
 class EnsembleRetriever:
@@ -274,16 +297,19 @@ class EnsembleRetriever:
 
             def embed_search_body(params, ids, mask, corpus_emb, ts_emb,
                                   prev_idx, next_idx, k, ts_k, steps, depth,
-                                  expand, ts_rows=None):
+                                  expand, ts_rows=None,
+                                  run_dense=True, run_ts=True):
                 q_emb = module.apply(params, ids, mask)
                 return _search_dispatch(corpus_emb, ts_emb,
                                         q_emb.astype(jnp.float32), prev_idx,
                                         next_idx, k, ts_k, steps, depth,
-                                        expand, ts_rows=ts_rows)
+                                        expand, ts_rows=ts_rows,
+                                        run_dense=run_dense, run_ts=run_ts)
 
             self._embed_search = jax.jit(
                 embed_search_body,
-                static_argnames=("k", "ts_k", "steps", "depth", "expand"))
+                static_argnames=("k", "ts_k", "steps", "depth", "expand",
+                                 "run_dense", "run_ts"))
 
     # ------------------------------------------------------------------
     @profiler.profile_function(name="retrieve")
@@ -409,24 +435,28 @@ class EnsembleRetriever:
 
     # ------------------------------------------------------------------
     def _search_args(self):
-        if self.dense is not None:
-            corpus_mat = self.dense.corpus
-            k = min(self.faiss_k, self.num_chunk) if self.faiss_k > 0 else 1
-        else:
-            # title-only corpus (ts embeddings present, content embeddings
-            # absent): the fused program still needs a dense operand — a
-            # 1-row zero placeholder whose results the (disabled) dense
-            # path never reads
-            corpus_mat = self.ts_dense.corpus[:1] * 0.0
-            k = 1
+        """Operands + static path flags for the fused search program.
+
+        A disabled path (title-only corpus, faiss_k == 0, ...) is compiled
+        OUT via the static run_dense/run_ts flags; its operand slot is then
+        dead in the trace, so it just carries whichever embedding matrix is
+        on device — no placeholder with fabricated contents. At least one
+        path is always on (invoke/invoke_batch fall back to the guarded
+        sequential paths otherwise)."""
+        run_dense = (self.dense is not None and self.faiss_k > 0
+                     and self.num_chunk > 0)
+        run_ts = self.ts_dense is not None and self.faiss_ts_k > 0
+        corpus_mat = (self.dense.corpus if self.dense is not None
+                      else self.ts_dense.corpus)
         ts_emb = (self.ts_dense.corpus if self.ts_dense is not None
-                  else corpus_mat[:1])
-        ts_k = (min(self.faiss_ts_k, ts_emb.shape[0])
-                if self.faiss_ts_k > 0 else 1)
+                  else corpus_mat)
+        k = min(self.faiss_k, self.num_chunk) if run_dense else 0
+        ts_k = min(self.faiss_ts_k, ts_emb.shape[0]) if run_ts else 0
         if not hasattr(self, "_prev_dev"):
             self._prev_dev = jnp.asarray(self.corpus.prev_idx)
             self._next_dev = jnp.asarray(self.corpus.next_idx)
-        return corpus_mat, ts_emb, self._prev_dev, self._next_dev, k, ts_k
+        return (corpus_mat, ts_emb, self._prev_dev, self._next_dev, k, ts_k,
+                run_dense, run_ts)
 
     def _post_search(self, out, num_q: int) -> Dict[str, np.ndarray]:
         top_s, top_i, ts_s, ts_i, cand, eff = jax.device_get(out)
@@ -444,11 +474,13 @@ class EnsembleRetriever:
         """One fused device call for all dense paths of this request."""
         if self.mesh is not None:
             return self._search_distributed(q_emb, ts_rows=ts_rows)
-        corpus_mat, ts_emb, prev_dev, next_dev, k, ts_k = self._search_args()
+        (corpus_mat, ts_emb, prev_dev, next_dev, k, ts_k,
+         run_dense, run_ts) = self._search_args()
         out = _fused_search(
             corpus_mat, ts_emb, jnp.asarray(q_emb), prev_dev, next_dev,
             k, ts_k, self.expand_max_chunks - 1, self.depth,
-            self.enable_expand and self.dense is not None, ts_rows=ts_rows)
+            self.enable_expand and run_dense, ts_rows=ts_rows,
+            run_dense=run_dense, run_ts=run_ts)
         return self._post_search(out, q_emb.shape[0])
 
     def _search_distributed(self, q_emb: np.ndarray,
@@ -474,12 +506,14 @@ class EnsembleRetriever:
         device dispatch."""
         enc = self.encoder
         ids, mask = enc.tokenize_padded(inputs)
-        corpus_mat, ts_emb, prev_dev, next_dev, k, ts_k = self._search_args()
+        (corpus_mat, ts_emb, prev_dev, next_dev, k, ts_k,
+         run_dense, run_ts) = self._search_args()
         out = self._embed_search(
             enc.params, jnp.asarray(ids), jnp.asarray(mask),
             corpus_mat, ts_emb, prev_dev, next_dev,
             k, ts_k, self.expand_max_chunks - 1, self.depth,
-            self.enable_expand and self.dense is not None, ts_rows=ts_rows)
+            self.enable_expand and run_dense, ts_rows=ts_rows,
+            run_dense=run_dense, run_ts=run_ts)
         return self._post_search(out, len(inputs))
 
     # ------------------------------------------------------------------

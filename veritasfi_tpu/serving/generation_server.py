@@ -302,7 +302,12 @@ class GenerationServer:
                         if a_t != b_t:
                             break
                         m += 1
-                    m = min(m, cov)
+                    # cap at len(row)-1: at least the last prompt token is
+                    # always re-fed, so the commit's first-token logits come
+                    # from a REAL forward (an identical resent prompt would
+                    # otherwise leave an all-pad suffix chunk and sample the
+                    # first token from a pad position's junk logits)
+                    m = min(m, cov, len(row) - 1)
                     sfx_pad = max(-(-(len(row) - m) // c) * c, c)
                     # no-wrap restriction: resume prefill writes straight
                     # slots (scalar-offset path), so everything must fit
