@@ -465,23 +465,25 @@ class FusedServePath:
         else:
             q_emb = q_emb_in
         steps = self.emc - 1
+        # disabled paths are compiled OUT (static run_dense/run_ts -> width-0
+        # outputs, dead operand); expansion only applies to dense hits, and
+        # with run_dense off cand/eff are width-0, so _fuse must not trace
+        # its neighbor-probe gathers either
+        run_dense = self.k > 0
+        run_ts = self.ts_k > 0
         top_s, top_i, ts_s, ts_i, cand, eff = _search_dispatch(
             self._emb, self._ts_emb, q_emb, self._prev, self._next,
-            self.k if self.k > 0 else 1,
-            self.ts_k if self.ts_k > 0 else 1,
-            steps, self.depth, self.enable_expand)
-        if self.ts_k <= 0:
-            ts_s = jnp.full((1,), -jnp.inf, _F32)
-            ts_i = jnp.zeros((1,), jnp.int32)
+            self.k, self.ts_k, steps, self.depth,
+            self.enable_expand and run_dense,
+            run_dense=run_dense, run_ts=run_ts)
 
         out_row, out_group, out_score, out_path, n_out = _fuse(
-            top_s if self.k > 0 else top_s[:, :0],
-            top_i if self.k > 0 else top_i[:, :0],
-            ts_s, ts_i, cand, eff, bm25_rows, bm25_scores,
+            top_s, top_i, ts_s, ts_i, cand, eff, bm25_rows, bm25_scores,
             self._bundle_code, self._bundle_pad, self._title_pad,
             k=self.k, ts_k=self.ts_k, mt=self._mt, bm25_k=self.bm25_k,
-            steps=steps, expand=self.enable_expand, trigger=self.trigger,
-            accept=self.accept, emc=self.emc, cap=self.rerank_cap)
+            steps=steps, expand=self.enable_expand and run_dense,
+            trigger=self.trigger, accept=self.accept, emc=self.emc,
+            cap=self.rerank_cap)
 
         ids, mask = _assemble_pairs(
             out_row, prefix, prefix_len, self._suffix,
