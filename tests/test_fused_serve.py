@@ -353,6 +353,46 @@ def test_titles_without_ts_embeddings_disable_title_path():
     assert sel_f == sel_o
 
 
+def test_faiss_k_zero_disables_dense_path():
+    """faiss_k=0 (dense path compiled out, run_dense=False): the fused
+    program must serve title+BM25 results identical to the classic engine,
+    with expansion dead (it only applies to dense hits) and no width-0
+    candidate-table gathers traced."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n = 150
+    index = synth_corpus(n, rng)
+    bm25 = BM25Index.build(index.texts, index.doc_ids)
+    encoder = TextEncoder(preset="tiny-test", dtype=jnp.float32,
+                          max_length=64)
+    d = encoder.encode(["probe"]).shape[1]
+    index.embeddings = normalize_rows(
+        rng.normal(size=(n, d)).astype(np.float32))
+    index.ts_embeddings = normalize_rows(
+        rng.normal(size=(index.ts_embeddings.shape[0], d)).astype(
+            np.float32))
+    reranker = EncoderReranker(preset="tiny-test", passage_max_length=64)
+    engine = EnsembleRetriever(index, encoder.encode, bm25=bm25, k=5,
+                               faiss_k=0, encoder=encoder)
+    cap = 20
+    fused = FusedServePath(index, reranker, encoder=encoder, bm25=bm25,
+                           k=0, ts_k=5, bm25_k=5, rerank_cap=cap)
+    assert fused.k == 0 and fused.ts_k > 0
+    for t in index.texts:
+        reranker.tokenize_passage(t)
+    for query, hyde in [("revenue margin europe", ["battery capex cash"]),
+                        ("tok3 tok7 battery", [])]:
+        full, chunks_o, scores_o, sel_o = oracle(
+            engine, reranker, index, query, hyde, cap)
+        chunks_f, sel_f, diag = fused.serve(query, hyde, QUERY_TIME)
+        assert [c["_row"] for c in chunks_f] == [c["_row"] for c in chunks_o]
+        assert [c["retriever"] for c in chunks_f] == [
+            c["retriever"] for c in chunks_o]
+        assert all(c["retriever"] != "FAISS" for c in chunks_f)
+        assert sel_f == sel_o
+
+
 def test_long_query_negative_budget_grows_seq():
     """A query whose prefix alone exceeds the standard seq bucket
     (budget < 0, empty passage slices) must grow the bucket instead of
