@@ -145,3 +145,81 @@ def test_invalid_corpus_dtype_rejected(tmp_path):
     with pytest.raises(ValueError, match="corpus_dtype"):
         EnsembleRetriever(idx, EMB.encode, bm25=bm25, k=3,
                           corpus_dtype="float16")
+
+
+def test_fused_serve_bf16_matches_classic_bf16():
+    """FusedServePath with corpus_dtype=bfloat16: same candidate list and
+    selection as the bf16 classic engine (both search the identically
+    rounded stored matrix), and the serve path honors the dtype (its
+    device matrix is bf16, not a shadow fp32 copy)."""
+    from test_fused_serve import (QUERY_TIME, oracle, synth_corpus)
+    from veritasfi_tpu.models.encoder import TextEncoder
+    from veritasfi_tpu.models.encoder_reranker import EncoderReranker
+    from veritasfi_tpu.retrieval.bm25 import BM25Index
+    from veritasfi_tpu.retrieval.fused_serve import FusedServePath
+
+    rng = np.random.default_rng(31)
+    n = 200
+    index = synth_corpus(n, rng)
+    bm25 = BM25Index.build(index.texts, index.doc_ids)
+    encoder = TextEncoder(preset="tiny-test", dtype=jnp.float32,
+                          max_length=64)
+    d = encoder.encode(["probe"]).shape[1]
+    index.embeddings = normalize_rows(
+        rng.normal(size=(n, d)).astype(np.float32))
+    index.ts_embeddings = normalize_rows(
+        rng.normal(size=(index.ts_embeddings.shape[0], d)).astype(
+            np.float32))
+    reranker = EncoderReranker(preset="tiny-test", passage_max_length=64)
+    engine = EnsembleRetriever(index, encoder.encode, bm25=bm25, k=5,
+                               encoder=encoder, corpus_dtype="bfloat16")
+    cap = 15
+    fused = FusedServePath(index, reranker, encoder=encoder, bm25=bm25,
+                           k=5, rerank_cap=cap, corpus_dtype="bfloat16")
+    assert fused._emb.dtype == jnp.bfloat16
+    for t in index.texts:
+        reranker.tokenize_passage(t)
+    for query, hyde in [("revenue margin europe", ["battery capex cash"]),
+                        ("tok3 tok7 battery", [])]:
+        full, chunks_o, scores_o, sel_o = oracle(
+            engine, reranker, index, query, hyde, cap)
+        chunks_f, sel_f, diag = fused.serve(query, hyde, QUERY_TIME)
+        assert [c["_row"] for c in chunks_f] == [c["_row"] for c in chunks_o]
+        assert sel_f == sel_o
+
+
+def test_stack_shares_retriever_device_matrix(tmp_path):
+    """build_stack's fused serve path must reuse the retriever's device
+    matrices (identity, not a second multi-GB copy) and respect
+    retrieval.corpus_dtype."""
+    from conftest import make_processed_file, synth_chunk
+    from veritasfi_tpu.config import Config
+    from veritasfi_tpu.models.encoder_reranker import EncoderReranker
+    from veritasfi_tpu.stack import build_stack
+
+    src = tmp_path / "src"
+    src.mkdir()
+    make_processed_file(src / "a.json", "2024-01-01",
+                        [synth_chunk(i) for i in range(16)])
+    cfg = Config()
+    cfg.persist_directory = str(tmp_path / "idx")
+    cfg.retrieval.corpus_dtype = "bfloat16"
+    cfg.llm.base_url = ""
+    cfg.rerank.max_candidates = 12   # fused serve is gated on the cap
+    from veritasfi_tpu.engine import RAGEngine
+
+    engine = RAGEngine(cfg, embed_fn=EMB.encode)
+    engine.create_collection("c", str(src))
+    rr = EncoderReranker(preset="tiny-test", passage_max_length=64)
+    stack = build_stack(cfg, collections={"c": 4}, embed_fn=EMB.encode,
+                        reranker=rr)
+    try:
+        assert stack.retrieval_batcher is not None
+        path = stack.retrieval_batcher.serve_path
+        r0 = stack.chat_service.retrievers[0]
+        assert path._emb is r0.dense.corpus
+        assert path._emb.dtype == jnp.bfloat16
+        if r0.ts_dense is not None:
+            assert path._ts_emb is r0.ts_dense.corpus
+    finally:
+        stack.close()

@@ -250,6 +250,29 @@ def test_prefix_cache_identical_prompt_resend(decoder):
     assert again == solo, (again, solo)
 
 
+def test_interleaved_request_prefers_empty_slot(decoder):
+    """A no-match admission must take an EMPTY free slot over one holding
+    retained history: with slots=2, session A's retention survives an
+    unrelated request B, so A's turn-2 history resend still prefix-hits."""
+    rr = decoder
+    chat = rr._encode_raw("session A asks about quarterly deliveries and "
+                          "the production guidance for the coming year")
+    server = GenerationServer(rr.module, rr.params, slots=2, window=256,
+                              chunk=4, max_prompt_len=192, prefill_chunk=8,
+                              cache_dtype=jnp.float32)
+    try:
+        a1 = server.generate(chat, 16, -1)
+        server.generate(rr._encode_raw("session B other question"), 16, -1)
+        turn2 = chat + a1 + rr._encode_raw("any update?")
+        got = server.generate(turn2, 16, -1)
+        assert server.stats["prefix_hits"] == 1, server.stats
+        assert server.stats["prefix_reused_tokens"] >= len(chat), \
+            server.stats
+    finally:
+        server.close()
+    assert got == solo_generate(rr, turn2, max_new=16), got
+
+
 def test_prefix_cache_survives_slot_churn(decoder):
     """Interleaved sessions: slot retention must key on token content, so
     an unrelated request in between does not corrupt the resumed chat."""

@@ -11,6 +11,44 @@ from veritasfi_tpu.evals.quality_parity import (build_records,
                                                 train_fixture_encoder)
 
 
+def test_fit_epoch_covers_all_pairs_without_duplicates():
+    """fit() must consume each epoch's full permutation: no sample dropped
+    at the epoch boundary (len(pairs) % batch_size remainder), no
+    duplicate positives within a batch (they corrupt in-batch-negative
+    labels), and the pop sequence unchanged when batch_size divides
+    len(pairs) (the goldens pin that trajectory)."""
+    from veritasfi_tpu.train.contrastive import ContrastiveTrainer
+
+    pairs = [(f"q{i}", f"d{i}") for i in range(10)]
+    seen_batches = []
+
+    t = object.__new__(ContrastiveTrainer)
+    t.make_batch = lambda batch: (batch,)
+    t.train_step = lambda batch: seen_batches.append(
+        [int(q[1:]) for q, _ in batch]) or 0.0
+
+    # non-dividing batch size: 3 batches = 12 draws over 10 pairs
+    t.fit(pairs, steps=10, batch_size=4, seed=0)
+    flat = [i for b in seen_batches for i in b]
+    counts = np.bincount(flat, minlength=10)
+    # 40 draws over 10 pairs -> every pair exactly 4 times (no drops)
+    assert counts.tolist() == [4] * 10, counts
+    for b in seen_batches:
+        assert len(set(b)) == len(b), f"duplicate in batch {b}"
+
+    # dividing batch size: identical to the old drop-remainder pop order
+    seen_batches.clear()
+    t.fit(pairs, steps=4, batch_size=5, seed=3)
+    rng = np.random.default_rng(3)
+    expect = []
+    order = []
+    for _ in range(4):
+        if len(order) < 5:
+            order = list(rng.permutation(10))
+        expect.append([int(order.pop()) for _ in range(5)])
+    assert seen_batches == expect
+
+
 def test_trained_encoder_separates_positives():
     _, facts = build_records(0)
     enc, diag = train_fixture_encoder(facts, encoder_steps=60, seed=0)

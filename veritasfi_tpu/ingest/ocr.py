@@ -445,7 +445,7 @@ def _spaces(boxes: List[Tuple[int, int]], chars: List[str],
     """preceded-by-space flags for one line's final glyph boxes.
 
     Geometry first — a gap clear of the line's own letter-gap level
-    (median + 0.07 x height, floor 2.5) with a sane center distance —
+    (median + 0.05 x height, floor 2.5) with a sane center distance —
     then char-identity rules for the cases geometry provably cannot
     separate on this font (measured: '8'-'.' inside "18.3" and the
     'r'-space-'y' of "prior year" have identical gap/center features):

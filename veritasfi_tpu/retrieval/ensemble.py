@@ -420,9 +420,6 @@ class EnsembleRetriever:
             if run_dense:
                 bundle_cnt = self._dense_path(nq, sub, seen_ids, chunk_list,
                                               bundle_cnt)
-            run_ts = self.faiss_ts_k > 0 and (
-                self._has_ts if self.mesh is not None
-                else self.ts_dense is not None)
             if run_ts:
                 bundle_cnt = self._title_path(sub, seen_ids, chunk_list,
                                               bundle_cnt)

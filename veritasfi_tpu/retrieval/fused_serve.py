@@ -301,7 +301,9 @@ class FusedServePath:
                  expand_trigger: float = 0.72, expand_accept: float = 0.66,
                  expand_max_chunks: int = 4,
                  rerank_cap: int = 50, chunk_topk: int = 5,
-                 sim_threshold: float = 0.9) -> None:
+                 sim_threshold: float = 0.9,
+                 corpus_dtype: str = "float32",
+                 device_emb=None, device_ts_emb=None) -> None:
         if encoder is None and embed_fn is None:
             raise ValueError("need encoder or embed_fn")
         self.corpus = corpus
@@ -328,11 +330,39 @@ class FusedServePath:
         self.sim_threshold = sim_threshold
 
         n = corpus.num_chunks
-        self._emb = jnp.asarray(normalize_rows(corpus.embeddings))
+        # content matrix in the configured storage dtype, mirroring the
+        # classic engine (retrieval.corpus_dtype: bfloat16 halves HBM and
+        # routes the streaming top-k through the Pallas MIPS kernel —
+        # without this the serve path would keep its own fp32 copy and
+        # defeat the bf16 mode's memory budget at 10M-row scale). The
+        # title matrix stays fp32, as in EnsembleRetriever. In bf16 mode
+        # the sim-dedup cosines use the bf16-rounded vectors; like the
+        # search scores, the only delta vs fp32 is storage rounding.
+        # ``device_emb``/``device_ts_emb``: share the classic engine's
+        # device matrices (DenseRetriever.corpus — already normalized and
+        # cast) instead of materializing a second multi-GB copy.
+        if corpus_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"corpus_dtype must be float32|bfloat16, got {corpus_dtype!r}")
+        if device_emb is not None:
+            # no-op astype still allocates a fresh device buffer outside
+            # jit; only convert on an actual dtype mismatch
+            self._emb = (device_emb
+                         if device_emb.dtype == jnp.dtype(corpus_dtype)
+                         else device_emb.astype(jnp.dtype(corpus_dtype)))
+        else:
+            # normalize fp32 first, cast on host (exactly DenseRetriever's
+            # order, so bf16 unit vectors are bit-identical across paths)
+            self._emb = jnp.asarray(
+                normalize_rows(corpus.embeddings).astype(
+                    jnp.dtype(corpus_dtype)))
         ts = corpus.ts_embeddings
-        self._ts_emb = (jnp.asarray(normalize_rows(ts))
-                        if ts is not None and len(ts)
-                        else self._emb[:1])
+        if device_ts_emb is not None:
+            self._ts_emb = device_ts_emb
+        else:
+            self._ts_emb = (jnp.asarray(normalize_rows(ts))
+                            if ts is not None and len(ts)
+                            else self._emb[:1])
         self._prev = jnp.asarray(corpus.prev_idx.astype(np.int32))
         self._next = jnp.asarray(corpus.next_idx.astype(np.int32))
         self._bundle_code = jnp.asarray(corpus.bundle_code.astype(np.int32))

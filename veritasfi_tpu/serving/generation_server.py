@@ -289,8 +289,12 @@ class GenerationServer:
             row = req.prompt[-self._prompt_cap:]
             c = self.prefill_chunk
             # prefix-cache probe: the free slot whose retained history
-            # shares the longest usable token prefix with this prompt
-            slot, reuse_m = free[0], 0
+            # shares the longest usable token prefix with this prompt.
+            # A no-match admission prefers slots with NOTHING retained, so
+            # an unrelated interleaved request does not evict a session's
+            # retained history while an empty slot sits unused
+            slot = min(free, key=lambda s: self._retained[s] is not None)
+            reuse_m = 0
             if self.prefix_cache:
                 for s in free:
                     r = self._retained[s]

@@ -194,7 +194,15 @@ def build_stack(config: Optional[Config] = None,
                 expand_max_chunks=r0.expand_max_chunks,
                 rerank_cap=config.rerank.max_candidates,
                 chunk_topk=config.rerank.rerank_topk,
-                sim_threshold=config.rerank.similar_threshold)
+                sim_threshold=config.rerank.similar_threshold,
+                # respect retrieval.corpus_dtype and SHARE the retriever's
+                # device matrices — a second multi-GB copy would defeat the
+                # bf16 mode's memory budget at 10M-row scale
+                corpus_dtype=config.retrieval.corpus_dtype,
+                device_emb=(r0.dense.corpus if r0.dense is not None
+                            else None),
+                device_ts_emb=(r0.ts_dense.corpus
+                               if r0.ts_dense is not None else None))
             retrieval_batcher = RetrievalBatcher(serve_path)
             logger.info("fused single-readback serve path enabled "
                         "(cap=%d)", config.rerank.max_candidates)

@@ -107,9 +107,24 @@ class ContrastiveTrainer:
         losses: List[float] = []
         order: List[int] = []
         while len(losses) < steps:
-            if len(order) < batch_size:
-                order = list(rng.permutation(len(pairs)))
-            take = [order.pop() for _ in range(batch_size)]
+            # consume each epoch's permutation fully — the remainder of an
+            # epoch rolls into the next batch instead of being dropped
+            # (dropping would systematically under-train len(pairs) %
+            # batch_size shuffled-out samples). A batch spanning the epoch
+            # boundary defers indices it already holds to the next epoch's
+            # far end, so in-batch positives stay unique (duplicate
+            # positives would corrupt the in-batch-negative labels).
+            # Identical pop sequence to the old code when batch_size
+            # divides len(pairs) — the quality goldens depend on that.
+            take: List[int] = []
+            while len(take) < batch_size:
+                if not order:
+                    order = list(rng.permutation(len(pairs)))
+                i = order.pop()
+                if i in take:
+                    order.insert(0, i)
+                    continue
+                take.append(i)
             batch = [pairs[i] for i in take]
             losses.append(self.train_step(*self.make_batch(batch)))
         return losses
