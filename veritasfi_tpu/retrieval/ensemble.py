@@ -137,8 +137,7 @@ from ..ops.topk import rank_from_scores as _rank_stream  # noqa: E402
 
 def _search_body_streaming(corpus, ts_emb, q_emb, prev_idx, next_idx,
                            k, ts_k, steps, depth, expand, ts_rows=None,
-                           run_dense=True, run_ts=True,
-                           block: int = 262144):
+                           run_ts=True, block: int = 262144):
     """Large-corpus variant of ``_search_body``: never materializes the
     [Q, N] score matrix. One streaming pass for the dense top-k
     (ops.topk.dense_topk_chunked), exact neighbor scores by gather+dot
@@ -150,19 +149,18 @@ def _search_body_streaming(corpus, ts_emb, q_emb, prev_idx, next_idx,
     A bf16 corpus routes the top-k through the fused Pallas MIPS kernel on
     real TPUs (ops.topk.dense_topk_large) — half the HBM traffic, same
     FAISS tie order; neighbor probes and depth ranks then run on the same
-    bf16-cast queries so all three stages score identical products."""
+    bf16-cast queries so all three stages score identical products.
+
+    No ``run_dense`` flag: the dispatch only streams when the dense path
+    is live (a dense-off search has no large operand to stream over)."""
     from ..ops.topk import dense_topk_large, rank_of, scores_at
 
     q_c = q_emb.astype(corpus.dtype)
-    if run_dense:
-        top_s, top_i = dense_topk_large(corpus, q_c, k, block=block)
-    else:
-        top_s = jnp.zeros((q_emb.shape[0], 0), jnp.float32)
-        top_i = jnp.zeros((q_emb.shape[0], 0), jnp.int32)
+    top_s, top_i = dense_topk_large(corpus, q_c, k, block=block)
 
     ts_s, ts_i = _ts_path(ts_emb, q_emb, ts_k, ts_rows, run_ts)
 
-    if not expand or steps <= 0 or not run_dense:
+    if not expand or steps <= 0:
         zero_i = jnp.zeros((q_emb.shape[0], 0), jnp.int32)
         zero_s = jnp.zeros((q_emb.shape[0], 0), jnp.float32)
         return top_s, top_i, ts_s, ts_i, zero_i, zero_s
@@ -197,7 +195,7 @@ def _search_dispatch(corpus, ts_emb, q_emb, prev_idx, next_idx,
         return _search_body_streaming(corpus, ts_emb, q_emb, prev_idx,
                                       next_idx, k, ts_k, steps, depth,
                                       expand, ts_rows=ts_rows,
-                                      run_dense=run_dense, run_ts=run_ts)
+                                      run_ts=run_ts)
     return _search_body(corpus, ts_emb, q_emb, prev_idx, next_idx, k, ts_k,
                         steps, depth, expand, ts_rows=ts_rows,
                         run_dense=run_dense, run_ts=run_ts)
@@ -312,6 +310,19 @@ class EnsembleRetriever:
                                  "run_dense", "run_ts"))
 
     # ------------------------------------------------------------------
+    def _path_flags(self) -> Tuple[bool, bool]:
+        """(run_dense, run_ts): which search paths exist for this corpus +
+        config. Single source of truth for BOTH the host-side path gates
+        (invoke/invoke_batch) and the static compile flags (_search_args)
+        — they must agree or the host would index width-0 outputs."""
+        run_dense = self.faiss_k > 0 and self.num_chunk > 0 and (
+            self.mesh is not None or self.dense is not None)
+        run_ts = self.faiss_ts_k > 0 and (
+            self._has_ts if self.mesh is not None else
+            self.ts_dense is not None)
+        return run_dense, run_ts
+
+    # ------------------------------------------------------------------
     @profiler.profile_function(name="retrieve")
     def invoke(self, input: str, hyde_chunks: List[str]) -> List[Dict]:
         """Multi-path retrieve; returns reference-schema chunk dicts."""
@@ -319,11 +330,7 @@ class EnsembleRetriever:
         chunk_list: List[Dict] = []
         bundle_cnt = 0
 
-        run_dense = self.faiss_k > 0 and self.num_chunk > 0 and (
-            self.mesh is not None or self.dense is not None)
-        run_ts = self.faiss_ts_k > 0 and (
-            self._has_ts if self.mesh is not None else
-            self.ts_dense is not None)
+        run_dense, run_ts = self._path_flags()
         search = None
         if run_dense or run_ts:
             inputs = [input] + list(hyde_chunks)
@@ -376,11 +383,7 @@ class EnsembleRetriever:
         # (which guards each path itself); the batched fused search would
         # crash on a BM25-only retriever and waste an embed+search when
         # both dense paths are off
-        run_dense = self.faiss_k > 0 and self.num_chunk > 0 and (
-            self.mesh is not None or self.dense is not None)
-        run_ts = self.faiss_ts_k > 0 and (
-            self._has_ts if self.mesh is not None else
-            self.ts_dense is not None)
+        run_dense, run_ts = self._path_flags()
         if not (run_dense or run_ts):
             return [self.invoke(q, h) for q, h in requests]
 
@@ -439,10 +442,10 @@ class EnsembleRetriever:
         dead in the trace, so it just carries whichever embedding matrix is
         on device — no placeholder with fabricated contents. At least one
         path is always on (invoke/invoke_batch fall back to the guarded
-        sequential paths otherwise)."""
-        run_dense = (self.dense is not None and self.faiss_k > 0
-                     and self.num_chunk > 0)
-        run_ts = self.ts_dense is not None and self.faiss_ts_k > 0
+        sequential paths otherwise). Only called with mesh=None (the mesh
+        route branches earlier), where _path_flags reduces to the
+        dense/ts_dense presence checks."""
+        run_dense, run_ts = self._path_flags()
         corpus_mat = (self.dense.corpus if self.dense is not None
                       else self.ts_dense.corpus)
         ts_emb = (self.ts_dense.corpus if self.ts_dense is not None

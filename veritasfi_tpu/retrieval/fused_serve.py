@@ -345,6 +345,15 @@ class FusedServePath:
             raise ValueError(
                 f"corpus_dtype must be float32|bfloat16, got {corpus_dtype!r}")
         if device_emb is not None:
+            if (device_emb.dtype == jnp.bfloat16
+                    and corpus_dtype == "float32"):
+                # an upcast cannot restore the rounded-away precision, so
+                # the "bit-identical vectors across paths" contract would
+                # silently break — refuse rather than diverge from a true
+                # fp32 classic engine
+                raise ValueError(
+                    "device_emb is bfloat16 but corpus_dtype='float32'; "
+                    "share a matrix of the configured dtype")
             # no-op astype still allocates a fresh device buffer outside
             # jit; only convert on an actual dtype mismatch
             self._emb = (device_emb
@@ -358,6 +367,12 @@ class FusedServePath:
                     jnp.dtype(corpus_dtype)))
         ts = corpus.ts_embeddings
         if device_ts_emb is not None:
+            if device_ts_emb.dtype != jnp.float32:
+                # the title matrix stays fp32 in every path (it is small;
+                # EnsembleRetriever never casts it)
+                raise ValueError(
+                    f"device_ts_emb must be float32, got "
+                    f"{device_ts_emb.dtype}")
             self._ts_emb = device_ts_emb
         else:
             self._ts_emb = (jnp.asarray(normalize_rows(ts))
