@@ -106,3 +106,38 @@ def test_int8_mlp_layer_close_to_xla():
     out_int8 = m_int8.apply(quantize_mlp_params(params), ids, mask)
     np.testing.assert_allclose(np.asarray(out_int8), np.asarray(out_xla),
                                rtol=0.15, atol=0.15)
+
+
+def test_quantize_mlp_params_frozen_dict():
+    """flax FrozenDict param trees must quantize identically to plain
+    dicts (the kernel gate matched Mapping for the walk but dict for the
+    rewrite, silently skipping frozen trees)."""
+    import dataclasses
+
+    import flax
+    import jax
+
+    from veritasfi_tpu.models.encoder import (ENCODER_PRESETS,
+                                              quantize_mlp_params)
+    from veritasfi_tpu.models.encoder_reranker import (
+        FlaxCrossEncoderClassifier)
+
+    rng = np.random.default_rng(2)
+    base = ENCODER_PRESETS["tiny-test"]
+    ids = jnp.asarray(rng.integers(3, 900, size=(2, 16)), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    m = FlaxCrossEncoderClassifier(base, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), ids, mask)
+    q_plain = quantize_mlp_params(params)
+    q_frozen = quantize_mlp_params(flax.core.freeze(params))
+    flat_p = jax.tree_util.tree_leaves_with_path(q_plain)
+    flat_f = jax.tree_util.tree_leaves_with_path(q_frozen)
+    assert len(flat_p) == len(flat_f)
+    for (kp, vp), (kf, vf) in zip(flat_p, flat_f):
+        assert jax.tree_util.keystr(kp) == jax.tree_util.keystr(kf)
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(vf))
+    m_int8 = FlaxCrossEncoderClassifier(
+        dataclasses.replace(base, mlp_impl="int8"), dtype=jnp.float32)
+    out_f = m_int8.apply(q_frozen, ids, mask)
+    out_p = m_int8.apply(q_plain, ids, mask)
+    np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_p))

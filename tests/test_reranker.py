@@ -36,10 +36,55 @@ def test_padding_invariance(rr):
 
 
 def test_pair_truncation(rr):
+    """passage_max_length is the ROW cap (it sizes every serve-path
+    compile bucket): the budget subtracts prefix AND suffix, so finished
+    rows never exceed it — for any query/passage length."""
     long_passage = "tok " * 5000
     row = rr.encode_pair("q", long_passage)
-    assert len(row) <= (rr.passage_max_length
-                        + len(rr._sep_ids) + len(rr._prompt_ids) + 4)
+    assert len(row) <= rr.passage_max_length
+    row = rr.encode_pair("why " * 3000, long_passage)
+    assert len(row) <= rr.passage_max_length
+
+
+def test_query_max_length_honored():
+    """query_max_length (train_bge_rr.sh:19) actually truncates the query
+    — it was a silent no-op; the 3/4-row ceiling still applies so a huge
+    configured cap cannot starve the passage."""
+    rr = CrossEncoderReranker(preset="tiny-test", seed=0,
+                              query_max_length=8, passage_max_length=128)
+    prefix, budget, suffix = rr.pair_layout("word " * 200)
+    # prefix = [bos] + query_ids + sep
+    assert len(prefix) <= 1 + 8 + len(rr._sep_ids)
+    big = CrossEncoderReranker(preset="tiny-test", seed=0,
+                               query_max_length=10_000,
+                               passage_max_length=64)
+    prefix, _, _ = big.pair_layout("word " * 200)
+    assert len(prefix) <= 1 + 64 * 3 // 4 + len(big._sep_ids)
+
+
+def test_decoder_score_and_sim_empty(rr):
+    """Zero rerank candidates (empty corpus / all filtered) must return
+    empty outputs, not crash on max() of an empty sequence — parity with
+    EncoderReranker.score_and_sim."""
+    scores, sim = rr.score_and_sim([], np.zeros((0, 8), np.float32))
+    assert scores.shape == (0,)
+    assert sim.shape == (0, 0)
+
+
+def test_default_eos_is_gemma_eos():
+    """Gemma vocab: <pad>=0, <eos>=1, <bos>=2, <unk>=3. The default stop
+    token (caller passes eos_id=None) must be <eos>=1, not bos+1=<unk>=3
+    — with bos+1 a real checkpoint's generations never stop."""
+    assert DecoderArch().eos_id == 1
+    from veritasfi_tpu.models.generate import Generator
+
+    rr2 = CrossEncoderReranker(preset="tiny-test", seed=0)
+    gen = Generator(rr2.module, rr2.params, max_prompt_len=16,
+                    max_new_tokens=4, cache_dtype=jnp.float32)
+    with_default = gen.generate_tokens([[5, 6, 7]], max_new_tokens=4)[0]
+    explicit = gen.generate_tokens([[5, 6, 7]], max_new_tokens=4,
+                                   eos_id=rr2.arch.eos_id)[0]
+    assert with_default == explicit
 
 
 def test_empty_pairs(rr):

@@ -165,8 +165,11 @@ def quantize_mlp_params(params):
         if isinstance(node, Mapping):
             out = {}
             for name, sub in node.items():
+                # Mapping, not dict: flax FrozenDict trees must quantize
+                # too (a dict-only gate silently skips them and the int8
+                # module then fails on the missing 'kernel_q')
                 if (name in ("intermediate", "output")
-                        and isinstance(sub, dict) and "kernel" in sub):
+                        and isinstance(sub, Mapping) and "kernel" in sub):
                     w8, sw = quantize_weight(sub["kernel"])
                     out[name] = {"kernel_q": w8, "scale": sw,
                                  "bias": sub["bias"]}

@@ -152,13 +152,10 @@ class EncoderReranker:
         self._forward = jax.jit(self.module.apply)
 
         def _fwd_sim(params, ids, mask, emb):
+            from ..ops.similarity import cosine_similarity_matrix
+
             logits = self.module.apply(params, ids, mask)
-            e = emb.astype(jnp.float32)
-            e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True),
-                                1e-12)
-            sim = jnp.matmul(e, e.T, precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-            return logits, sim
+            return logits, cosine_similarity_matrix(emb)
 
         self._forward_sim = jax.jit(_fwd_sim)
 

@@ -213,7 +213,7 @@ class Generator:
             self._sample_jit = jax.jit(
                 _sample, static_argnames=("temperature", "top_p"))
 
-        eos = eos_id if eos_id is not None else self.arch.bos_id + 1
+        eos = eos_id if eos_id is not None else self.arch.eos_id
         max_new = (self.max_new_tokens if max_new_tokens is None
                    else max_new_tokens)
         ids, mask = self._prep_prompt([prompt_row])
@@ -247,7 +247,7 @@ class Generator:
         ids, mask = self._prep_prompt(prompt_rows)
         max_new = (self.max_new_tokens if max_new_tokens is None
                    else max_new_tokens)
-        eos = eos_id if eos_id is not None else self.arch.bos_id + 1
+        eos = eos_id if eos_id is not None else self.arch.eos_id
         out = self._generate(self.params, jnp.asarray(ids),
                              jnp.asarray(mask),
                              jax.random.PRNGKey(self._next_seed(seed)),

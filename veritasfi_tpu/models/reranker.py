@@ -39,6 +39,9 @@ class DecoderArch:
     rms_eps: float = 1e-6
     pad_id: int = 0
     bos_id: int = 2
+    # Gemma vocab order: <pad>=0, <eos>=1, <bos>=2, <unk>=3 — the default
+    # stop token for generation when a caller/tokenizer supplies none
+    eos_id: int = 1
     # Gemma scales embeddings by sqrt(hidden) and uses (1+w) RMSNorm.
     embed_scale: bool = True
     rms_plus_one: bool = True
@@ -359,13 +362,20 @@ class CrossEncoderReranker:
         tokenized as 'B: {p}'. The ONE source of the
         [bos] 'A: {q}' \\n 'B: {p}' \\n {instruction} framing
         (format: reference stress_test.py:97-131) — encode_pair and the
-        fused serve path both call it, so they cannot drift."""
-        q_ids = self._encode_raw(
-            f"A: {query}")[: self.passage_max_length * 3 // 4]
+        fused serve path both call it, so they cannot drift.
+
+        The query is truncated at ``query_max_length`` (train_bge_rr.sh:19)
+        with a 3/4-row ceiling so a huge configured query cap can never
+        starve the passage; the budget subtracts the SUFFIX too, so a
+        finished row never exceeds ``passage_max_length`` (the row cap that
+        sizes every serve-path compile bucket)."""
+        q_cap = min(self.query_max_length, self.passage_max_length * 3 // 4)
+        q_ids = self._encode_raw(f"A: {query}")[:q_cap]
+        suffix = list(self._sep_ids) + list(self._prompt_ids)
         budget = (self.passage_max_length - len(q_ids) - 1
-                  - len(self._sep_ids))
+                  - len(self._sep_ids) - len(suffix))
         prefix = [self.arch.bos_id] + list(q_ids) + list(self._sep_ids)
-        return prefix, budget, list(self._sep_ids) + list(self._prompt_ids)
+        return prefix, budget, suffix
 
     def encode_pair(self, query: str, passage: str) -> List[int]:
         """[bos] 'A: {q}' \\n 'B: {p}' \\n {instruction}
@@ -394,6 +404,9 @@ class CrossEncoderReranker:
         """One device call returning (yes-logit scores, pairwise cosine of
         the candidates' retrieval embeddings) — both rerank-fusion inputs
         without a second dispatch."""
+        if not rows:
+            return (np.zeros((0,), np.float32),
+                    np.zeros((0, 0), np.float32))
         seq = max(len(r) for r in rows)
         bucket = max(-(-seq // 64) * 64, 64)
         ids = np.full((len(rows), bucket), self.arch.pad_id, np.int32)

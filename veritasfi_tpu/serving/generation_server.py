@@ -491,7 +491,7 @@ class GenerationServer:
         surface)."""
         if self._closed:
             raise RuntimeError("generation server closed")
-        eos = eos_id if eos_id is not None else self.arch.bos_id + 1
+        eos = eos_id if eos_id is not None else self.arch.eos_id
         req = _Request(prompt=list(prompt), max_new=max_new_tokens,
                        eos_id=int(eos), tokens=queue.Queue(),
                        result=Future(), temperature=temperature,

@@ -68,7 +68,7 @@ class LocalChatBackend:
         elif hf is not None and hf.eos_token_id is not None:
             self.eos_id = hf.eos_token_id
         else:
-            self.eos_id = module.arch.bos_id + 1
+            self.eos_id = module.arch.eos_id
 
     # -- text <-> tokens -------------------------------------------------
     def _encode(self, text: str) -> List[int]:
