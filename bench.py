@@ -283,10 +283,16 @@ def main():
     if not args.classic:
         from veritasfi_tpu.retrieval.fused_serve import FusedServePath
 
+        # --rerank-pairs 0 means "rerank everything retrieval returns";
+        # the fused program needs a STATIC cap, so use a generous bound
+        # (dense hits x expansion factor + title + bm25) instead of
+        # silently capping at 50 — candidates past it are cut mid-group
+        # exactly like the classic path's chunks[:cap]
+        cap = args.rerank_pairs or (10 * (1 + len(hyde)) * 4 + 10 + 10)
         fused = FusedServePath(
             index, reranker, encoder=encoder, bm25=serve_bm25, k=10,
             enable_expand=True, depth=2048,
-            rerank_cap=args.rerank_pairs or 50, chunk_topk=5)
+            rerank_cap=cap, chunk_topk=5)
 
     def one_query(q, hy):
         if fused is not None:
@@ -307,7 +313,7 @@ def main():
 
     # warmup (compiles)
     for _ in range(args.warmup):
-        n_chunks, n_sel = one_query(query, hyde)
+        one_query(query, hyde)
 
     if args.trace:
         from veritasfi_tpu.utils.profiler import profiler as _prof
@@ -316,9 +322,10 @@ def main():
             one_query(query, hyde)
 
     latencies = []
+    n_chunks = n_sel = 0
     for i in range(args.iters):
         t0 = time.perf_counter()
-        one_query(query, hyde)
+        n_chunks, n_sel = one_query(query, hyde)
         latencies.append((time.perf_counter() - t0) * 1000.0)
 
     # sustained QPS: micro-batch B concurrent requests into ONE fused search

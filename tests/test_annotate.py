@@ -51,6 +51,17 @@ def test_mine_training_groups(tmp_path):
     save_groups(groups, p)
     assert load_groups(p) == groups
 
+    # on-disk contract = FlagEmbedding JSONL, exactly what
+    # `cli train-reranker --data` parses: pos is a LIST, negatives under
+    # 'neg' (a {pos: str, negs: []} row would silently train on the first
+    # CHARACTER of the positive and find zero negatives)
+    import json as _json
+    with open(p, encoding="utf-8") as f:
+        row = _json.loads(f.readline())
+    assert isinstance(row["pos"], list) and row["pos"]
+    assert "neg" in row and isinstance(row["neg"], list)
+    assert ([row["pos"][0]] + row["neg"])[:4] == list(groups[0][1])
+
 
 def test_mine_skips_unlabelable():
     llm = FakeLLM(lambda messages, **kw: "Relevance: NO\nReason: none")

@@ -57,11 +57,46 @@ def test_load_config_default():
     assert load_config(None) == Config()
 
 
-def test_path_k():
+def test_load_config_missing_path_raises():
+    """A typo'd --config must fail fast, not silently serve all-default
+    settings (wrong index dir, empty bearer token, ...)."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="no/such/file"):
+        load_config("no/such/file.yaml")
+
+
+def test_engine_corpus_shards_builds_mesh(tmp_path):
+    """mesh.corpus_shards > 1 shards the retriever over the first N
+    devices straight from Config (config-driven scale-out), bit-identical
+    to single-chip results."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from conftest import make_processed_file, synth_chunk
+    from test_ensemble import EMB
+
+    from veritasfi_tpu.engine import RAGEngine
+
+    src = tmp_path / "src"
+    src.mkdir()
+    make_processed_file(src / "a.json", "2024-01-01",
+                        [synth_chunk(i) for i in range(12)])
     cfg = Config()
-    cfg.retrieval.k = 10
-    cfg.retrieval.faiss_k = 40
-    assert cfg.retrieval.path_k() == (40, 10, 10)
+    cfg.persist_directory = str(tmp_path / "idx")
+    cfg.mesh.corpus_shards = 4
+    engine = RAGEngine(cfg, embed_fn=EMB.encode)
+    engine.create_collection("c", str(src))
+    sharded = engine.create_retriever(4, "c")
+    assert sharded.mesh is not None
+    assert sharded.mesh.devices.size == 4
+    cfg.mesh.corpus_shards = 1
+    single = engine.create_retriever(4, "c")
+    assert single.mesh is None
+    q, hyde = "chunk 3 text topic", ["some hypothetical text"]
+    a = [(c["page_content"], c["retriever"]) for c in single.invoke(q, hyde)]
+    b = [(c["page_content"], c["retriever"]) for c in sharded.invoke(q, hyde)]
+    assert a == b
 
 
 def test_flat_and_nested_keys_coexist(tmp_path):

@@ -149,6 +149,10 @@ def main(argv=None) -> int:
     p_e2e.add_argument("--questions", required=True)
     p_e2e.add_argument("--out-dir", required=True)
     p_e2e.add_argument("--self-judge", action="store_true")
+    p_e2e.add_argument("--batch-size", type=int, default=1,
+                       help="questions per session (reference "
+                            "qa_e2e_async.py BATCH_SIZE=1: fresh session "
+                            "per question, no QA-history contamination)")
 
     # retrieval-quality pipeline (reference experiments/retriever stages 1-4)
     p_ret = add_parser("eval-retrieval")
@@ -241,6 +245,10 @@ def main(argv=None) -> int:
     from .config import load_config
 
     config = load_config(getattr(args, "config", None))
+    if not hasattr(args, "log_level"):
+        # no explicit --log-level: the config file's log_level applies
+        # (basicConfig above already ran, so set the level directly)
+        logging.getLogger().setLevel(config.log_level)
 
     if args.cmd == "collect":
         from .evals.retrieval_eval import collect_experiments, plot_experiments
@@ -265,6 +273,17 @@ def main(argv=None) -> int:
     from .stack import build_stack
 
     stack = build_stack(config)
+    if not stack.chat_service.retrievers:
+        # build_stack degrades a missing collection to a warning (library
+        # users may assemble retrievers later); every CLI command past
+        # this point needs one — fail fast with the real cause instead of
+        # an IndexError mid-serve or after expensive eval stages
+        print(json.dumps({
+            "error": f"no collection loaded (persist_directory="
+                     f"{config.persist_directory!r}, collection="
+                     f"{config.collection!r}); run `ingest` first"}))
+        stack.close()
+        return 1
     try:
         if args.cmd == "serve":
             from .serving.server import serve
@@ -280,7 +299,12 @@ def main(argv=None) -> int:
             from .evals import load_questions, run_e2e
 
             questions = load_questions(args.questions)
-            arts = run_e2e(stack.chat_service, [questions], args.out_dir,
+            # one SESSION per batch: a single big batch would condition
+            # every answer on all previous questions' QA history
+            b = max(args.batch_size, 1)
+            batches = [questions[i: i + b]
+                       for i in range(0, len(questions), b)]
+            arts = run_e2e(stack.chat_service, batches, args.out_dir,
                            self_judge=args.self_judge)
             print(json.dumps({"questions": len(arts),
                               "out_dir": args.out_dir}))

@@ -52,12 +52,6 @@ class RetrievalConfig:
     # products of the bf16-rounded embeddings (see ops.topk.dense_topk_large).
     corpus_dtype: str = "float32"
 
-    def path_k(self) -> tuple[int, int, int]:
-        f = self.faiss_k if self.faiss_k is not None else self.k
-        b = self.bm25_k if self.bm25_k is not None else self.k
-        t = self.faiss_ts_k if self.faiss_ts_k is not None else self.k
-        return f, b, t
-
 
 @dataclass
 class RerankConfig:
@@ -128,6 +122,9 @@ class MeshConfig:
     data_axis: str = "data"
     corpus_axis: str = "corpus"
     model_axis: str = "model"
+    # >1: RAGEngine.create_retriever shards the corpus over the first N
+    # devices (ICI top-k merge, bit-identical to single-chip); callers
+    # needing DCN x ICI tuple axes pass an explicit mesh instead
     corpus_shards: int = 1
 
 
@@ -234,6 +231,10 @@ def load_config(path: Optional[str] = None) -> Config:
     (env override mirrors reference faissRetriever.py:43.)
     """
     path = path or os.getenv("CONFIG_PATH")
-    if path and os.path.exists(path):
-        return Config.load(path)
-    return Config()
+    if not path:
+        return Config()
+    if not os.path.exists(path):
+        # a typo'd --config silently serving all-defaults (wrong index
+        # dir, empty bearer token, ...) is far worse than failing fast
+        raise FileNotFoundError(f"config file not found: {path!r}")
+    return Config.load(path)

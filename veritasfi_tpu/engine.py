@@ -198,6 +198,18 @@ class RAGEngine:
                          **kwargs) -> EnsembleRetriever:
         index = self._collections[name]
         r = self.config.retrieval
+        mesh = kwargs.get("mesh")
+        if mesh is None and self.config.mesh.corpus_shards > 1:
+            # config-driven scale-out: shard the corpus over the first
+            # corpus_shards devices (BASELINE config #5 via Config alone;
+            # callers wanting DCN x ICI tuple axes pass an explicit mesh)
+            import jax
+
+            from .parallel.mesh import make_mesh
+
+            n = self.config.mesh.corpus_shards
+            mesh = make_mesh([(self.config.mesh.corpus_axis, n)],
+                             devices=jax.devices()[:n])
         return EnsembleRetriever(
             index, self.embed_fn, bm25=self._bm25.get(name), k=k,
             faiss_k=kwargs.get("faiss_k", r.faiss_k),
@@ -210,6 +222,6 @@ class RAGEngine:
             expand_accept=r.expand_accept,
             expand_max_chunks=r.expand_max_chunks,
             encoder=kwargs.get("encoder"),
-            mesh=kwargs.get("mesh"),
+            mesh=mesh,
             corpus_axis=kwargs.get("corpus_axis", self.config.mesh.corpus_axis),
         )

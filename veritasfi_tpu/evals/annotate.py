@@ -90,10 +90,14 @@ def mine_training_groups(
 
 
 def save_groups(groups: Sequence[Tuple[str, List[str]]], path: str) -> None:
+    """FlagEmbedding-contract JSONL: {query, pos: [str], neg: [str, ...]}
+    (reference data format consumed by train_bge_rr.sh) — exactly what
+    `cli train-reranker --data` parses, so mined data feeds the trainer
+    directly."""
     with open(path, "w", encoding="utf-8") as f:
         for query, passages in groups:
-            f.write(json.dumps({"query": query, "pos": passages[0],
-                                "negs": passages[1:]}, ensure_ascii=False)
+            f.write(json.dumps({"query": query, "pos": [passages[0]],
+                                "neg": passages[1:]}, ensure_ascii=False)
                     + "\n")
 
 
@@ -102,5 +106,6 @@ def load_groups(path: str) -> List[Tuple[str, List[str]]]:
     with open(path, encoding="utf-8") as f:
         for line in f:
             row = json.loads(line)
-            out.append((row["query"], [row["pos"]] + row["negs"]))
+            out.append((row["query"],
+                        [row["pos"][0]] + list(row["neg"])))
     return out

@@ -162,12 +162,17 @@ def generation_stress(n_requests: int = 8, slots: int = 4,
             n += 1
         counts.append(n)
 
-    # warm (compile prefill buckets + decode program)
-    server.generate(prompts[0], max_new_tokens=4, eos_id=-1)
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(n_requests) as ex:
-        list(ex.map(run, prompts))
-    wall = time.perf_counter() - t0
+    try:
+        # warm (compile prefill buckets + decode program)
+        server.generate(prompts[0], max_new_tokens=4, eos_id=-1)
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(n_requests) as ex:
+            list(ex.map(run, prompts))
+        wall = time.perf_counter() - t0
+    finally:
+        # sweeps call this repeatedly in one process: an unclosed server
+        # leaks its dispatcher thread + KV cache buffers per call
+        server.close()
     ttft.sort()
     return {
         "metric": "generation_tokens_per_s",
