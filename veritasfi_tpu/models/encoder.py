@@ -241,6 +241,37 @@ class _Layer(nn.Module):
         return x
 
 
+def encoder_trunk(arch: EncoderArch, dtype, input_ids, attention_mask):
+    """Embedding assembly + transformer stack, shared by FlaxEncoder and
+    FlaxCrossEncoderClassifier (the ONE source of the RoBERTa position-id
+    formula — pad positions skipped, ids start at pos_offset). Must be
+    called from inside an @nn.compact ``__call__``: the named submodules
+    register on the CALLING module, keeping param paths identical to the
+    previous inline definitions (checkpoints/hf_loader unaffected).
+    Returns (hidden_states [B, L, H] in ``dtype``, bool mask)."""
+    a = arch
+    mask = attention_mask.astype(bool)
+    emb = nn.Embed(a.vocab_size, a.hidden, dtype=dtype,
+                   name="word_embeddings")(input_ids)
+    # RoBERTa-style position ids skip pad positions and start at offset.
+    if a.pos_offset:
+        positions = jnp.cumsum(attention_mask, axis=-1) * attention_mask
+        positions = positions + (a.pos_offset - 1) * attention_mask
+    else:
+        positions = jnp.broadcast_to(
+            jnp.arange(input_ids.shape[-1]), input_ids.shape)
+    emb = emb + nn.Embed(a.max_positions, a.hidden, dtype=dtype,
+                         name="position_embeddings")(positions)
+    emb = emb + nn.Embed(a.type_vocab, a.hidden, dtype=dtype,
+                         name="token_type_embeddings")(
+        jnp.zeros_like(input_ids))
+    x = nn.LayerNorm(epsilon=a.layer_norm_eps, dtype=jnp.float32,
+                     name="embeddings_ln")(emb).astype(dtype)
+    for i in range(a.layers):
+        x = _Layer(a, dtype, name=f"layer_{i}")(x, mask)
+    return x, mask
+
+
 class FlaxEncoder(nn.Module):
     """BERT-family encoder returning a pooled, L2-normalized embedding."""
 
@@ -250,26 +281,7 @@ class FlaxEncoder(nn.Module):
     @nn.compact
     def __call__(self, input_ids, attention_mask):
         a = self.arch
-        mask = attention_mask.astype(bool)
-        emb = nn.Embed(a.vocab_size, a.hidden, dtype=self.dtype,
-                       name="word_embeddings")(input_ids)
-        # RoBERTa-style position ids skip pad positions and start at offset.
-        if a.pos_offset:
-            positions = jnp.cumsum(attention_mask, axis=-1) * attention_mask
-            positions = positions + (a.pos_offset - 1) * attention_mask
-        else:
-            positions = jnp.broadcast_to(
-                jnp.arange(input_ids.shape[-1]), input_ids.shape)
-        emb = emb + nn.Embed(a.max_positions, a.hidden, dtype=self.dtype,
-                             name="position_embeddings")(positions)
-        emb = emb + nn.Embed(a.type_vocab, a.hidden, dtype=self.dtype,
-                             name="token_type_embeddings")(
-            jnp.zeros_like(input_ids))
-        x = nn.LayerNorm(epsilon=a.layer_norm_eps, dtype=jnp.float32,
-                         name="embeddings_ln")(emb).astype(self.dtype)
-
-        for i in range(a.layers):
-            x = _Layer(a, self.dtype, name=f"layer_{i}")(x, mask)
+        x, mask = encoder_trunk(a, self.dtype, input_ids, attention_mask)
 
         if a.pooling == "mean":
             denom = jnp.maximum(mask.sum(-1, keepdims=True), 1)

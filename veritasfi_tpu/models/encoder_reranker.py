@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .encoder import ENCODER_PRESETS, EncoderArch, _Layer
+from .encoder import ENCODER_PRESETS, EncoderArch, encoder_trunk
 
 
 RERANKER_ENCODER_PRESETS: Dict[str, EncoderArch] = {
@@ -49,24 +49,7 @@ class FlaxCrossEncoderClassifier(nn.Module):
     @nn.compact
     def __call__(self, input_ids, attention_mask):
         a = self.arch
-        mask = attention_mask.astype(bool)
-        emb = nn.Embed(a.vocab_size, a.hidden, dtype=self.dtype,
-                       name="word_embeddings")(input_ids)
-        if a.pos_offset:
-            positions = jnp.cumsum(attention_mask, axis=-1) * attention_mask
-            positions = positions + (a.pos_offset - 1) * attention_mask
-        else:
-            positions = jnp.broadcast_to(
-                jnp.arange(input_ids.shape[-1]), input_ids.shape)
-        emb = emb + nn.Embed(a.max_positions, a.hidden, dtype=self.dtype,
-                             name="position_embeddings")(positions)
-        emb = emb + nn.Embed(a.type_vocab, a.hidden, dtype=self.dtype,
-                             name="token_type_embeddings")(
-            jnp.zeros_like(input_ids))
-        x = nn.LayerNorm(epsilon=a.layer_norm_eps, dtype=jnp.float32,
-                         name="embeddings_ln")(emb).astype(self.dtype)
-        for i in range(a.layers):
-            x = _Layer(a, self.dtype, name=f"layer_{i}")(x, mask)
+        x, _ = encoder_trunk(a, self.dtype, input_ids, attention_mask)
         cls = x[..., 0, :].astype(jnp.float32)
         h = nn.Dense(a.hidden, dtype=jnp.float32, name="head_dense")(cls)
         h = jnp.tanh(h)
