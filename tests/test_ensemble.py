@@ -102,6 +102,46 @@ def test_parity_with_reference_oracle(tmp_path, seed, expand):
         assert_parity(ours, oracle)
 
 
+def test_parity_random_knob_combinations(tmp_path):
+    """Oracle parity under RANDOM (faiss_k, bm25_k, ts_k, expand, depth)
+    combinations — the fixed-seed tests above never vary the k's, so the
+    compiled-out-path widths (ts_k=0) and shallow depth cutoffs are
+    exercised here; invoke_batch must match invoke for each."""
+    rng = np.random.default_rng(424)
+    for t in range(6):
+        seed = int(rng.integers(0, 10_000))
+        k = int(rng.integers(1, 12))
+        bm25_k = int(rng.integers(0, 10))
+        ts_k = int(rng.integers(0, 10))
+        expand = bool(rng.integers(0, 2))
+        depth = int(rng.choice([10, 50, 2048]))
+        d = tmp_path / f"c{t}"
+        d.mkdir()
+        idx, bm25 = make_corpus(d, seed=seed)
+        eng = EnsembleRetriever(idx, EMB.encode, bm25=bm25, k=8,
+                                faiss_k=k, bm25_k=bm25_k, faiss_ts_k=ts_k,
+                                enable_expand=expand, depth=depth)
+        q = " ".join(rng.choice(
+            ["zeekr", "revenue", "margin", "stores", "europe", "delivery"]
+            + [f"w{i}" for i in range(40)], size=6))
+        hyde = ([f"hypothetical answer about {q}"]
+                if rng.integers(0, 2) else [])
+        dense_results, ts_result = engine_search_results(eng, idx, q, hyde)
+        ours = eng.invoke(q, hyde)
+        oracle = oracle_ensemble_invoke(
+            idx.embeddings, idx.ts_embeddings,
+            [idx.metadata(i) for i in range(idx.num_chunks)],
+            idx.texts, idx.title_texts,
+            bm25_scores_fn=lambda t: bm25.get_scores(t),
+            embed_fn=EMB.encode, input_text=q, hyde_chunks=hyde,
+            faiss_k=k, bm25_k=bm25_k, faiss_ts_k=ts_k,
+            enable_expand=expand, depth=depth,
+            dense_results=dense_results, ts_result=ts_result)
+        assert_parity(ours, oracle)
+        batched = eng.invoke_batch([(q, hyde)])
+        assert [strip_rows(r) for r in batched] == [strip_rows(ours)]
+
+
 def test_expansion_triggers(tmp_path):
     """With a query equal to a chunk's text (score 1.0 > 0.72), expansion
     pulls prev/next chunks whose scores pass 0.66."""
