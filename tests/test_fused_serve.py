@@ -137,6 +137,61 @@ def test_fused_serve_matches_oracle(seed, expand, n):
         assert sel_f == sel_o, (sel_f, sel_o)
 
 
+def test_fused_serve_random_knob_combinations():
+    """Fused serve == classic oracle under RANDOM (k, ts_k, bm25_k,
+    expand, cap) combinations — the parametrized test above never varies
+    the k's, so the _fuse proposal-phase widths (p_dense/p_title/bm25_k
+    interplay) and mid-group cap cuts are exercised here."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(77)
+    encoder = TextEncoder(preset="tiny-test", dtype=jnp.float32,
+                          max_length=64)
+    d = encoder.encode(["probe"]).shape[1]
+    reranker = EncoderReranker(preset="tiny-test", passage_max_length=64)
+    for t in range(4):
+        seed = int(rng.integers(0, 10_000))
+        n = 120
+        index = synth_corpus(n, rng)
+        bm25 = BM25Index.build(index.texts, index.doc_ids)
+        index.embeddings = normalize_rows(
+            rng.normal(size=(n, d)).astype(np.float32))
+        index.ts_embeddings = normalize_rows(
+            rng.normal(size=(index.ts_embeddings.shape[0], d)).astype(
+                np.float32))
+        k = int(rng.integers(1, 9))
+        ts_k = int(rng.integers(0, 7))
+        bm25_k = int(rng.integers(0, 7))
+        expand = bool(rng.integers(0, 2))
+        cap = int(rng.choice([7, 15, 30]))
+        engine = EnsembleRetriever(index, encoder.encode, bm25=bm25, k=8,
+                                   faiss_k=k, faiss_ts_k=ts_k,
+                                   bm25_k=bm25_k, enable_expand=expand,
+                                   depth=50, encoder=encoder)
+        engine.expand_trigger = 0.05
+        engine.expand_accept = 0.02
+        fused = FusedServePath(
+            index, reranker, encoder=encoder, bm25=bm25, k=k, ts_k=ts_k,
+            bm25_k=bm25_k, enable_expand=expand, depth=50,
+            expand_trigger=0.05, expand_accept=0.02, rerank_cap=cap)
+        for txt in index.texts:
+            reranker.tokenize_passage(txt)
+        q = " ".join(rng.choice(
+            ["revenue", "margin", "europe", "battery", "capex", "cash"]
+            + [f"tok{i}" for i in range(30)], size=5))
+        hyde = ([f"about {q}"] if rng.integers(0, 2) else [])
+        full, chunks_o, scores_o, sel_o = oracle(
+            engine, reranker, index, q, hyde, cap)
+        chunks_f, sel_f, diag = fused.serve(q, hyde, QUERY_TIME)
+        label = (f"seed={seed} k={k} ts_k={ts_k} bm25_k={bm25_k} "
+                 f"expand={expand} cap={cap}")
+        assert [c["_row"] for c in chunks_f] == \
+            [c["_row"] for c in chunks_o], label
+        assert [c["retriever"] for c in chunks_f] == \
+            [c["retriever"] for c in chunks_o], label
+        assert sel_f == sel_o, label
+
+
 def test_fused_serve_no_titles_no_bm25():
     rng = np.random.default_rng(7)
     index = synth_corpus(120, rng, with_titles=False, with_bundles=True)
