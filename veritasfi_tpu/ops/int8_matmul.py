@@ -105,7 +105,7 @@ def prequant_int8_matmul(a, w8, sw, bias=None, block_m: int = 512,
         sw = jnp.pad(sw, ((0, 0), (0, pad_n)))
     mp, np_ = a.shape[0], w8.shape[1]
 
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         _prequant_kernel,
         grid=(mp // bm, np_ // bn),
@@ -209,7 +209,7 @@ def fused_int8_mlp(x, w1q, s1, b1, w2q, s2, b2, gelu_tanh: bool = True,
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
     mp = x.shape[0]
 
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, gelu_tanh=gelu_tanh),
         grid=(mp // bm,),
@@ -277,20 +277,20 @@ def dynamic_int8_matmul(a, w, bias=None, block_m: int = 512,
         grid=(mp // bm, np_ // block_n),
         in_specs=[
             pl.BlockSpec((bm, k), lambda i, j: (i, 0),
-                         memory_space=pltpu.ANY if interpret
+                         memory_space=pl.ANY if interpret
                          else pltpu.VMEM),
             pl.BlockSpec((k, block_n), lambda i, j: (0, j),
-                         memory_space=pltpu.ANY if interpret
+                         memory_space=pl.ANY if interpret
                          else pltpu.VMEM),
             pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.ANY if interpret
+                         memory_space=pl.ANY if interpret
                          else pltpu.VMEM),
             pl.BlockSpec((1, block_n), lambda i, j: (0, j),
-                         memory_space=pltpu.ANY if interpret
+                         memory_space=pl.ANY if interpret
                          else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, block_n), lambda i, j: (i, j),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         cost_estimate=pl.CostEstimate(

@@ -68,7 +68,7 @@ def short_seq_mha(q, k, v, lengths, interpret: bool = False):
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
     spec = pl.BlockSpec((1, h, s, d), lambda i: (i, 0, 0, 0),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
     # whole lengths vector in SMEM (rank-1 blocks must cover the array)
     len_spec = pl.BlockSpec((b,), lambda i: (0,),
                             memory_space=pltpu.SMEM)
