@@ -163,6 +163,12 @@ def main(argv=None) -> int:
                        choices=["cos", "string", "llm"])
     p_ret.add_argument("--sim-threshold", type=float, default=0.9)
     p_ret.add_argument("--use-hyde", action="store_true")
+    p_ret.add_argument("--judge-model", default=None,
+                       help="dedicated judge embedder: local HF checkpoint "
+                            "dir (Qwen3-Embedding-class last-token pooling "
+                            "or BERT-class) or decoder preset; default = "
+                            "the retrieval encoder (reference judges with "
+                            "Qwen3-Embedding-4B, step3_mul.py:384)")
 
     p_col = add_parser(
         "collect", help="tabulate + chart statistic.json trees "
@@ -338,7 +344,13 @@ def main(argv=None) -> int:
                 (lambda evidence, chunk: manager.evaluate_chunk(
                     chunk, evidence, evidence))
                 if args.judge == "llm" else None)
-            results = hit_rate_eval(records, stack.engine.embed_fn,
+            if args.judge_model:
+                from .evals.retrieval_eval import build_judge_embed_fn
+
+                judge_embed = build_judge_embed_fn(args.judge_model)
+            else:
+                judge_embed = stack.engine.embed_fn
+            results = hit_rate_eval(records, judge_embed,
                                     method=args.judge,
                                     sim_threshold=args.sim_threshold,
                                     llm_vote=llm_vote)

@@ -161,6 +161,40 @@ def collect_recall(records: List[RewriteRecord], retriever,
 # ---------------------------------------------------------------------------
 # Stage 4: hit-rate judging
 # ---------------------------------------------------------------------------
+def build_judge_embed_fn(name: str) -> Callable[[List[str]], np.ndarray]:
+    """Build the judge's embedding function from a model name.
+
+    The reference judges with a DEDICATED embedder — Qwen3-Embedding-4B
+    last-token pooling (step3_mul.py:181-209,384) — not the retrieval
+    encoder. Accepts: a local HF checkpoint dir (decoder families qwen2/
+    qwen3/gemma via DecoderEmbedder; BERT/XLM-R via TextEncoder), or a
+    decoder preset name (random weights: plumbing/CI mode)."""
+    import os
+
+    if os.path.isdir(name):
+        import json as _json
+
+        with open(os.path.join(name, "config.json")) as f:
+            model_type = _json.load(f).get("model_type", "")
+        if model_type in ("qwen2", "qwen3", "gemma"):
+            from ..models.decoder_embedder import \
+                load_decoder_embedder_from_dir
+
+            return load_decoder_embedder_from_dir(name).encode
+        from ..models.hf_loader import load_encoder_from_dir
+
+        return load_encoder_from_dir(name).encode
+    from ..models.decoder_embedder import DecoderEmbedder
+    from ..models.reranker import DECODER_PRESETS
+
+    if name in DECODER_PRESETS:
+        logger.warning("judge embedder '%s': random weights (no "
+                       "checkpoint)", name)
+        return DecoderEmbedder(preset=name).encode
+    raise ValueError(f"unknown judge model {name!r}: not a checkpoint "
+                     f"dir or decoder preset")
+
+
 def judge_hits(
     evidences: List[str],
     chunk_texts: List[str],

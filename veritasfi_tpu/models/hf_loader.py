@@ -149,11 +149,15 @@ def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
     raise FileNotFoundError(f"no model weights found under {path}")
 
 
-def load_gemma_params(state: Mapping[str, Any], arch) -> Dict[str, Any]:
-    """Map a HF Gemma(-family) causal-LM state dict onto FlaxDecoderLM.
+def load_decoder_params(state: Mapping[str, Any], arch) -> Dict[str, Any]:
+    """Map a HF Gemma/Qwen2/Qwen3-family causal-LM state dict onto
+    FlaxDecoderLM.
 
-    Covers bge-reranker-v2-gemma (google/gemma-2b backbone); the LM head is
-    tied to the embedding, as in Gemma."""
+    Covers bge-reranker-v2-gemma (google/gemma-2b backbone) and the
+    reference's Qwen line (chat: Qwen2.5-*, config/example.yaml:5;
+    eval judge: Qwen3-Embedding-*, step3_mul.py:384). Driven by the arch
+    flags: ``attn_bias`` (Qwen2 q/k/v biases), ``qk_norm`` (Qwen3 per-head
+    norms) and ``tied_head`` (separate lm_head.weight when False)."""
 
     def get(name: str) -> np.ndarray:
         for cand in (name, "model." + name):
@@ -161,29 +165,39 @@ def load_gemma_params(state: Mapping[str, Any], arch) -> Dict[str, Any]:
                 return _np(state[cand])
         raise KeyError(f"missing weight: {name}")
 
-    def lin(name: str) -> Dict[str, np.ndarray]:
-        return {"kernel": get(f"{name}.weight").T}
+    def lin(name: str, bias: bool = False) -> Dict[str, np.ndarray]:
+        out = {"kernel": get(f"{name}.weight").T}
+        if bias:
+            out["bias"] = get(f"{name}.bias")
+        return out
 
-    def attn_lin(name: str) -> Dict[str, Any]:
+    def attn_lin(name: str, bias: bool = False) -> Dict[str, Any]:
         # with LoRA enabled, the frozen base kernel nests under "base"
         if getattr(arch, "lora_rank", 0) > 0:
-            return {"base": lin(name)}
-        return lin(name)
+            return {"base": lin(name, bias)}
+        return lin(name, bias)
 
     params: Dict[str, Any] = {
         "embed_tokens": {"embedding": get("embed_tokens.weight")},
-        # our RMSNorm stores w with effective scale (1 + w), matching Gemma
+        # our RMSNorm stores w; rms_plus_one applies Gemma's (1 + w)
         "final_ln": {"weight": get("norm.weight")},
     }
+    if not getattr(arch, "tied_head", True):
+        params["lm_head"] = get("lm_head.weight")
+    qkv_bias = getattr(arch, "attn_bias", False)
     for i in range(arch.layers):
         base = f"layers.{i}"
+        attn = {
+            "q_proj": attn_lin(f"{base}.self_attn.q_proj", qkv_bias),
+            "k_proj": attn_lin(f"{base}.self_attn.k_proj", qkv_bias),
+            "v_proj": attn_lin(f"{base}.self_attn.v_proj", qkv_bias),
+            "o_proj": attn_lin(f"{base}.self_attn.o_proj"),
+        }
+        if getattr(arch, "qk_norm", False):
+            attn["q_norm"] = {"weight": get(f"{base}.self_attn.q_norm.weight")}
+            attn["k_norm"] = {"weight": get(f"{base}.self_attn.k_norm.weight")}
         params[f"layer_{i}"] = {
-            "attn": {
-                "q_proj": attn_lin(f"{base}.self_attn.q_proj"),
-                "k_proj": attn_lin(f"{base}.self_attn.k_proj"),
-                "v_proj": attn_lin(f"{base}.self_attn.v_proj"),
-                "o_proj": attn_lin(f"{base}.self_attn.o_proj"),
-            },
+            "attn": attn,
             "input_ln": {"weight": get(f"{base}.input_layernorm.weight")},
             "post_ln": {"weight": get(f"{base}.post_attention_layernorm.weight")},
             "gate_proj": lin(f"{base}.mlp.gate_proj"),
@@ -191,3 +205,54 @@ def load_gemma_params(state: Mapping[str, Any], arch) -> Dict[str, Any]:
             "down_proj": lin(f"{base}.mlp.down_proj"),
         }
     return {"params": params}
+
+
+# back-compat name (pre-Qwen rounds exposed the Gemma-only mapper)
+load_gemma_params = load_decoder_params
+
+
+def decoder_arch_from_config(cfg: Mapping[str, Any]):
+    """Build a DecoderArch from a HF config.json dict for the supported
+    decoder families (gemma / qwen2 / qwen3). Mapping the checkpoint's real
+    dims matters: preset defaults would silently truncate deeper variants."""
+    from .reranker import DecoderArch
+
+    model_type = cfg.get("model_type", "gemma")
+    if model_type not in ("gemma", "qwen2", "qwen3"):
+        raise ValueError(f"unsupported decoder family: {model_type!r}")
+    gemma = model_type == "gemma"
+    heads = cfg.get("num_attention_heads", 8 if gemma else 14)
+    hidden = cfg.get("hidden_size", 2048)
+    vocab = cfg.get("vocab_size", 256_000 if gemma else 151_936)
+
+    def tok(key, default):
+        v = cfg.get(key)
+        if isinstance(v, (list, tuple)):    # HF allows eos_token_id lists
+            v = v[0] if v else None
+        if v is None or not (0 <= v < vocab):
+            # out-of-vocab ids (e.g. Qwen's 151643 against a tiny test
+            # vocab) would index the embedding out of bounds
+            return default if 0 <= default < vocab else 0
+        return v
+
+    return DecoderArch(
+        vocab_size=vocab,
+        hidden=hidden,
+        layers=cfg.get("num_hidden_layers", 18),
+        heads=heads,
+        kv_heads=cfg.get("num_key_value_heads", 1 if gemma else heads),
+        head_dim=cfg.get("head_dim", 256 if gemma else hidden // heads),
+        intermediate=cfg.get("intermediate_size", 16_384),
+        rope_theta=cfg.get("rope_theta", 10_000.0 if gemma else 1e6),
+        rms_eps=cfg.get("rms_norm_eps", 1e-6),
+        pad_id=tok("pad_token_id", 0 if gemma else 151_643),
+        bos_id=tok("bos_token_id", 2 if gemma else 151_643),
+        eos_id=tok("eos_token_id", 1 if gemma else 151_645),
+        embed_scale=gemma,
+        rms_plus_one=gemma,
+        attn_bias=model_type == "qwen2",
+        mlp_act="gelu" if gemma else "silu",
+        tied_head=cfg.get("tie_word_embeddings", gemma),
+        qk_norm=model_type == "qwen3",
+        add_bos=gemma,
+    )

@@ -51,6 +51,20 @@ class DecoderArch:
     # on q,k,v,o_proj — train_bge_rr.sh:10-17). 0 disables.
     lora_rank: int = 0
     lora_alpha: float = 64.0
+    # -- Qwen-family knobs (the reference serves Qwen2.5-72B-AWQ via vLLM,
+    # config/example.yaml:5, and judges hit-rate with Qwen3-Embedding-4B,
+    # step3_mul.py:384) -------------------------------------------------
+    # Qwen2/2.5 attention has biases on q/k/v (not o).
+    attn_bias: bool = False
+    # "gelu" (Gemma GeGLU) or "silu" (Qwen SwiGLU).
+    mlp_act: str = "gelu"
+    # Gemma/Qwen2.5-0.5B tie the LM head to the embedding; larger Qwen
+    # variants carry a separate lm_head.weight.
+    tied_head: bool = True
+    # Qwen3 applies per-head RMSNorm to q and k before RoPE.
+    qk_norm: bool = False
+    # Qwen tokenizers add no BOS; Gemma prepends <bos>=2.
+    add_bos: bool = True
 
 
 DECODER_PRESETS: Dict[str, DecoderArch] = {
@@ -63,6 +77,35 @@ DECODER_PRESETS: Dict[str, DecoderArch] = {
     "gemma-mini": DecoderArch(vocab_size=32_768, hidden=1024, layers=8,
                               heads=8, kv_heads=1, head_dim=128,
                               intermediate=4096),
+    # -- Qwen2.5 family (the reference's chat model line:
+    # Qwen2.5-72B-Instruct-AWQ, config/example.yaml:5). Qwen: SwiGLU,
+    # plain RMSNorm, q/k/v biases, no embed scale, no BOS, theta 1e6.
+    "qwen2.5-0.5b": DecoderArch(
+        vocab_size=151_936, hidden=896, layers=24, heads=14, kv_heads=2,
+        head_dim=64, intermediate=4864, rope_theta=1e6, pad_id=151_643,
+        bos_id=151_643, eos_id=151_645, embed_scale=False,
+        rms_plus_one=False, attn_bias=True, mlp_act="silu", tied_head=True,
+        add_bos=False),
+    "qwen2.5-1.5b": DecoderArch(
+        vocab_size=151_936, hidden=1536, layers=28, heads=12, kv_heads=2,
+        head_dim=128, intermediate=8960, rope_theta=1e6, pad_id=151_643,
+        bos_id=151_643, eos_id=151_645, embed_scale=False,
+        rms_plus_one=False, attn_bias=True, mlp_act="silu", tied_head=True,
+        add_bos=False),
+    "qwen2.5-7b": DecoderArch(
+        vocab_size=152_064, hidden=3584, layers=28, heads=28, kv_heads=4,
+        head_dim=128, intermediate=18_944, rope_theta=1e6, pad_id=151_643,
+        bos_id=151_643, eos_id=151_645, embed_scale=False,
+        rms_plus_one=False, attn_bias=True, mlp_act="silu", tied_head=False,
+        add_bos=False),
+    # Qwen3-Embedding backbone (the reference's hit-rate judge model class,
+    # step3_mul.py:384; last-token pooling lives in models/decoder_embedder)
+    "qwen3-embedding-0.6b": DecoderArch(
+        vocab_size=151_669, hidden=1024, layers=28, heads=16, kv_heads=8,
+        head_dim=128, intermediate=3072, rope_theta=1e6, pad_id=151_643,
+        bos_id=151_643, eos_id=151_643, embed_scale=False,
+        rms_plus_one=False, attn_bias=False, mlp_act="silu", tied_head=True,
+        qk_norm=True, add_bos=False),
     # bge-reranker-v2-minicpm-layerwise-class sizes could be added similarly.
 }
 
@@ -77,7 +120,11 @@ class RMSNorm(nn.Module):
         x = x.astype(jnp.float32)
         var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
         x = x * jax.lax.rsqrt(var + self.eps)
-        w = self.param("weight", nn.initializers.zeros, (x.shape[-1],))
+        # identity at init under either convention: Gemma stores w with
+        # effective scale (1+w) (zeros), Qwen plain w (ones)
+        init = (nn.initializers.zeros if self.plus_one
+                else nn.initializers.ones)
+        w = self.param("weight", init, (x.shape[-1],))
         scale = (1.0 + w) if self.plus_one else w
         return (x * scale).astype(dtype)
 
@@ -107,10 +154,11 @@ class LoRADense(nn.Module):
     rank: int
     alpha: float
     dtype: Any
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+        y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
                      name="base")(x)
         if self.rank > 0:
             a = self.param("lora_a", nn.initializers.normal(0.02),
@@ -135,19 +183,25 @@ class _Attention(nn.Module):
         a = self.arch
         b, t, _ = x.shape
 
-        def proj(features, name):
+        def proj(features, name, bias=False):
             if a.lora_rank > 0:
                 return LoRADense(features, a.lora_rank, a.lora_alpha,
-                                 self.dtype, name=name)
-            return nn.Dense(features, use_bias=False, dtype=self.dtype,
+                                 self.dtype, use_bias=bias, name=name)
+            return nn.Dense(features, use_bias=bias, dtype=self.dtype,
                             name=name)
 
-        q = proj(a.heads * a.head_dim, "q_proj")(x).reshape(
+        # Qwen2/2.5 carries biases on q/k/v only (never o_proj)
+        q = proj(a.heads * a.head_dim, "q_proj", a.attn_bias)(x).reshape(
             b, t, a.heads, a.head_dim)
-        k = proj(a.kv_heads * a.head_dim, "k_proj")(x).reshape(
+        k = proj(a.kv_heads * a.head_dim, "k_proj", a.attn_bias)(x).reshape(
             b, t, a.kv_heads, a.head_dim)
-        v = proj(a.kv_heads * a.head_dim, "v_proj")(x).reshape(
+        v = proj(a.kv_heads * a.head_dim, "v_proj", a.attn_bias)(x).reshape(
             b, t, a.kv_heads, a.head_dim)
+
+        if a.qk_norm:
+            # Qwen3: per-head RMSNorm over head_dim before RoPE
+            q = RMSNorm(a.rms_eps, a.rms_plus_one, name="q_norm")(q)
+            k = RMSNorm(a.rms_eps, a.rms_plus_one, name="k_norm")(k)
 
         q = rope(q, positions, a.rope_theta)
         k = rope(k, positions, a.rope_theta)
@@ -227,7 +281,9 @@ class _Block(nn.Module):
                         name="gate_proj")(h)
         up = nn.Dense(a.intermediate, use_bias=False, dtype=self.dtype,
                       name="up_proj")(h)
-        h = nn.gelu(gate, approximate=True) * up
+        act = nn.silu if a.mlp_act == "silu" else (
+            lambda g: nn.gelu(g, approximate=True))
+        h = act(gate) * up
         h = nn.Dense(a.hidden, use_bias=False, dtype=self.dtype,
                      name="down_proj")(h)
         return x + h, new_cache
@@ -245,7 +301,8 @@ class FlaxDecoderLM(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, logit_ids=None,
-                 cache=None, cache_offset=0, positions=None):
+                 cache=None, cache_offset=0, positions=None,
+                 output_hidden=False):
         a = self.arch
         mask = attention_mask.astype(bool)
         embed = nn.Embed(a.vocab_size, a.hidden, dtype=self.dtype,
@@ -266,7 +323,17 @@ class FlaxDecoderLM(nn.Module):
                 new_caches.append(new_cache)
         x = RMSNorm(a.rms_eps, a.rms_plus_one, name="final_ln")(x)
         x = x.astype(jnp.float32)
-        table = embed.embedding.astype(jnp.float32)
+        if output_hidden:
+            # final-norm hidden states (for last-token-pooling embedders,
+            # models/decoder_embedder.py) — skips the vocab projection
+            return (x, new_caches) if cache is not None else x
+        if a.tied_head:
+            table = embed.embedding.astype(jnp.float32)
+        else:
+            # HF lm_head.weight layout: [vocab, hidden]
+            table = self.param(
+                "lm_head", nn.initializers.normal(0.02),
+                (a.vocab_size, a.hidden)).astype(jnp.float32)
         if logit_ids is not None:
             table = table[jnp.asarray(logit_ids)]
         logits = jnp.einsum("btd,vd->btv", x, table)
@@ -372,9 +439,10 @@ class CrossEncoderReranker:
         q_cap = min(self.query_max_length, self.passage_max_length * 3 // 4)
         q_ids = self._encode_raw(f"A: {query}")[:q_cap]
         suffix = list(self._sep_ids) + list(self._prompt_ids)
-        budget = (self.passage_max_length - len(q_ids) - 1
+        bos = [self.arch.bos_id] if self.arch.add_bos else []
+        budget = (self.passage_max_length - len(q_ids) - len(bos)
                   - len(self._sep_ids) - len(suffix))
-        prefix = [self.arch.bos_id] + list(q_ids) + list(self._sep_ids)
+        prefix = bos + list(q_ids) + list(self._sep_ids)
         return prefix, budget, suffix
 
     def encode_pair(self, query: str, passage: str) -> List[int]:

@@ -93,7 +93,9 @@ class LocalChatBackend:
             tpl = self.template.get(role, self.template["user"])
             parts.append(tpl.format(content=m.get("content") or ""))
         parts.append(self.template["generation_prefix"])
-        return [self.module.arch.bos_id] + self._encode("".join(parts))
+        bos = ([self.module.arch.bos_id]
+               if getattr(self.module.arch, "add_bos", True) else [])
+        return bos + self._encode("".join(parts))
 
     # -- OpenAI-protocol surface -----------------------------------------
     def chat(self, *, model: str, messages: List[Dict],

@@ -41,30 +41,28 @@ def build_reranker(config: Config):
         with open(os.path.join(name, "config.json")) as f:
             cfg = json.load(f)
         model_type = cfg.get("model_type", "")
-        if model_type == "gemma":
-            from .models.hf_loader import _load_state_dict, load_gemma_params
-            from .models.reranker import CrossEncoderReranker, DecoderArch
+        if model_type in ("gemma", "qwen2", "qwen3"):
+            from .models.hf_loader import (_load_state_dict,
+                                           decoder_arch_from_config,
+                                           load_decoder_params)
+            from .models.reranker import CrossEncoderReranker
             from .models.tokenizer import load_hf_tokenizer
 
             # map the checkpoint's real dims (like the encoder branch
-            # below) — hardcoded DecoderArch() defaults would SILENTLY
-            # truncate a deeper gemma variant to its first 18 layers
-            arch = DecoderArch(
-                vocab_size=cfg.get("vocab_size", 256_000),
-                hidden=cfg.get("hidden_size", 2048),
-                layers=cfg.get("num_hidden_layers", 18),
-                heads=cfg.get("num_attention_heads", 8),
-                kv_heads=cfg.get("num_key_value_heads", 1),
-                head_dim=cfg.get("head_dim", 256),
-                intermediate=cfg.get("intermediate_size", 16_384),
-                rope_theta=cfg.get("rope_theta", 10_000.0),
-                rms_eps=cfg.get("rms_norm_eps", 1e-6),
-                pad_id=cfg.get("pad_token_id", 0),
-                bos_id=cfg.get("bos_token_id", 2),
-                eos_id=cfg.get("eos_token_id", 1))
-            params = load_gemma_params(_load_state_dict(name), arch)
+            # below) — hardcoded preset defaults would SILENTLY truncate
+            # a deeper variant to its first N layers
+            arch = decoder_arch_from_config(cfg)
+            params = load_decoder_params(_load_state_dict(name), arch)
+            try:
+                tokenizer = load_hf_tokenizer(name)
+            except Exception:
+                logger.warning("checkpoint %s has weights but no loadable "
+                               "tokenizer; falling back to the hash "
+                               "tokenizer (plumbing mode)", name,
+                               exc_info=True)
+                tokenizer = None
             return CrossEncoderReranker(
-                arch=arch, params=params, tokenizer=load_hf_tokenizer(name),
+                arch=arch, params=params, tokenizer=tokenizer,
                 dtype=dtype,
                 query_max_length=config.rerank.query_max_length,
                 passage_max_length=config.rerank.passage_max_length)
