@@ -139,10 +139,31 @@ def bench_1m_retrieval(iters: int = 10, n: int = 1_000_000, dim: int = 384):
     t_xla = med(lambda: jax.device_get(dense_topk_chunked(c_dev, q_emb, 16)))
     t_pl = med(lambda: jax.device_get(
         pallas_mips_topk(c_bf, q_emb.astype(jnp.bfloat16), 16)))
-    return {"corpus_size": n, "p50_ms": round(lat[len(lat) // 2], 3),
-            "expansion": True, "path": "streaming",
-            "topk_xla_chunked_f32_ms": round(t_xla, 2),
-            "topk_pallas_bf16_ms": round(t_pl, 2)}
+
+    # end-to-end invoke with the bf16-resident corpus: the engine routes
+    # dense search through the fused Pallas MIPS kernel on TPU
+    # (retrieval.corpus_dtype: bfloat16 — ops/topk.py::dense_topk_large),
+    # halving corpus HBM traffic vs the fp32 streaming path above
+    del c_dev, c_bf
+    out = {"corpus_size": n, "p50_ms": round(lat[len(lat) // 2], 3),
+           "expansion": True, "path": "streaming",
+           "topk_xla_chunked_f32_ms": round(t_xla, 2),
+           "topk_pallas_bf16_ms": round(t_pl, 2)}
+    try:
+        engine_bf = EnsembleRetriever(index, emb.encode, bm25=None, k=10,
+                                      enable_expand=True, depth=2048,
+                                      corpus_dtype="bfloat16")
+        engine_bf.invoke(query, hyde)   # compile
+        lat_bf = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            engine_bf.invoke(query, hyde)
+            lat_bf.append((time.perf_counter() - t0) * 1000.0)
+        lat_bf.sort()
+        out["p50_ms_bf16_pallas"] = round(lat_bf[len(lat_bf) // 2], 3)
+    except Exception as e:   # never cost the headline metric this row
+        out["p50_ms_bf16_pallas"] = f"failed: {e}"
+    return out
 
 
 def main():

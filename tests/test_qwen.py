@@ -252,6 +252,9 @@ def test_embedder_appends_eos_and_truncates():
     emb = DecoderEmbedder(arch=QWEN_TINY, instruction=None, max_length=8)
     rows = emb._rows(["alpha beta gamma delta epsilon zeta eta theta iota"])
     assert len(rows[0]) <= 8
+    # eos survives truncation (the pooled position must stay the summary
+    # token, not an arbitrary mid-sentence token)
+    assert rows[0][-1] == QWEN_TINY.eos_id
     short = emb._rows(["alpha"])
     assert short[0][-1] == QWEN_TINY.eos_id
 

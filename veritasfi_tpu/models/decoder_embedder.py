@@ -94,9 +94,12 @@ class DecoderEmbedder:
     def _rows(self, texts: List[str]) -> List[List[int]]:
         bos = [self.arch.bos_id] if self.arch.add_bos else []
         # Qwen3-Embedding appends <|endoftext|> (the eos) so the pooled
-        # last token is a stable summary position across inputs
-        return [(bos + self._encode_raw(t) + [self.arch.eos_id]
-                 )[: self.max_length] for t in texts]
+        # last token is a stable summary position across inputs; truncate
+        # the TEXT, not the suffix — a dropped eos would pool an arbitrary
+        # mid-sentence token for every overlong document
+        body = self.max_length - 1 - len(bos)
+        return [bos + self._encode_raw(t)[:body] + [self.arch.eos_id]
+                for t in texts]
 
     # -- embedding --------------------------------------------------------
     def encode_tokens(self, rows: List[List[int]]) -> np.ndarray:
