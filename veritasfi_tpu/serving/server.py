@@ -34,8 +34,12 @@ def create_app(stack, bearer_token: str = ""):
     @web.middleware
     async def auth_middleware(request, handler):
         if bearer_token:
+            import hmac
+
             header = request.headers.get("Authorization", "")
-            if header != f"Bearer {bearer_token}":
+            # constant-time compare: a plain != leaks the token prefix
+            # length through response timing
+            if not hmac.compare_digest(header, f"Bearer {bearer_token}"):
                 return web.json_response({"error": "unauthorized"},
                                          status=401)
         return await handler(request)
