@@ -97,7 +97,10 @@ class DecoderEmbedder:
         # last token is a stable summary position across inputs; truncate
         # the TEXT, not the suffix — a dropped eos would pool an arbitrary
         # mid-sentence token for every overlong document
-        body = self.max_length - 1 - len(bos)
+        # clamp: max_length <= len(bos)+1 would make this negative and the
+        # [:body] slice keep nearly ALL tokens, overflowing the bucket so
+        # encode_tokens' clamp drops the eos this code exists to preserve
+        body = max(0, self.max_length - 1 - len(bos))
         return [bos + self._encode_raw(t)[:body] + [self.arch.eos_id]
                 for t in texts]
 

@@ -38,8 +38,12 @@ def create_app(stack, bearer_token: str = ""):
 
             header = request.headers.get("Authorization", "")
             # constant-time compare: a plain != leaks the token prefix
-            # length through response timing
-            if not hmac.compare_digest(header, f"Bearer {bearer_token}"):
+            # length through response timing. Compare BYTES: compare_digest
+            # on str raises TypeError for non-ASCII input, so a crafted
+            # header would turn the 401 into an unhandled 500
+            if not hmac.compare_digest(
+                    header.encode("utf-8", "surrogateescape"),
+                    f"Bearer {bearer_token}".encode()):
                 return web.json_response({"error": "unauthorized"},
                                          status=401)
         return await handler(request)
