@@ -64,7 +64,8 @@ class ChatManager:
         num_hypo: int = 3,
         max_retry: int = 3,
     ) -> None:
-        assert history_limit % 2 == 0, "history_limit must be an even number"
+        assert history_limit % 2 == 0, \
+            "history_limit counts user+assistant turns, so it must be even"
         self.session_id = session_id
         self.llm = llm
         self.model_name = model_name
@@ -139,15 +140,17 @@ class ChatManager:
                     pass
                 lines = completion.choices[0].message.content.strip().split("\n")
                 assert len(lines) == 3, (
-                    "Not enough lines in response, expected 3, got %d" % len(lines))
+                    "rewrite protocol violated: want exactly 3 lines "
+                    "(list / date / yes-no), got %d" % len(lines))
                 self.rewrittens = ast.literal_eval(lines[0].strip())
                 self.query_time = datetime.strptime(lines[1].strip(), "%Y-%m-%d")
                 self.need_rag = "yes" in lines[2].strip().lower()
                 assert isinstance(self.rewrittens, list) and self.rewrittens, \
-                    "Rewritten question must be a non-empty list"
+                    "line 1 must literal-eval to a non-empty list of queries"
                 break
             except Exception as e:
-                logger.warning("Error in if_query_rag: %s. Retry...", e)
+                logger.warning("rewrite attempt failed (%s); using the "
+                               "safe fallback and retrying", e)
                 self.need_rag = False
                 self.rewrittens = [question]
                 self.query_time = datetime.now()
@@ -184,7 +187,7 @@ class ChatManager:
                 self.rewrittens = data["rewritten"]
                 break
             except Exception as e:
-                logger.warning("Error in if_query_rag_json: %s", e)
+                logger.warning("JSON rewrite attempt failed (%s)", e)
                 # same safe fallback as if_query_rag: without it a parse
                 # failure would return the PREVIOUS question's rewrittens
                 # (or [] on a fresh manager, crashing every answer path)
@@ -215,7 +218,7 @@ class ChatManager:
                 chunk_list = [c.strip() for c in text.split("ANSWER:")[1:]]
                 break
             except Exception as e:
-                logger.warning("Error generating hypothetical chunks: %s", e)
+                logger.warning("HyDE generation attempt failed (%s)", e)
         return chunk_list
 
     async def generate_hypo_chunks_async(self, question: str,
@@ -240,11 +243,11 @@ class ChatManager:
                 chunk_list = [c.strip() for c in text.split("ANSWER:")[1:]]
                 break
             except asyncio.TimeoutError:
-                logger.warning("HyDE timed out (attempt %d/%d)",
+                logger.warning("HyDE call hit its deadline (attempt %d/%d)",
                                attempt + 1, max_retry)
                 await asyncio.sleep(0.5)
             except Exception as e:
-                logger.warning("Error generating hypothetical chunks: %s", e)
+                logger.warning("HyDE generation attempt failed (%s)", e)
                 await asyncio.sleep(0.5)
         return chunk_list
 
@@ -376,11 +379,12 @@ class ChatManager:
                 pass
             return user_input, response
         except asyncio.TimeoutError:
-            logger.error("Chat request timed out for input: %s...",
+            logger.error("chat turn exceeded its deadline; question head: %s...",
                          user_input[:50])
             return user_input, None
         except Exception as e:
-            logger.error("Error in chat_async: %s", e)
+            logger.error("chat turn failed (%s); returning the apology "
+                         "fallback", e)
             return user_input, None
 
     # ------------------------------------------------------------------
@@ -412,7 +416,8 @@ class ChatManager:
                 pass
             if merged:
                 return merged
-            logger.warning("Empty response for modifying answer")
+            logger.warning("answer-modification call returned empty text; "
+                           "keeping the draft answer")
         return answers[0] if answers else ""
 
     def summarize_chat_history(self, chat_history: str,
