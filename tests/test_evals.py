@@ -228,6 +228,60 @@ def test_collect_experiments(tmp_path):
     assert "avg_hit_rate" in csv_text and "faiss_bm25" in csv_text
 
 
+def test_collect_num_recalls(tmp_path):
+    """num_recalls + unique-recall aggregation over a result-file tree
+    (reference collect_num_recalls.py:57-129): explicit reference-shape
+    fields AND our native record shape (derived from ``chunks``), JSON list
+    and JSONL both accepted, per-file + overall stats."""
+    from veritasfi_tpu.evals.retrieval_eval import (collect_num_recalls,
+                                                    summarize_num_recalls)
+
+    # reference record shape: num_recalls + query_chunks (JSON list)
+    a = tmp_path / "exp_a"
+    a.mkdir()
+    (a / "result.json").write_text(json.dumps([
+        {"num_recalls": 4, "query_chunks": ["c1", "c2", "c2", "c3"]},
+        {"num_recalls": 2, "query_chunks": ["c1", "c1"]},
+        {"no_metrics_here": True},           # skipped, like the reference
+    ]))
+    # our native shape: chunks with content dicts (JSONL)
+    b = tmp_path / "exp_b"
+    b.mkdir()
+    (b / "result.json").write_text(
+        json.dumps({"chunks": [{"content": "x"}, {"content": "x"},
+                               {"content": "y"}]}) + "\n" +
+        json.dumps({"chunks": [{"content": "z"}]}) + "\n")
+    # a file with no extractable data still produces a (count 0) row
+    c = tmp_path / "exp_c"
+    c.mkdir()
+    (c / "result.json").write_text("[]")
+    (c / "other.json").write_text("[]")      # filename mismatch: not walked
+
+    stats = collect_num_recalls(str(tmp_path))
+    assert [s["path"] for s in stats] == [
+        "exp_a/result.json", "exp_b/result.json", "exp_c/result.json"]
+    s_a, s_b, s_c = stats
+    assert s_a["count"] == 2 and s_a["average"] == 3.0
+    assert s_a["minimum"] == 2.0 and s_a["maximum"] == 4.0
+    # unique-recall: sets over the chunk strings -> 3 and 1
+    assert s_a["unique_recall_values"] == [3, 1]
+    assert s_a["unique_recall_average"] == 2.0
+    assert s_b["count"] == 2 and s_b["values"] == [3.0, 1.0]
+    assert s_b["unique_recall_values"] == [2, 1]
+    assert s_c["count"] == 0 and s_c["average"] is None
+
+    out = tmp_path / "num_recalls_summary.json"
+    summary = summarize_num_recalls(stats, out_path=str(out))
+    assert summary["files_processed"] == 3
+    assert summary["files_with_data"] == 2
+    assert summary["num_recalls"]["total_records"] == 4
+    assert summary["num_recalls"]["average"] == pytest.approx(10 / 4)
+    assert summary["unique_recalls"]["minimum"] == 1
+    assert summary["unique_recalls"]["maximum"] == 3
+    on_disk = json.loads(out.read_text())
+    assert on_disk["num_recalls"] == summary["num_recalls"]
+
+
 def test_stress_test_threads():
     from veritasfi_tpu.evals import stress_test
 

@@ -181,6 +181,19 @@ def main(argv=None) -> int:
                        help="directory for grouped-bar PNGs "
                             "(avg_hit_rate / avg_chunk)")
 
+    p_nr = add_parser(
+        "collect-num-recalls",
+        help="per-file + overall num_recalls / unique-recall statistics "
+             "over a result-file tree (reference "
+             "collect_num_recalls.py:57-129)")
+    p_nr.add_argument("--root", required=True,
+                      help="base directory searched recursively")
+    p_nr.add_argument("--filename", default="result.json",
+                      help="result filename to match (default result.json)")
+    p_nr.add_argument("--out", default=None,
+                      help="write the JSON summary here (default: "
+                           "<root>/num_recalls_summary.json)")
+
     p_tr = add_parser(
         "train-reranker",
         help="LoRA fine-tune the cross-encoder reranker (the reference's "
@@ -262,6 +275,20 @@ def main(argv=None) -> int:
         rows = collect_experiments(args.root, out_csv=args.out_csv)
         charts = plot_experiments(rows, args.charts) if args.charts else []
         print(json.dumps({"rows": len(rows), "charts": charts}))
+        return 0
+
+    if args.cmd == "collect-num-recalls":
+        import os as _os
+
+        from .evals.retrieval_eval import (collect_num_recalls,
+                                           summarize_num_recalls)
+
+        stats = collect_num_recalls(args.root, filename=args.filename)
+        out = args.out or _os.path.join(args.root,
+                                        "num_recalls_summary.json")
+        summary = summarize_num_recalls(stats, out_path=out)
+        print(json.dumps({k: v for k, v in summary.items()
+                          if k != "per_file"} | {"out": out}))
         return 0
 
     if args.cmd == "ingest":

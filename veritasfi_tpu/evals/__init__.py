@@ -1,10 +1,12 @@
 from .retrieval_eval import (
     RewriteRecord,
     aggregate_hit_stats,
+    collect_num_recalls,
     collect_recall,
     hit_rate_eval,
     hyde_with_perplexity,
     rewrite_dataset,
+    summarize_num_recalls,
 )
 from .reranker_eval import (
     calculate_ndcg,
@@ -23,6 +25,7 @@ from .stress import retrieval_throughput, stress_test
 __all__ = [
     "rewrite_dataset", "hyde_with_perplexity", "collect_recall",
     "hit_rate_eval", "aggregate_hit_stats", "RewriteRecord",
+    "collect_num_recalls", "summarize_num_recalls",
     "calculate_ndcg", "compute_rr", "calculate_precision",
     "calculate_recall", "evaluate_reranker", "sweep_checkpoints",
     "AnswerJudge", "evaluate_answers", "simulate_latency",

@@ -319,6 +319,129 @@ def collect_experiments(root: str, out_csv: Optional[str] = None) -> List[Dict]:
     return rows
 
 
+def _load_result_records(path: str) -> List[Dict]:
+    """Records from a result file: a JSON list, a JSON dict with a
+    ``per_sample`` list (our statistic.json shape), or JSONL — no external
+    dataset library needed (reference loads via HF datasets,
+    collect_num_recalls.py:37-54)."""
+    with open(path, encoding="utf-8") as f:
+        text = f.read().strip()
+    if not text:
+        return []
+    try:
+        data = json.loads(text)
+        if isinstance(data, dict):
+            data = data.get("per_sample", [data])
+        return [r for r in data if isinstance(r, dict)]
+    except json.JSONDecodeError:
+        records = []
+        for line in text.splitlines():
+            line = line.strip()
+            if line:
+                records.append(json.loads(line))
+        return [r for r in records if isinstance(r, dict)]
+
+
+def _record_num_recalls(record: Dict) -> Optional[float]:
+    """num_recalls for one record: the explicit field when present
+    (reference record shape), else derived from our native ``chunks`` /
+    ``num_chunks`` fields."""
+    v = record.get("num_recalls")
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v)
+    if isinstance(record.get("chunks"), list):
+        return float(len(record["chunks"]))
+    v = record.get("num_chunks")
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v)
+    return None
+
+
+def _record_unique_recall(record: Dict) -> Optional[int]:
+    """Count of UNIQUE recalled chunk texts (string equality — reference
+    collect_num_recalls.py:67-80 sets over ``query_chunks``); derived from
+    ``chunks[*].content`` for our record shape."""
+    chunks = record.get("query_chunks")
+    if chunks is None and isinstance(record.get("chunks"), list):
+        chunks = [c.get("content") if isinstance(c, dict) else c
+                  for c in record["chunks"]]
+    if isinstance(chunks, list):
+        return len({str(c) for c in chunks})
+    return None
+
+
+def collect_num_recalls(root: str, filename: str = "result.json"
+                        ) -> List[Dict]:
+    """Per-file num_recalls + unique-recall statistics over every matching
+    result file under ``root`` (recursive), reference
+    collect_num_recalls.py:57-129: per file — record count, avg/min/max
+    num_recalls, avg/min/max unique-recall (files that fail to parse are
+    skipped with a warning, as there)."""
+    stats_list: List[Dict] = []
+    paths = sorted(
+        os.path.join(dirpath, fn)
+        for dirpath, _dirs, files in os.walk(root)
+        for fn in files if fn == filename)
+    for path in paths:
+        try:
+            records = _load_result_records(path)
+        except Exception as e:
+            logger.warning("skipping unparseable result file %s: %s",
+                           path, e)
+            continue
+        values = [v for v in (_record_num_recalls(r) for r in records)
+                  if v is not None]
+        uniques = [v for v in (_record_unique_recall(r) for r in records)
+                   if v is not None]
+        stats_list.append({
+            "path": os.path.relpath(path, root),
+            "count": len(values),
+            "values": values,
+            "average": sum(values) / len(values) if values else None,
+            "minimum": min(values) if values else None,
+            "maximum": max(values) if values else None,
+            "unique_recall_values": uniques,
+            "unique_recall_average": (sum(uniques) / len(uniques)
+                                      if uniques else None),
+            "unique_recall_minimum": min(uniques) if uniques else None,
+            "unique_recall_maximum": max(uniques) if uniques else None,
+        })
+    return stats_list
+
+
+def summarize_num_recalls(stats_list: List[Dict],
+                          out_path: Optional[str] = None) -> Dict:
+    """Overall roll-up across files (reference print_summary's OVERALL
+    STATISTICS block, collect_num_recalls.py:184-207) as a machine-readable
+    dict; optionally written next to the per-file stats as JSON."""
+    all_values = [v for s in stats_list for v in s["values"]]
+    all_uniques = [v for s in stats_list for v in s["unique_recall_values"]]
+    summary = {
+        "files_processed": len(stats_list),
+        "files_with_data": sum(1 for s in stats_list if s["values"]),
+        "num_recalls": {
+            "total_records": len(all_values),
+            "average": (sum(all_values) / len(all_values)
+                        if all_values else None),
+            "minimum": min(all_values) if all_values else None,
+            "maximum": max(all_values) if all_values else None,
+        },
+        "unique_recalls": {
+            "total_records": len(all_uniques),
+            "average": (sum(all_uniques) / len(all_uniques)
+                        if all_uniques else None),
+            "minimum": min(all_uniques) if all_uniques else None,
+            "maximum": max(all_uniques) if all_uniques else None,
+        },
+        "per_file": stats_list,
+    }
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=2)
+    return summary
+
+
 def plot_experiments(rows: List[Dict], out_dir: str,
                      metrics: Sequence[str] = ("avg_hit_rate", "avg_chunk")
                      ) -> List[str]:
