@@ -21,11 +21,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import argparse
 import json
 import statistics
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_RETRIEVE_RERANK_MS = 4000.0
+
+_T0 = time.perf_counter()
+
+
+def _phase(msg: str) -> None:
+    """Stage timestamps on stderr: when a driver run times out, the tail
+    shows WHERE the budget went (the r03 artifact was rc:124 with zero
+    evidence). stdout stays JSON-only."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def make_synth_corpus(n, rng):
@@ -52,7 +63,8 @@ def make_synth_corpus(n, rng):
     return records, titles
 
 
-def bench_1m_retrieval(iters: int = 10, n: int = 1_000_000, dim: int = 384):
+def bench_1m_retrieval(iters: int = 10, n: int = 1_000_000, dim: int = 384,
+                       bf16_engine: bool = False):
     """Large-corpus retrieval p50 (expansion on): the engine's streaming
     search path (chunked top-k + scores_at + rank_of, no [Q, N]
     materialization) over a 1M-row corpus — FAISS depth-2048 semantics at a
@@ -140,36 +152,42 @@ def bench_1m_retrieval(iters: int = 10, n: int = 1_000_000, dim: int = 384):
     t_pl = med(lambda: jax.device_get(
         pallas_mips_topk(c_bf, q_emb.astype(jnp.bfloat16), 16)))
 
-    # end-to-end invoke with the bf16-resident corpus: the engine routes
-    # dense search through the fused Pallas MIPS kernel on TPU
-    # (retrieval.corpus_dtype: bfloat16 — ops/topk.py::dense_topk_large),
-    # halving corpus HBM traffic vs the fp32 streaming path above
     del c_dev, c_bf
     out = {"corpus_size": n, "p50_ms": round(lat[len(lat) // 2], 3),
            "expansion": True, "path": "streaming",
            "topk_xla_chunked_f32_ms": round(t_xla, 2),
            "topk_pallas_bf16_ms": round(t_pl, 2)}
-    try:
-        engine_bf = EnsembleRetriever(index, emb.encode, bm25=None, k=10,
-                                      enable_expand=True, depth=2048,
-                                      corpus_dtype="bfloat16")
-        engine_bf.invoke(query, hyde)   # compile
-        lat_bf = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            engine_bf.invoke(query, hyde)
-            lat_bf.append((time.perf_counter() - t0) * 1000.0)
-        lat_bf.sort()
-        out["p50_ms_bf16_pallas"] = round(lat_bf[len(lat_bf) // 2], 3)
-    except Exception as e:   # never cost the headline metric this row
-        out["p50_ms_bf16_pallas"] = f"failed: {e}"
+    # end-to-end invoke with the bf16-resident corpus (dense search through
+    # the fused Pallas MIPS kernel, retrieval.corpus_dtype: bfloat16).
+    # OPT-IN (--bf16-1m): this is a SECOND 1M engine build = a second
+    # minutes-slow remote compile, which is what blew the r03 driver budget
+    # (BENCH_r03 rc:124). bf16's primary value at 1M is HBM footprint
+    # (enables 10M rows on one chip); its end-to-end latency delta is within
+    # ambient relay-RTT noise — see BF16_AB_r04.json for interleaved A/B
+    # medians rather than a single-run claim here.
+    if bf16_engine:
+        try:
+            engine_bf = EnsembleRetriever(index, emb.encode, bm25=None, k=10,
+                                          enable_expand=True, depth=2048,
+                                          corpus_dtype="bfloat16")
+            engine_bf.invoke(query, hyde)   # compile
+            lat_bf = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                engine_bf.invoke(query, hyde)
+                lat_bf.append((time.perf_counter() - t0) * 1000.0)
+            lat_bf.sort()
+            out["p50_ms_bf16_pallas"] = round(lat_bf[len(lat_bf) // 2], 3)
+        except Exception as e:   # never cost the headline metric this row
+            out["p50_ms_bf16_pallas"] = f"failed: {e}"
     return out
 
 
 def main():
+    t_start = time.perf_counter()
     parser = argparse.ArgumentParser()
     parser.add_argument("--corpus-size", type=int, default=10_000)
-    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--rerank-pairs", type=int, default=50,
                         help="cap on reranked candidates (BASELINE config #3:"
@@ -180,10 +198,22 @@ def main():
                         help="wave size for the QPS measurement (sweep on "
                              "v5e: ~46 QPS at B=8, ~49.5 at B=12-16 — the "
                              "ceiling is the ~19 ms/request device compute)")
-    parser.add_argument("--qps-queries", type=int, default=64)
+    parser.add_argument("--qps-queries", type=int, default=48)
     parser.add_argument("--skip-qps", action="store_true")
     parser.add_argument("--skip-1m", action="store_true",
                         help="skip the 1M-row streaming retrieval row")
+    parser.add_argument("--budget-s", type=float, default=240.0,
+                        help="wall-clock gate for the optional 1M-row "
+                             "section: it only starts if the headline "
+                             "measurements finished within this many "
+                             "seconds (the headline JSON line is printed "
+                             "and flushed FIRST either way, so a driver "
+                             "timeout can never erase the round's perf "
+                             "evidence — the r03 failure mode)")
+    parser.add_argument("--bf16-1m", action="store_true",
+                        help="also build the bf16-resident 1M engine "
+                             "(a SECOND minutes-slow remote compile; "
+                             "opt-in since it blew the r03 driver budget)")
     parser.add_argument("--int8-rerank", action="store_true",
                         help="run the reranker MLP on the fused int8 Pallas "
                              "path (models/encoder_reranker.py::quantize_mlp"
@@ -227,6 +257,7 @@ def main():
     from veritasfi_tpu.retrieval.bm25 import BM25Index
     from veritasfi_tpu.retrieval.ensemble import EnsembleRetriever
 
+    _phase("start: corpus synth")
     rng = np.random.default_rng(0)
     records, titles = make_synth_corpus(args.corpus_size, rng)
 
@@ -238,6 +269,7 @@ def main():
         rng.normal(size=(index.num_chunks, dim)).astype(np.float32))
     index.ts_embeddings = normalize_rows(
         rng.normal(size=(len(titles), dim)).astype(np.float32))
+    _phase("corpus built; building BM25")
     bm25 = BM25Index.build(index.texts, index.doc_ids)
 
     import dataclasses
@@ -254,20 +286,42 @@ def main():
     rr_arch = dataclasses.replace(
         RERANKER_ENCODER_PRESETS["bge-reranker-base"], gelu_impl="tanh",
         attn_impl=args.attn, qkv_impl=args.qkv)
-    encoder = TextEncoder(arch=enc_arch, dtype=jnp.bfloat16, max_length=256)
-    engine = EnsembleRetriever(index, encoder.encode, bm25=bm25, k=10,
-                               enable_expand=True, depth=2048,
-                               encoder=encoder)
-    reranker = EncoderReranker(arch=rr_arch, dtype=jnp.bfloat16,
-                               passage_max_length=args.seq)
 
-    # bf16-resident weights: halves weight HBM traffic and removes the
+    # init on host CPU, ship each tree in ONE transfer: eager flax init +
+    # per-leaf bf16 casts on the relay-attached TPU are hundreds of
+    # individual device ops (~2 min of the r03 bench's budget, measured);
+    # bf16-resident weights halve weight HBM traffic and remove the
     # per-forward f32->bf16 cast of the 250k-row embedding table
+    _phase("BM25 built; initializing models on host CPU")
+
     def _to_bf16(t):
         return t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t
 
-    encoder.params = jax.tree.map(_to_bf16, encoder.params)
-    reranker.params = jax.tree.map(_to_bf16, reranker.params)
+    # flax init EXECUTES the forward, so init under attn_impl='xla' (the
+    # Pallas kernel cannot lower on CPU; the param tree is identical) and
+    # hand the params to the pallas-attn models
+    tpu0 = jax.devices()[0]
+    with jax.default_device(jax.devices("cpu")[0]):
+        enc_init = TextEncoder(
+            arch=dataclasses.replace(enc_arch, attn_impl="xla"),
+            dtype=jnp.bfloat16, max_length=256)
+        rr_init = EncoderReranker(
+            arch=dataclasses.replace(rr_arch, attn_impl="xla"),
+            dtype=jnp.bfloat16, passage_max_length=args.seq)
+        enc_bf = jax.tree.map(_to_bf16, enc_init.params)
+        rr_bf = jax.tree.map(_to_bf16, rr_init.params)
+    _phase("models initialized; transferring params to TPU")
+    encoder = TextEncoder(arch=enc_arch, dtype=jnp.bfloat16, max_length=256,
+                          params=jax.device_put(enc_bf, tpu0))
+    reranker = EncoderReranker(arch=rr_arch, dtype=jnp.bfloat16,
+                               passage_max_length=args.seq,
+                               params=jax.device_put(rr_bf, tpu0))
+    del enc_init, rr_init, enc_bf, rr_bf
+    _phase("params resident on TPU")
+
+    engine = EnsembleRetriever(index, encoder.encode, bm25=bm25, k=10,
+                               enable_expand=True, depth=2048,
+                               encoder=encoder)
 
     # fused int8 MLP rerank forward (both GEMMs at the MXU's int8 rate,
     # intermediate activation VMEM-resident); opt-in — see --int8-rerank
@@ -297,8 +351,10 @@ def main():
     ]
 
     # pre-tokenize corpus passages (static text; done once at index load)
+    _phase("pre-tokenizing corpus passages")
     for text in index.texts:
         reranker.tokenize_passage(text)
+    _phase("passages tokenized")
 
     fused = None
     if not args.classic:
@@ -333,8 +389,10 @@ def main():
         return len(chunks), len(selected)
 
     # warmup (compiles)
+    _phase("warmup/compile of the serve program")
     for _ in range(args.warmup):
         one_query(query, hyde)
+    _phase("warmup done; measuring p50")
 
     if args.trace:
         from veritasfi_tpu.utils.profiler import profiler as _prof
@@ -363,6 +421,7 @@ def main():
         def run_wave():
             fused.serve_wave([(query, hyde, "2024-06-01")] * B)
 
+        _phase("p50 measured; compiling QPS wave")
         run_wave()
         waves = max(args.qps_queries // B, 1)
         t0 = time.perf_counter()
@@ -425,9 +484,22 @@ def main():
         result["detail"]["qps"] = round(qps, 2)
         result["detail"]["concurrency"] = args.concurrency
         result["detail"]["vs_baseline_qps"] = round(qps / reference_qps, 1)
-    if not args.skip_1m:
-        result["detail"]["corpus_1m"] = bench_1m_retrieval()
-    print(json.dumps(result))
+
+    # Headline FIRST, flushed: if anything after this point runs long, the
+    # round's perf evidence already exists on stdout (BENCH_r03 was rc:124
+    # with zero output because the one print sat after the 1M sections).
+    elapsed = time.perf_counter() - t_start
+    result["detail"]["elapsed_headline_s"] = round(elapsed, 1)
+    print(json.dumps(result), flush=True)
+
+    # Optional 1M-row section, wall-clock gated; on success reprint the
+    # augmented result (the driver parses the LAST JSON line in the tail).
+    if not args.skip_1m and elapsed < args.budget_s:
+        result["detail"]["corpus_1m"] = bench_1m_retrieval(
+            bf16_engine=args.bf16_1m)
+        result["detail"]["elapsed_total_s"] = round(
+            time.perf_counter() - t_start, 1)
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
