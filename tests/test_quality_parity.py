@@ -49,8 +49,27 @@ def test_fit_epoch_covers_all_pairs_without_duplicates():
     assert seen_batches == expect
 
 
+def test_graded_fixture_shape():
+    """Each query plants 5 graded chunks (primary/near-dup 3, paraphrase 2,
+    related 1, off-date 0 — the stale chunk answers WRONG, so it gets no
+    credit) + hard lexical filler — the adversarial corpus the selection
+    tripwires need."""
+    records, facts, grades = build_records(0, n_queries=12, n_filler=30)
+    assert len(records) == 12 * 5 + 30
+    assert len(facts) == len(grades) == 12
+    for (q, fact, primary), g in zip(facts, grades):
+        assert sorted(g.values(), reverse=True) == [3.0, 3.0, 2.0, 1.0, 0.0]
+        assert g[primary] == 3.0 and fact in primary
+        texts = list(g)
+        # the near-duplicate differs from the primary by ONE word
+        assert sum(a != b for a, b in zip(primary.split(),
+                                          texts[1].split())) == 1
+        # the off-date duplicate keeps the fact shape but a stale year
+        assert "2022" in texts[4] and "2024" not in texts[4]
+
+
 def test_trained_encoder_separates_positives():
-    _, facts = build_records(0)
+    _, facts, _ = build_records(0)
     enc, diag = train_fixture_encoder(facts, encoder_steps=60, seed=0)
     assert diag["mean_cos_q_pos"] > 0.8, diag
     # positives score far above a mismatched (question, other-chunk) pair
@@ -71,10 +90,30 @@ def test_pipeline_fast_metrics_bite():
     # NON-ZERO so a ranking regression can move it
     assert r["retrieval"]["hit_rate_cos@0.9"] > 0.5, r["retrieval"]
     assert r["retrieval"]["hit_rate_string"] > 0.9, r["retrieval"]
-    # trained reranker must beat the random-reranker floor (~0.216 in r2)
-    assert r["reranker"]["ndcg@10"] > 0.5, r["reranker"]
-    # fast-path (96-step) MRR lands ~0.46; the random/under-trained floor
-    # is ~0.14-0.27, so 0.4 separates learned from broken
-    assert r["reranker"]["mrr"] > 0.4, r["reranker"]
+    # trained reranker must beat the random-ordering floor on the GRADED
+    # fixture: 30-trial random permutations of the same candidate lists
+    # score mean 0.331 / p95 0.376 / max 0.442 NDCG@10 (the graded gains
+    # raise the floor well above r2's binary ~0.216); the 96-step model
+    # trained with the graded positive set + the query's own hard
+    # negatives lands ~0.71
+    assert r["reranker"]["ndcg@10"] > 0.55, r["reranker"]
+    # random MRR on this fixture is mean 0.456 / max 0.616 over 30 trials
+    # (4-5 rel>0 chunks reach the candidate lists); trained lands ~0.86
+    assert r["reranker"]["mrr"] > 0.7, r["reranker"]
     assert r["fixture"]["reranker_train"]["final_loss"] < \
         r["fixture"]["reranker_train"]["first_loss"]
+    # precision@10 has headroom now (4 rel>0 chunks per query exist) but
+    # separates weakly — random lands ~0.23 because any ordering of a
+    # 20-candidate list surfaces some of them; NDCG/MRR above are the
+    # ordering-sensitive tripwires, this just pins the old 0.1 floor gone
+    assert r["reranker"]["precision@10"] > 0.12, r["reranker"]
+    # selection tripwires — ablating the mechanism must FLIP the rate
+    # (oracle rerank scores tie stale/near-dup with the primary, so the
+    # time score / sim-dedup are the only thing standing between them and
+    # the top-5; a regression in either mechanism reads as 1.0 here):
+    sel = r["selection"]
+    assert sel["queries_contested"] >= 8, sel
+    assert sel["stale_rate_time"] < 0.2, sel
+    assert sel["stale_rate_notime"] > 0.8, sel
+    assert sel["dup_rate_dedup"] < 0.2, sel
+    assert sel["dup_rate_nodedup"] > 0.8, sel
