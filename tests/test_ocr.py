@@ -109,6 +109,25 @@ def test_font_size_generalization(model):
     assert _acc("net assets increased", out) >= 0.9, out
 
 
+def test_multi_font_training_covers_both_families():
+    """One classifier trained across two font families must round-trip
+    pages rendered in EITHER (the r3 artifact's single-font scope gap);
+    rotation jitter on training crops must not break convergence."""
+    from veritasfi_tpu.ingest.ocr import available_fonts
+
+    fonts = available_fonts()
+    assert "default" in fonts
+    if "dejavu-serif" not in fonts:
+        pytest.skip("DejaVu Serif not on this host")
+    m = train_ocr(charset="0123456789,.$abcdeinrst", steps=260, batch=128,
+                  font_sizes=(14, 16), seed=0,
+                  fonts=("default", "dejavu-serif"), rotate_deg=1.5)
+    ref = "net assets increased 18.3"
+    for fam in ("default", "dejavu-serif"):
+        out = ocr_page(m, render_page(ref, font_size=16, font_family=fam))
+        assert _acc(ref, out) >= 0.9, (fam, out)
+
+
 # -- persistence -------------------------------------------------------
 def test_save_load_roundtrip(model, tmp_path):
     path = str(tmp_path / "ocr_model")
@@ -134,3 +153,36 @@ def test_pages_to_processed_contract(model, tmp_path):
     # round-trips through the ingestion contract file format
     with open(out_path) as f:
         assert json.load(f) == rows
+
+
+# -- segmentation regressions (round-4 TTF fixes) ----------------------
+def test_ink_threshold_includes_argmax_bin():
+    """Otsu class 0 is bins 0..k INCLUSIVE: stroke gray sitting in the
+    argmax bin above its center (TTF renders: gray 11 vs bin-2 center
+    9.96) must still read as ink — it used to vanish, blanking whole
+    glyph crops at train AND inference time."""
+    from veritasfi_tpu.ingest.ocr import _ink
+
+    strip = np.full((15, 2), 255.0, np.float32)
+    strip[3:9, 0] = 11.0     # stroke core
+    strip[3:9, 1] = 131.0    # antialias edge
+    mask = _ink(strip)
+    assert mask[:, 0].sum() == 6, mask.sum()
+
+
+def test_spaces_bimodal_gap_clustering():
+    """Proportional TTF gap geometry: letter gaps 2-3 px vs a 7 px word
+    gap on a 12 px line. The old median+0.05h threshold (2.6) read every
+    3 px letter gap as a space; the Otsu gap split must flag ONLY the
+    word gap."""
+    from veritasfi_tpu.ingest.ocr import _spaces
+
+    xs, boxes = 0, []
+    for gap, w in [(0, 8), (3, 2), (2, 8), (3, 8), (2, 8), (7, 8),
+                   (3, 8), (2, 8), (3, 2), (2, 8)]:
+        xs += gap
+        boxes.append((xs, xs + w))
+        xs += w
+    chars = list("quarterly!"[: len(boxes)])
+    sps = _spaces(boxes, chars, height=12)
+    assert sps == [False] * 5 + [True] + [False] * 4, sps

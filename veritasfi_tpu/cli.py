@@ -133,6 +133,13 @@ def main(argv=None) -> int:
                        help="recognizer checkpoint dir; loaded if it "
                             "exists, else trained and saved there")
     p_ocr.add_argument("--train-steps", type=int, default=700)
+    p_ocr.add_argument("--fonts", default="default",
+                       help="comma-separated font families to train "
+                            "across (see ingest.ocr.FONT_FAMILIES; "
+                            "'all' = every family on this host)")
+    p_ocr.add_argument("--rotate-deg", type=float, default=0.0,
+                       help="uniform +-deg rotation jitter on training "
+                            "crops (scans are rarely perfectly deskewed)")
     p_ocr.add_argument("--date", default="1970-01-01",
                        help="date_published for the produced chunks")
     p_ocr.add_argument("--doc-name", default=None)
@@ -227,13 +234,17 @@ def main(argv=None) -> int:
         import numpy as np
         from PIL import Image
 
-        from .ingest.ocr import OCRModel, ocr_pages_to_processed, train_ocr
+        from .ingest.ocr import (OCRModel, available_fonts,
+                                 ocr_pages_to_processed, train_ocr)
 
         if args.model_dir and os.path.exists(
                 os.path.join(args.model_dir, "meta.json")):
             model = OCRModel.load(args.model_dir)
         else:
-            model = train_ocr(steps=args.train_steps)
+            fonts = (available_fonts() if args.fonts == "all"
+                     else [f.strip() for f in args.fonts.split(",")])
+            model = train_ocr(steps=args.train_steps, fonts=fonts,
+                              rotate_deg=args.rotate_deg)
             if args.model_dir:
                 model.save(args.model_dir)
         exts = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")

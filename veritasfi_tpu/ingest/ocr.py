@@ -18,14 +18,19 @@ external tool):
     -> text -> ingest.chunker -> processed-JSON contract.
 
 No pretrained checkpoints exist in this environment (zero egress), so the
-recognizer is TRAINED IN-REPO on synthetically rendered glyphs (PIL's
-bundled DejaVu font, randomized placement/noise/threshold) — the same
-trained-fixture technique the quality-parity eval uses. On pages rendered
-from the same font family it round-trips at ~99% character accuracy clean
-and ~97% at gaussian noise 0.08 (the residual is the font's genuinely
-identical 'l'/'I' pair plus word-space boundaries whose gap geometry
-provably collides); a production deployment retrains `train_ocr` on its
-scanner's glyph distribution the same way.
+recognizer is TRAINED IN-REPO on synthetically rendered glyphs
+(randomized font family / size / sub-pixel placement / rotation /
+gaussian noise) — the same trained-fixture technique the quality-parity
+eval uses. ``FONT_FAMILIES`` lists the system families available for
+rendering (DejaVu Sans / Serif / Mono + bold variants, plus PIL's
+bundled default); ``train_ocr(fonts=...)`` trains one classifier across
+any subset, and ``accuracy_report`` measures per-font round-trip
+accuracy. Scope: this is a SYNTHETIC-RENDER contract — clean rasterized
+text lines plus gaussian noise, not photographed documents; a production
+deployment retrains ``train_ocr`` on its scanner's glyph distribution
+the same way. Per-font numbers live in OCR_r04.json (single-font ~99%
+clean; the residual is each font's genuinely identical 'l'/'I' pair plus
+word-space boundaries whose gap geometry provably collides).
 """
 
 from __future__ import annotations
@@ -52,21 +57,48 @@ WELD_TOKENS = tuple(f"{d}," for d in string.digits)
 # ---------------------------------------------------------------------------
 # rendering (training data + test fixtures + demo pages)
 # ---------------------------------------------------------------------------
-def _font(size: int):
+# system font families usable for rendering; "default" is PIL's bundled
+# font (always present). Families whose .ttf is missing from the host are
+# skipped by available_fonts() rather than erroring.
+FONT_FAMILIES = {
+    "default": None,
+    "dejavu-sans": "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+    "dejavu-sans-bold": "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+    "dejavu-serif": "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+    "dejavu-serif-bold":
+        "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf",
+    "dejavu-mono": "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+}
+
+
+def available_fonts() -> List[str]:
+    """Family names renderable on this host (ttf present, or 'default')."""
+    return [name for name, path in FONT_FAMILIES.items()
+            if path is None or os.path.exists(path)]
+
+
+def _font(size: int, family: str = "default"):
     from PIL import ImageFont
 
+    path = FONT_FAMILIES.get(family, None) if family != "default" else None
+    if family != "default" and family not in FONT_FAMILIES:
+        raise ValueError(f"unknown font family {family!r}; "
+                         f"known: {sorted(FONT_FAMILIES)}")
+    if path is not None and os.path.exists(path):
+        return ImageFont.truetype(path, size=size)
     return ImageFont.load_default(size=size)
 
 
 def render_page(text: str, width: int = 1024, font_size: int = 16,
                 margin: int = 16, line_gap: int = 6,
-                noise: float = 0.0, seed: int = 0) -> np.ndarray:
+                noise: float = 0.0, seed: int = 0,
+                font_family: str = "default") -> np.ndarray:
     """Rasterize ``text`` (newline-separated lines) into a grayscale page
     image, optionally with gaussian noise — the synthetic 'scanned page'
     used for training and tests."""
     from PIL import Image, ImageDraw
 
-    font = _font(font_size)
+    font = _font(font_size, font_family)
     lines = text.split("\n")
     height = margin * 2 + len(lines) * (font_size + line_gap)
     im = Image.new("L", (width, height), 255)
@@ -88,21 +120,23 @@ def render_page(text: str, width: int = 1024, font_size: int = 16,
 _ANCHORS = ("Hy", "lq", "Ag", "xo", "Mp", "Hl", "mn", "09")
 
 
-def _render_train_line(ch: str, anchor: str, font_size: int) -> np.ndarray:
+def _render_train_line(ch: str, anchor: str, font_size: int,
+                       font_family: str = "default") -> np.ndarray:
     """``Hy  c  Hy``-style line on a small canvas; the anchors establish a
     realistic line band so the glyph's crop carries the same position/size
     cues it will have inside a real text line. Double spaces make the
     word-grouping unambiguous at every font size."""
     return render_page(f"{anchor}  {ch}  {anchor}",
                        width=14 * font_size, font_size=font_size,
-                       margin=6, noise=0.0)
+                       margin=6, noise=0.0, font_family=font_family)
 
 
-def _train_crop(ch: str, anchor: str, font_size: int) -> Optional[np.ndarray]:
+def _train_crop(ch: str, anchor: str, font_size: int,
+                font_family: str = "default") -> Optional[np.ndarray]:
     """Clean crop of ``ch`` from an anchored line (None if segmentation
     can't isolate it — caller resamples). Noise is added AFTER cropping so
     training labels are never corrupted by mis-segmentation."""
-    img = _render_train_line(ch, anchor, font_size)
+    img = _render_train_line(ch, anchor, font_size, font_family)
     bands = segment_lines(img)
     if not bands:
         return None
@@ -145,7 +179,11 @@ def _ink(img: np.ndarray) -> np.ndarray:
     k = int(np.argmax(var))
     if not valid[k] or mu1[k] - mu0[k] < 40.0:
         return np.zeros(arr.shape, bool)
-    return arr < centers[k]
+    # class 0 = bins 0..k inclusive, so threshold at the bin's UPPER edge:
+    # `arr < centers[k]` drops ink whose gray sits in the argmax bin above
+    # its center (measured: TTF strokes at gray 11 vs bin-2 center 9.96 —
+    # the whole glyph read as background and the crop went blank)
+    return arr < edges[k + 1]
 
 
 def segment_lines(img: np.ndarray, min_gap: int = 2) -> List[Tuple[int, int]]:
@@ -239,6 +277,12 @@ def _crop_glyph(line_img: np.ndarray, x0: int, x1: int) -> np.ndarray:
     sub = line_img[:, x0:x1]
     ink = _ink(sub)
     xs = np.nonzero(ink.any(axis=0))[0]
+    if len(xs) == 0:
+        # Otsu is fragile on a few-px strip (tens of pixels, 2-3 gray
+        # levels); any clearly-below-background pixel is ink for the
+        # purpose of column trimming
+        arr = np.asarray(sub, np.float32)
+        xs = np.nonzero((arr < 250.0).any(axis=0))[0]
     if len(xs) == 0:
         return np.zeros((GLYPH_H, GLYPH_W), np.float32)
     sub = sub[:, xs.min(): xs.max() + 1]
@@ -343,11 +387,18 @@ def train_ocr(charset: str = CHARSET, steps: int = 400, batch: int = 256,
               font_sizes: Sequence[int] = (14, 16, 18, 20),
               noise: float = 0.04, learning_rate: float = 2e-3,
               seed: int = 0,
-              weld_tokens: Sequence[str] = WELD_TOKENS) -> OCRModel:
+              weld_tokens: Sequence[str] = WELD_TOKENS,
+              fonts: Sequence[str] = ("default",),
+              rotate_deg: float = 0.0) -> OCRModel:
     """Train the glyph recognizer on synthetically rendered characters
     plus the welded-pair composite classes (randomized size / sub-pixel
     placement / gaussian noise), crops extracted by the SAME segmentation
-    used at inference so train and serve distributions match."""
+    used at inference so train and serve distributions match.
+
+    ``fonts`` samples training renders uniformly across font families
+    (see FONT_FAMILIES / available_fonts) so one classifier covers them
+    all; ``rotate_deg`` adds uniform +-deg rotation jitter to each crop
+    (scanned pages are rarely perfectly deskewed)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -384,18 +435,32 @@ def train_ocr(charset: str = CHARSET, steps: int = 400, batch: int = 256,
             while crop is None:   # resample if segmentation rejected one
                 ci = int(rng.integers(len(tokens)))
                 key = (ci, int(rng.integers(len(_ANCHORS))),
-                       int(rng.choice(font_sizes)))
+                       int(rng.choice(font_sizes)),
+                       fonts[int(rng.integers(len(fonts)))])
                 if key not in crop_cache:
                     crop_cache[key] = _train_crop(tokens[ci],
-                                                  _ANCHORS[key[1]], key[2])
+                                                  _ANCHORS[key[1]],
+                                                  key[2], key[3])
                 crop = crop_cache[key]
+            if rotate_deg > 0:
+                from scipy import ndimage as _ndi
+
+                deg = float(rng.uniform(-rotate_deg, rotate_deg))
+                crop = np.clip(_ndi.rotate(crop, deg, reshape=False,
+                                           order=1, cval=0.0), 0, 1)
             # +-1 px placement jitter: inference bands shift with each
             # line's ascender/descender mix; train crops must cover it
             dy, dx = rng.integers(-1, 2, size=2)
             crop = np.roll(np.roll(crop, dy, axis=0), dx, axis=1)
             if noise > 0:
-                crop = np.clip(
-                    crop + rng.normal(0, noise, crop.shape), 0, 1)
+                # sigma sampled per crop in [0, noise]: a model trained at
+                # one fixed sigma misreads CLEAN pages of thin-stroke TTF
+                # fonts (measured: dejavu-sans i->'|' at noise 0 but not
+                # 0.04 — the clean render was out of distribution)
+                sigma = float(rng.uniform(0.0, noise))
+                if sigma > 0:
+                    crop = np.clip(
+                        crop + rng.normal(0, sigma, crop.shape), 0, 1)
             xs[i] = crop
             ys[i] = ci
         return xs, ys
@@ -417,6 +482,12 @@ def train_ocr(charset: str = CHARSET, steps: int = 400, batch: int = 256,
 # whose classification is below this confidence is re-tried as two glyphs
 _SPLIT_MIN_W = 0.6
 _SPLIT_CONF = 0.75
+# boxes at least this fraction of the line height wide are retried even at
+# high confidence: kerned TTF pairs weld into one component the classifier
+# reads confidently as a single letter (measured: dejavu-sans 'rt' -> 'n',
+# default 'Ex' -> '~'); legitimate wide glyphs (m/M/W) survive because the
+# split halves must BEAT the whole box's confidence to win
+_SPLIT_FORCE_W = 0.75
 
 
 def _split_cuts(line_img: np.ndarray, x0: int, x1: int,
@@ -458,6 +529,27 @@ def _spaces(boxes: List[Tuple[int, int]], chars: List[str],
     gaps = [boxes[i][0] - boxes[i - 1][1] for i in range(1, n)]
     pos = [g for g in gaps if g > 0]
     thr = max(2.5, (float(np.median(pos)) if pos else 0.0) + 0.05 * height)
+    # proportional/mono TTF rendering spreads letter gaps to 2-3+ px while
+    # word gaps sit at 2x+ that, so the median+0.05h formula alone inserts
+    # intra-word spaces ("Qua rterly"). When the line's own gap histogram
+    # is clearly bimodal (1D Otsu split with >= max(2, 0.12h) px between
+    # the cluster means), threshold at the cluster midpoint instead; the
+    # formula stays as the floor and the unimodal/short-line fallback.
+    if len(pos) >= 3:
+        xs = np.sort(np.asarray(pos, np.float64))
+        best_var, best_thr = -1.0, None
+        for s in range(1, len(xs)):
+            lo, hi = xs[:s], xs[s:]
+            if hi[0] - lo[-1] < 1.0:
+                continue   # split inside one cluster
+            w0, w1 = s / len(xs), 1.0 - s / len(xs)
+            var = w0 * w1 * (hi.mean() - lo.mean()) ** 2
+            if var > best_var:
+                best_var = var
+                best_thr = (lo[-1] + hi[0]) / 2.0
+                sep = hi.mean() - lo.mean()
+        if best_thr is not None and sep >= max(2.0, 0.12 * height):
+            thr = max(thr, best_thr)
     for i in range(1, n):
         c2c = ((boxes[i][0] + boxes[i][1])
                - (boxes[i - 1][0] + boxes[i - 1][1])) / 2.0
@@ -508,7 +600,8 @@ def ocr_page(model: OCRModel, img: np.ndarray) -> str:
     retry: List[np.ndarray] = []
     for i, (li, x0, x1) in enumerate(boxes):
         line = line_imgs[li]
-        if (conf[i] < _SPLIT_CONF
+        wide = x1 - x0 >= _SPLIT_FORCE_W * line.shape[0]
+        if ((conf[i] < _SPLIT_CONF or wide)
                 and x1 - x0 >= _SPLIT_MIN_W * line.shape[0]):
             for cut in _split_cuts(line, x0, x1):
                 cand.append((i, cut))
@@ -526,6 +619,31 @@ def ocr_page(model: OCRModel, img: np.ndarray) -> str:
             x0, x1 = boxes[i][1], boxes[i][2]
             split_at[i] = ((x0, cut, chl), (cut, x1, chr_))
 
+    # merge pass (the split pass's dual): adjacent touching/overlapping
+    # boxes whose x-overlap fell short of segment_glyphs' 50% merge rule
+    # are usually ONE glyph the components cut in two — '%' sheds its left
+    # circle (read as '1') from the slash+right-circle piece. Re-classify
+    # the union crop; the merge wins only when it beats BOTH singles, so
+    # kerned letter pairs that merely touch stay split.
+    mcand: List[int] = []
+    mcrops: List[np.ndarray] = []
+    for i in range(len(boxes) - 1):
+        (li, x0, x1), (lj, y0_, y1_) = boxes[i], boxes[i + 1]
+        if (li == lj and y0_ - x1 <= 0
+                and i not in split_at and i + 1 not in split_at):
+            mcand.append(i)
+            mcrops.append(_crop_glyph(line_imgs[li], x0, y1_))
+    merged_at: dict = {}
+    if mcand:
+        mchars, mconf = model.classify_conf(np.stack(mcrops))
+        taken: set = set()
+        for j, i in enumerate(mcand):
+            if i in taken or i + 1 in taken:
+                continue
+            if mconf[j] > max(conf[i], conf[i + 1]):
+                merged_at[i] = mchars[j]
+                taken.update((i, i + 1))
+
     out_lines: List[str] = []
     i = 0
     for li, line in enumerate(line_imgs):
@@ -536,6 +654,10 @@ def ocr_page(model: OCRModel, img: np.ndarray) -> str:
                 for x0, x1, ch in split_at[i]:
                     lboxes.append((x0, x1))
                     lchars.append(ch)
+            elif i in merged_at:
+                lboxes.append((boxes[i][1], boxes[i + 1][2]))
+                lchars.append(merged_at[i])
+                i += 1   # the partner box is consumed by the merge
             else:
                 lboxes.append(boxes[i][1:])
                 lchars.append(chars[i])
@@ -562,3 +684,43 @@ def ocr_pages_to_processed(model: OCRModel, images: Sequence[np.ndarray],
         with open(out_path, "w") as f:
             json.dump(rows, f)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# per-font accuracy report (the OCR_r*.json artifact generator)
+# ---------------------------------------------------------------------------
+_REPORT_PAGE = "\n".join([
+    "Quarterly Report 2024: net assets increased 18.3 percent",
+    "interest-bearing deposits stand at $4,211 million (audited)",
+    "trade payables decreased 7.5% since March 31, 2024.",
+    "Management expects margin expansion of 120 bps; guidance holds.",
+    "[Exhibit 9] cash & equivalents: $1,092,366 thousand",
+])
+
+
+def char_accuracy(ref: str, out: str) -> float:
+    """Whitespace-insensitive character-level similarity ratio."""
+    import difflib
+
+    return difflib.SequenceMatcher(None, ref.replace("\n", ""),
+                                   out.replace("\n", "")).ratio()
+
+
+def accuracy_report(model: OCRModel, fonts: Sequence[str],
+                    noises: Sequence[float] = (0.0, 0.04, 0.08),
+                    font_sizes: Sequence[int] = (14, 16, 18),
+                    page: str = _REPORT_PAGE, seed: int = 3) -> dict:
+    """Round-trip character accuracy of ``model`` per font family x noise
+    level over a finance-flavored fixture page, averaged across font
+    sizes — the per-font evidence OCR_r04.json records."""
+    report: dict = {}
+    for family in fonts:
+        by_noise = {}
+        for nz in noises:
+            accs = [char_accuracy(page, ocr_page(model, render_page(
+                        page, font_size=fs, noise=nz, seed=seed,
+                        font_family=family)))
+                    for fs in font_sizes]
+            by_noise[f"noise_{nz}"] = round(float(np.mean(accs)), 4)
+        report[family] = by_noise
+    return report
