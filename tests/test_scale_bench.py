@@ -29,3 +29,19 @@ def test_run_single_chip_small():
 def test_run_sharded_dryrun_small():
     r = scale_bench.run_sharded_dryrun(n=2048, dim=64)
     assert r["ok"] and r["shards"] == 8
+
+
+def test_bf16_ab_small():
+    """The interleaved A/B harness runs both arms over ONE shared corpus
+    and reports per-round medians + a consistency verdict (the r3 bf16
+    latency claim failed to reproduce; the artifact must only claim wins
+    that hold in EVERY interleaved round)."""
+    from veritasfi_tpu.evals.bf16_ab import run_ab
+
+    r = run_ab(n=4096, dim=64, rounds=2, iters_per_block=2, kernel_reps=2)
+    d = r["detail"]
+    assert set(d["e2e_invoke_ms"]) == {"float32", "bfloat16"}
+    for arm in d["e2e_invoke_ms"].values():
+        assert len(arm["blocks"]) == 2
+        assert arm["min_ms"] <= arm["median_of_medians_ms"] <= arm["max_ms"]
+    assert isinstance(d["e2e_win_consistent_across_rounds"], bool)
