@@ -1,3 +1,4 @@
 from .dense import DenseRetriever
+from .m3_scorer import M3CandidateScorer
 
-__all__ = ["DenseRetriever"]
+__all__ = ["DenseRetriever", "M3CandidateScorer"]

@@ -1,0 +1,194 @@
+"""Candidate-stage fusion of the BGE-M3 heads: dense + sparse + ColBERT.
+
+The reference throws away two of its own embedder's three heads (see
+models/m3_heads.py). This scorer fuses all three over the CANDIDATE set
+the ensemble retriever surfaces — the stage where a few dozen rows are
+re-ordered before rerank/selection — which is the TPU-shaped place for
+late interaction:
+
+  * the corpus-side token representations (ids, lexical weights, ColBERT
+    vectors) are computed ONCE at build over every chunk and kept
+    DEVICE-RESIDENT (bf16 ColBERT: a 10k-chunk corpus at Ld=128, dc=64
+    is ~160 MB of HBM — nothing ever re-encodes at query time);
+  * one jitted program gathers the candidate rows by index and computes
+    all three scores — no [N, ...] intermediate, no host round-trip per
+    head, one readback for the fused result;
+  * candidate count and query length are bucketed (powers of two) so
+    serving traffic hits a handful of compiled shapes.
+
+Scoring (FlagEmbedding's ``compute_score`` conventions):
+  dense    = cos(q_cls, d_cls)
+  sparse   = sum over shared token ids of w_q(id) * w_d(id), where a
+             document token id's weight is the MAX over its occurrences
+             (query side deduped the same way at encode time)
+  colbert  = mean over valid query tokens of max_j q_i . d_j
+  fused    = w_dense * dense + w_sparse * sparse + w_colbert * colbert
+Default weights (0.4, 0.2, 0.4) follow FlagEmbedding's
+``weights_for_different_modes`` for dense+sparse+colbert fusion.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.m3_heads import M3Embeddings, M3Encoder
+
+
+@partial(jax.jit, static_argnames=())
+def _m3_scores(q_dense, q_ids, q_w, q_col, q_valid,
+               d_dense, d_ids, d_w, d_col, d_mask, d_tok, row_valid,
+               weights):
+    """Fused M3 score for one query against C gathered candidates.
+
+    Shapes: q_dense [H], q_ids/q_w/q_valid [Lq], q_col [Lq, dc];
+    d_* [C, Ld(, ...)]; row_valid [C] masks padded candidate slots.
+    Everything is f32 math on bf16/int32 storage; one scalar-vector
+    output [C, 4] (fused + the three components) = one readback."""
+    s_dense = jnp.einsum("h,ch->c", q_dense,
+                         d_dense.astype(jnp.float32))
+
+    # sparse: [C, Lq, Ld] id-equality, weight = max over matching doc
+    # positions (occurrence dedup), then sum of products over query ids
+    eq = (q_ids[None, :, None] == d_ids[:, None, :])
+    eq = eq & q_valid[None, :, None] & d_tok[:, None, :]
+    d_w_match = jnp.max(
+        jnp.where(eq, d_w.astype(jnp.float32)[:, None, :], 0.0), axis=-1)
+    s_sparse = jnp.einsum("l,cl->c", q_w, d_w_match)
+
+    # colbert late interaction: [C, Lq, Ld] token-level cosines
+    sim = jnp.einsum("ld,cmd->clm", q_col,
+                     d_col.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    sim = jnp.where(d_mask[:, None, :], sim, -1e9)
+    maxsim = jnp.max(sim, axis=-1)                       # [C, Lq]
+    nq = jnp.maximum(q_valid.sum(), 1).astype(jnp.float32)
+    s_col = jnp.where(q_valid[None, :], maxsim, 0.0).sum(-1) / nq
+
+    fused = (weights[0] * s_dense + weights[1] * s_sparse
+             + weights[2] * s_col)
+    out = jnp.stack([fused, s_dense, s_sparse, s_col], axis=-1)
+    return jnp.where(row_valid[:, None], out, -1e9)
+
+
+def _bucket(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class M3CandidateScorer:
+    """Device-resident corpus token representations + the jitted gather-
+    and-score program. Build once per collection; ``score_rows`` at query
+    time."""
+
+    def __init__(self, encoder: M3Encoder, texts: Sequence[str],
+                 doc_max_length: int = 128,
+                 weights: Tuple[float, float, float] = (0.4, 0.2, 0.4),
+                 encode_batch: int = 256,
+                 store_dtype: str = "bfloat16") -> None:
+        self.encoder = encoder
+        self.weights = jnp.asarray(weights, jnp.float32)
+        self.doc_max_length = doc_max_length
+        sd = jnp.bfloat16 if store_dtype == "bfloat16" else jnp.float32
+
+        n = len(texts)
+        dc = encoder.arch.colbert_dim
+        h = encoder.dim
+        ids = np.full((n, doc_max_length), encoder.arch.trunk.pad_id,
+                      np.int32)
+        dense = np.zeros((n, h), np.float32)
+        sparse = np.zeros((n, doc_max_length), np.float32)
+        col = np.zeros((n, doc_max_length, dc), np.float32)
+        mask = np.zeros((n, doc_max_length), bool)
+        tok = np.zeros((n, doc_max_length), bool)
+        for s in range(0, n, encode_batch):
+            batch = list(texts[s: s + encode_batch])
+            e = encoder.encode_multi(batch)
+            L = min(e.ids.shape[1], doc_max_length)
+            b = len(batch)
+            dense[s: s + b] = e.dense
+            ids[s: s + b, :L] = e.ids[:, :L]
+            sparse[s: s + b, :L] = e.sparse[:, :L]
+            col[s: s + b, :L] = e.colbert[:, :L]
+            mask[s: s + b, :L] = e.mask[:, :L]
+            tok[s: s + b, :L] = e.token_mask[:, :L]
+        # ship once; ColBERT (the big one) stored at ``store_dtype``
+        self.d_dense = jnp.asarray(dense).astype(sd)
+        self.d_ids = jnp.asarray(ids)
+        self.d_sparse = jnp.asarray(sparse).astype(sd)
+        self.d_col = jnp.asarray(col).astype(sd)
+        self.d_mask = jnp.asarray(mask)
+        self.d_tok = jnp.asarray(tok)
+        self.hbm_bytes = int(sum(a.size * a.dtype.itemsize for a in (
+            self.d_dense, self.d_ids, self.d_sparse, self.d_col,
+            self.d_mask, self.d_tok)))
+
+        @jax.jit
+        def gather_score(rows, row_valid, q_dense, q_ids, q_w, q_col,
+                         q_valid, weights):
+            take = lambda a: jnp.take(a, rows, axis=0)
+            return _m3_scores(
+                q_dense, q_ids, q_w, q_col, q_valid,
+                take(self.d_dense), take(self.d_ids), take(self.d_sparse),
+                take(self.d_col), take(self.d_mask), take(self.d_tok),
+                row_valid, weights)
+
+        self._gather_score = gather_score
+        self._q_cache: Dict[str, M3Embeddings] = {}
+
+    # ------------------------------------------------------------------
+    def _encode_query(self, query: str) -> M3Embeddings:
+        e = self._q_cache.get(query)
+        if e is None:
+            e = self.encoder.encode_multi([query], dedup_query_ids=True)
+            if len(self._q_cache) > 512:
+                self._q_cache.clear()
+            self._q_cache[query] = e
+        return e
+
+    def score_rows(self, query: str, rows: Sequence[int],
+                   components: bool = False):
+        """Fused M3 scores for corpus ``rows`` against ``query`` — one
+        device program, one readback. Returns [len(rows)] f32, or a dict
+        of per-head components when ``components``."""
+        if len(rows) == 0:
+            empty = np.zeros((0,), np.float32)
+            return ({"fused": empty, "dense": empty, "sparse": empty,
+                     "colbert": empty} if components else empty)
+        q = self._encode_query(query)
+        c = _bucket(len(rows))
+        rows_p = np.zeros((c,), np.int32)
+        rows_p[: len(rows)] = np.asarray(rows, np.int32)
+        valid = np.zeros((c,), bool)
+        valid[: len(rows)] = True
+        out = np.asarray(self._gather_score(
+            jnp.asarray(rows_p), jnp.asarray(valid),
+            jnp.asarray(q.dense[0]), jnp.asarray(q.ids[0]),
+            jnp.asarray(q.sparse[0]), jnp.asarray(q.colbert[0]),
+            jnp.asarray(q.token_mask[0] | q.mask[0]),
+            self.weights))[: len(rows)]
+        if components:
+            return {"fused": out[:, 0], "dense": out[:, 1],
+                    "sparse": out[:, 2], "colbert": out[:, 3]}
+        return out[:, 0]
+
+    def rerank_chunks(self, query: str, chunks: List[Dict]) -> List[Dict]:
+        """Stable-reorder retrieval output dicts (each carrying ``_row``)
+        by fused M3 score, annotating ``m3_score`` in metadata — the
+        candidate-stage hook the ensemble/classic serve path calls."""
+        if not chunks:
+            return chunks
+        scores = self.score_rows(query, [c["_row"] for c in chunks])
+        order = np.argsort(-scores, kind="stable")
+        out = []
+        for rank, j in enumerate(order):
+            c = dict(chunks[int(j)])
+            c["m3_score"] = float(scores[int(j)])
+            out.append(c)
+        return out

@@ -1,4 +1,5 @@
 from .contrastive import ContrastiveTrainer, info_nce
+from .m3 import M3ContrastiveTrainer
 from .reranker_lora import (
     LoRATrainConfig,
     RerankerTrainer,
@@ -9,4 +10,4 @@ from .reranker_lora import (
 
 __all__ = ["LoRATrainConfig", "RerankerTrainer", "group_loss",
            "param_sharding_rules", "anonymize_company",
-           "ContrastiveTrainer", "info_nce"]
+           "ContrastiveTrainer", "info_nce", "M3ContrastiveTrainer"]
