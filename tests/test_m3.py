@@ -196,6 +196,54 @@ def test_rerank_chunks_reorders_and_annotates(enc):
     assert scores == sorted(scores, reverse=True)
 
 
+# -- config/engine wiring ------------------------------------------------
+def test_engine_m3_fusion_config(tmp_path):
+    import json
+
+    from veritasfi_tpu.config import Config
+    from veritasfi_tpu.engine import RAGEngine
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [{"start": 1, "end": 1, "date_published": "2024-01-01"}]
+    for i in range(6):
+        rows.append({"content": f"chunk {i} revenue tok{i}",
+                     "page_number": i + 1})
+    (src / "a.json").write_text(json.dumps(rows))
+
+    cfg = Config(persist_directory=str(tmp_path / "idx"))
+    cfg.encoder.model_name = "nonexistent-model"   # hash embed + tiny M3
+    cfg.retrieval.native_bm25 = False
+    cfg.retrieval.m3_fusion = True
+    cfg.retrieval.m3_doc_max_length = 32
+    eng = RAGEngine(cfg)
+    eng.create_collection("c", str(src))
+    r = eng.create_retriever(3, "c")
+    assert r.m3_scorer is not None
+    chunks = r.invoke("revenue tok2", [])
+    assert chunks and all("m3_score" in c for c in chunks)
+    scores = [c["m3_score"] for c in chunks]
+    assert scores == sorted(scores, reverse=True)
+    # scorer is cached per collection
+    assert eng.create_retriever(3, "c").m3_scorer is r.m3_scorer
+    # batch path annotates identically to sequential invokes
+    batch = r.invoke_batch([("revenue tok2", []), ("revenue tok3", [])])
+    assert batch[0] == r.invoke("revenue tok2", [])
+
+
+def test_m3_eval_small():
+    from veritasfi_tpu.evals.m3_eval import run_m3_eval
+
+    r = run_m3_eval(seed=0, steps=40, n_queries=8, n_filler=24,
+                    candidates=12)
+    arms = r["detail"]["per_arm"]
+    assert set(arms) == {"dense", "sparse", "colbert", "fused"}
+    for a in arms.values():
+        for v in a.values():
+            assert 0.0 <= v <= 1.0
+    assert r["value"] == arms["fused"]["ndcg"]
+
+
 # -- checkpoint-layout loader -------------------------------------------
 def test_load_m3_head_params_maps_flag_layout(enc):
     h, dc = enc.dim, enc.arch.colbert_dim

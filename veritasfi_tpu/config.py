@@ -51,6 +51,15 @@ class RetrievalConfig:
     # #5 (10M-chunk single-chip) storage mode. Scores stay exact f32
     # products of the bf16-rounded embeddings (see ops.topk.dense_topk_large).
     corpus_dtype: str = "float32"
+    # Beyond-reference opt-in: candidate-stage fusion of the BGE-M3
+    # sparse + ColBERT heads the reference computes and throws away
+    # (models/m3_heads.py, retrieval/m3_scorer.py). Requires an M3-family
+    # encoder (encoder.model_name "bge-m3" or a local BGE-M3 checkpoint);
+    # when on, EnsembleRetriever output is stable-reordered by the fused
+    # score. Default off = exact reference path ordering.
+    m3_fusion: bool = False
+    m3_weights: tuple = (0.4, 0.2, 0.4)   # dense / sparse / colbert
+    m3_doc_max_length: int = 128          # per-chunk token budget on device
 
 
 @dataclass

@@ -39,6 +39,7 @@ class RAGEngine:
         self.embed_fn = embed_fn
         self._collections: Dict[str, CorpusIndex] = {}
         self._bm25: Dict[str, BM25Index] = {}
+        self._m3_scorers: Dict[str, object] = {}
         self._retrievers: List[EnsembleRetriever] = []
         if collections:
             for name, top_k in collections.items():
@@ -210,6 +211,9 @@ class RAGEngine:
             n = self.config.mesh.corpus_shards
             mesh = make_mesh([(self.config.mesh.corpus_axis, n)],
                              devices=jax.devices()[:n])
+        m3_scorer = kwargs.get("m3_scorer")
+        if m3_scorer is None and r.m3_fusion:
+            m3_scorer = self._make_m3_scorer(name)
         return EnsembleRetriever(
             index, self.embed_fn, bm25=self._bm25.get(name), k=k,
             faiss_k=kwargs.get("faiss_k", r.faiss_k),
@@ -224,4 +228,42 @@ class RAGEngine:
             encoder=kwargs.get("encoder"),
             mesh=mesh,
             corpus_axis=kwargs.get("corpus_axis", self.config.mesh.corpus_axis),
+            m3_scorer=m3_scorer,
         )
+
+    def _make_m3_scorer(self, name: str):
+        """Collection-resident M3 candidate scorer (retrieval.m3_fusion).
+
+        Built once per collection and cached: encodes every chunk through
+        the M3 multi-head encoder and ships the token representations to
+        the device (the ingest-time half of the candidate-stage fusion).
+        The M3 encoder resolves from encoder.model_name the same way
+        _load_encoder does — preset name (e.g. "BAAI/bge-m3") with random
+        or in-repo-trained weights; for a real local checkpoint, graft the
+        head weights with models.m3_heads.load_m3_head_params and pass the
+        scorer via create_retriever(m3_scorer=...)."""
+        if name in self._m3_scorers:
+            return self._m3_scorers[name]
+        from .models.m3_heads import M3_PRESETS, M3Encoder
+        from .retrieval.m3_scorer import M3CandidateScorer
+
+        enc_name = self.config.encoder.model_name
+        preset = {"BAAI/bge-m3": "bge-m3"}.get(enc_name, enc_name)
+        if preset not in M3_PRESETS:
+            logger.warning(
+                "retrieval.m3_fusion is on but encoder '%s' has no M3 "
+                "preset (known: %s); falling back to tiny-test heads — "
+                "train them (train/m3.py) or load a checkpoint "
+                "(models/m3_heads.py::load_m3_head_params) for real "
+                "quality", enc_name, sorted(M3_PRESETS))
+            preset = "tiny-test"
+        m3_enc = M3Encoder(preset=preset,
+                           max_length=self.config.encoder.max_length)
+        r = self.config.retrieval
+        scorer = M3CandidateScorer(
+            m3_enc, self._collections[name].texts,
+            doc_max_length=r.m3_doc_max_length,
+            weights=tuple(r.m3_weights))
+        self._m3_scorers[name] = scorer
+        self._log_device_memory(f"m3_scorer[{name}]")
+        return scorer

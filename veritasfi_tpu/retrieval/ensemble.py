@@ -226,6 +226,7 @@ class EnsembleRetriever:
         mesh=None,
         corpus_axis: str = "corpus",
         corpus_dtype: str = "float32",
+        m3_scorer=None,
     ) -> None:
         """``encoder``: optional models.encoder.TextEncoder. When provided,
         query embedding runs INSIDE the fused search jit (one device
@@ -240,7 +241,13 @@ class EnsembleRetriever:
         ``corpus_dtype``: device storage dtype of the CONTENT embedding
         matrix ("float32" = exact FAISS parity, "bfloat16" = half the HBM
         footprint + fused Pallas MIPS search on TPU — retrieval.corpus_dtype
-        in Config). Title embeddings stay fp32 (they are tiny)."""
+        in Config). Title embeddings stay fp32 (they are tiny).
+
+        ``m3_scorer``: optional retrieval.m3_scorer.M3CandidateScorer.
+        When set, invoke()/invoke_batch() stable-reorder their output by
+        the fused dense+sparse+ColBERT score (annotating ``m3_score``) —
+        a beyond-reference opt-in (retrieval.m3_fusion in Config); the
+        default None keeps the reference's path-ordered output exactly."""
         if corpus_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"corpus_dtype must be float32|bfloat16, got {corpus_dtype!r}")
@@ -288,6 +295,7 @@ class EnsembleRetriever:
             )
         self.bm25 = bm25
         self.num_chunk = corpus.num_chunks
+        self.m3_scorer = m3_scorer
 
         self.encoder = encoder
         if encoder is not None:
@@ -363,6 +371,9 @@ class EnsembleRetriever:
                 )
 
         profiler.add_metric("retrieved_chunks", len(chunk_list))
+        if self.m3_scorer is not None:
+            with profiler.span("m3_fusion"):
+                chunk_list = self.m3_scorer.rerank_chunks(input, chunk_list)
         return chunk_list
 
     # ------------------------------------------------------------------
@@ -430,6 +441,8 @@ class EnsembleRetriever:
                 bundle_cnt = self._bm25_path(q, seen_ids, chunk_list,
                                              bundle_cnt)
             profiler.add_metric("retrieved_chunks", len(chunk_list))
+            if self.m3_scorer is not None:
+                chunk_list = self.m3_scorer.rerank_chunks(q, chunk_list)
             results.append(chunk_list)
         return results
 
