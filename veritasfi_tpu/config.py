@@ -219,6 +219,11 @@ def _build(cls, d: Dict[str, Any], path: str):
                 raise ValueError(f"Config key {path}.{key} must be a mapping")
             kwargs[key] = _build(sub_cls, value, f"{path}.{key}")
         else:
+            # YAML/JSON have no tuples; tuple-defaulted fields (e.g.
+            # retrieval.m3_weights) round-trip as lists — coerce back so
+            # save->load is identity
+            if isinstance(f.default, tuple) and isinstance(value, list):
+                value = tuple(value)
             kwargs[key] = value
     return cls(**kwargs)
 

@@ -580,44 +580,63 @@ def _spaces(boxes: List[Tuple[int, int]], chars: List[str],
 def ocr_page(model: OCRModel, img: np.ndarray) -> str:
     """One page image -> text. Segmentation is host-side; the page's
     glyph crops are classified in one batched device forward, plus one
-    more for the low-confidence-split retry candidates."""
+    batch per split round and one for the merge pass."""
     line_bands = segment_lines(img)
     line_imgs = [img[y0:y1] for y0, y1 in line_bands]
-    boxes: List[Tuple[int, int, int]] = []     # (line index, x0, x1)
+    entries: List[Tuple[int, int, int]] = []   # (line index, x0, x1)
     crops: List[np.ndarray] = []
     for li, line in enumerate(line_imgs):
         for x0, x1, _ in segment_glyphs(line):
-            boxes.append((li, x0, x1))
+            entries.append((li, x0, x1))
             crops.append(_crop_glyph(line, x0, x1))
     if not crops:
         return ""
     chars, conf = model.classify_conf(np.stack(crops))
+    chars, conf = list(chars), list(conf)
+    # id of the split that produced an entry (None = original component);
+    # co-halves of one split are exempt from the merge pass, which would
+    # otherwise just undo the split (the union crop IS the pre-split box)
+    pair_id: List[Optional[int]] = [None] * len(entries)
+    next_pair = 0
 
-    # retry pass: wide low-confidence boxes are usually two welded
-    # glyphs; every candidate cut's halves are classified in one batch
-    # and the best-confidence pair wins (if it beats the whole box)
-    cand: List[Tuple[int, int]] = []     # (box index, cut column)
-    retry: List[np.ndarray] = []
-    for i, (li, x0, x1) in enumerate(boxes):
-        line = line_imgs[li]
-        wide = x1 - x0 >= _SPLIT_FORCE_W * line.shape[0]
-        if ((conf[i] < _SPLIT_CONF or wide)
-                and x1 - x0 >= _SPLIT_MIN_W * line.shape[0]):
-            for cut in _split_cuts(line, x0, x1):
-                cand.append((i, cut))
-                retry.append(_crop_glyph(line, x0, cut))
-                retry.append(_crop_glyph(line, cut, x1))
-    split_at: dict = {}
-    if cand:
+    # iterative split: wide low-confidence boxes are usually welded
+    # glyphs; each round classifies every candidate cut's halves in one
+    # batch and the best-confidence pair replaces the box if it wins.
+    # Accepted halves RE-ENTER the next round — serif welds span 3+
+    # glyphs ("illi" reads 'M', "gu" reads 'm') and a single two-way cut
+    # cannot recover them; each round peels one glyph off the weld.
+    for _round in range(3):
+        cand: List[Tuple[int, int]] = []     # (entry index, cut column)
+        retry: List[np.ndarray] = []
+        for i, (li, x0, x1) in enumerate(entries):
+            line = line_imgs[li]
+            wide = x1 - x0 >= _SPLIT_FORCE_W * line.shape[0]
+            if ((conf[i] < _SPLIT_CONF or wide)
+                    and x1 - x0 >= _SPLIT_MIN_W * line.shape[0]):
+                for cut in _split_cuts(line, x0, x1):
+                    cand.append((i, cut))
+                    retry.append(_crop_glyph(line, x0, cut))
+                    retry.append(_crop_glyph(line, cut, x1))
+        if not cand:
+            break
         rchars, rconf = model.classify_conf(np.stack(retry))
         best: dict = {}
         for j, (i, cut) in enumerate(cand):
             pair_conf = (rconf[2 * j] + rconf[2 * j + 1]) / 2.0
             if pair_conf > max(conf[i], best.get(i, (0.0,))[0]):
-                best[i] = (pair_conf, cut, rchars[2 * j], rchars[2 * j + 1])
-        for i, (_, cut, chl, chr_) in best.items():
-            x0, x1 = boxes[i][1], boxes[i][2]
-            split_at[i] = ((x0, cut, chl), (cut, x1, chr_))
+                best[i] = (pair_conf, cut, rchars[2 * j],
+                           rchars[2 * j + 1],
+                           float(rconf[2 * j]), float(rconf[2 * j + 1]))
+        if not best:
+            break
+        for i in sorted(best, reverse=True):   # reverse: indices stay valid
+            _, cut, chl, chr_, cl, cr = best[i]
+            li, x0, x1 = entries[i]
+            entries[i: i + 1] = [(li, x0, cut), (li, cut, x1)]
+            chars[i: i + 1] = [chl, chr_]
+            conf[i: i + 1] = [cl, cr]
+            pair_id[i: i + 1] = [next_pair, next_pair]
+            next_pair += 1
 
     # merge pass (the split pass's dual): adjacent touching/overlapping
     # boxes whose x-overlap fell short of segment_glyphs' 50% merge rule
@@ -627,40 +646,39 @@ def ocr_page(model: OCRModel, img: np.ndarray) -> str:
     # kerned letter pairs that merely touch stay split.
     mcand: List[int] = []
     mcrops: List[np.ndarray] = []
-    for i in range(len(boxes) - 1):
-        (li, x0, x1), (lj, y0_, y1_) = boxes[i], boxes[i + 1]
-        if (li == lj and y0_ - x1 <= 0
-                and i not in split_at and i + 1 not in split_at):
+    for i in range(len(entries) - 1):
+        (li, x0, x1), (lj, y0_, y1_) = entries[i], entries[i + 1]
+        co_halves = (pair_id[i] is not None
+                     and pair_id[i] == pair_id[i + 1])
+        if li == lj and y0_ - x1 <= 0 and not co_halves:
             mcand.append(i)
             mcrops.append(_crop_glyph(line_imgs[li], x0, y1_))
-    merged_at: dict = {}
     if mcand:
         mchars, mconf = model.classify_conf(np.stack(mcrops))
         taken: set = set()
+        accepted: List[Tuple[int, str, float]] = []
         for j, i in enumerate(mcand):
             if i in taken or i + 1 in taken:
                 continue
             if mconf[j] > max(conf[i], conf[i + 1]):
-                merged_at[i] = mchars[j]
+                accepted.append((i, mchars[j], float(mconf[j])))
                 taken.update((i, i + 1))
+        for i, ch, cf in sorted(accepted, reverse=True):
+            li, x0, _ = entries[i]
+            x1 = entries[i + 1][2]
+            entries[i: i + 2] = [(li, x0, x1)]
+            chars[i: i + 2] = [ch]
+            conf[i: i + 2] = [cf]
+            pair_id[i: i + 2] = [None]
 
     out_lines: List[str] = []
     i = 0
     for li, line in enumerate(line_imgs):
         lboxes: List[Tuple[int, int]] = []
         lchars: List[str] = []
-        while i < len(boxes) and boxes[i][0] == li:
-            if i in split_at:
-                for x0, x1, ch in split_at[i]:
-                    lboxes.append((x0, x1))
-                    lchars.append(ch)
-            elif i in merged_at:
-                lboxes.append((boxes[i][1], boxes[i + 1][2]))
-                lchars.append(merged_at[i])
-                i += 1   # the partner box is consumed by the merge
-            else:
-                lboxes.append(boxes[i][1:])
-                lchars.append(chars[i])
+        while i < len(entries) and entries[i][0] == li:
+            lboxes.append(entries[i][1:])
+            lchars.append(chars[i])
             i += 1
         sps = _spaces(lboxes, lchars, line.shape[0])
         out_lines.append("".join((" " if sp else "") + ch

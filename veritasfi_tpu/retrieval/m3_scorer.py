@@ -129,14 +129,19 @@ class M3CandidateScorer:
             self.d_dense, self.d_ids, self.d_sparse, self.d_col,
             self.d_mask, self.d_tok)))
 
+        # corpus arrays are ARGUMENTS, not closures: a jit-captured device
+        # array becomes an HLO constant, and multi-MB constants blow the
+        # relay's remote-compile size limit (HTTP 413 — measured on this
+        # env for closed-over params; see NOTES env facts)
         @jax.jit
-        def gather_score(rows, row_valid, q_dense, q_ids, q_w, q_col,
+        def gather_score(d_dense, d_ids, d_sparse, d_col, d_mask, d_tok,
+                         rows, row_valid, q_dense, q_ids, q_w, q_col,
                          q_valid, weights):
             take = lambda a: jnp.take(a, rows, axis=0)
             return _m3_scores(
                 q_dense, q_ids, q_w, q_col, q_valid,
-                take(self.d_dense), take(self.d_ids), take(self.d_sparse),
-                take(self.d_col), take(self.d_mask), take(self.d_tok),
+                take(d_dense), take(d_ids), take(d_sparse),
+                take(d_col), take(d_mask), take(d_tok),
                 row_valid, weights)
 
         self._gather_score = gather_score
@@ -168,6 +173,8 @@ class M3CandidateScorer:
         valid = np.zeros((c,), bool)
         valid[: len(rows)] = True
         out = np.asarray(self._gather_score(
+            self.d_dense, self.d_ids, self.d_sparse, self.d_col,
+            self.d_mask, self.d_tok,
             jnp.asarray(rows_p), jnp.asarray(valid),
             jnp.asarray(q.dense[0]), jnp.asarray(q.ids[0]),
             jnp.asarray(q.sparse[0]), jnp.asarray(q.colbert[0]),
