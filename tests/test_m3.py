@@ -244,6 +244,57 @@ def test_m3_eval_small():
     assert r["value"] == arms["fused"]["ndcg"]
 
 
+# -- full checkpoint-dir loader (RECIPES.md real-weight path) ------------
+def test_load_m3_encoder_from_dir(tmp_path):
+    """A synthetic BGE-M3-layout checkpoint dir (HF XLM-R-style trunk +
+    FlagEmbedding sparse_linear.pt / colbert_linear.pt head files) loads
+    in one call; dense head matches the plain encoder loader bit-close
+    and head shapes come from the checkpoint, not guesses."""
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig, BertModel, BertTokenizerFast
+
+    d = tmp_path / "m3ckpt"
+    cfg = BertConfig(vocab_size=200, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=64)
+    BertModel(cfg).save_pretrained(d)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + \
+        [f"tok{i}" for i in range(50)] + \
+        ["revenue", "margin", "what", "was", "the", "quarterly"]
+    vf = d / "vocab.txt"
+    vf.write_text("\n".join(vocab))
+    BertTokenizerFast(vocab_file=str(vf), do_lower_case=True
+                      ).save_pretrained(d)
+    g = torch.Generator().manual_seed(0)
+    torch.save({"weight": torch.randn(1, 32, generator=g),
+                "bias": torch.randn(1, generator=g)},
+               d / "sparse_linear.pt")
+    torch.save({"weight": torch.randn(24, 32, generator=g),
+                "bias": torch.randn(24, generator=g)},
+               d / "colbert_linear.pt")
+
+    from veritasfi_tpu.models.hf_loader import load_encoder_from_dir
+    from veritasfi_tpu.models.m3_heads import load_m3_encoder_from_dir
+
+    enc = load_m3_encoder_from_dir(str(d), max_length=64)
+    assert enc.arch.colbert_dim == 24          # read from the checkpoint
+    texts = ["what was the quarterly revenue", "margin tok3 tok4"]
+    e = enc.encode_multi(texts)
+    assert e.colbert.shape[2] == 24
+    # dense head == the plain encoder loader's embedding (same trunk)
+    plain = load_encoder_from_dir(str(d), max_length=64)
+    np.testing.assert_allclose(e.dense, plain.encode(texts), atol=2e-5)
+    # specials derived from the HF tokenizer: CLS/SEP carry no weight
+    hf = enc.tokenizer.hf
+    for sid in (hf.cls_token_id, hf.sep_token_id):
+        assert np.all(e.sparse[e.ids == sid] == 0.0)
+    # missing head file is a hard error naming the head
+    (d / "colbert_linear.pt").unlink()
+    with pytest.raises(FileNotFoundError, match="colbert_linear"):
+        load_m3_encoder_from_dir(str(d))
+
+
 # -- checkpoint-layout loader -------------------------------------------
 def test_load_m3_head_params_maps_flag_layout(enc):
     h, dc = enc.dim, enc.arch.colbert_dim

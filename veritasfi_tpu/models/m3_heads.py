@@ -36,6 +36,7 @@ trained in-repo by ``train/m3.py`` (the quality fixture's technique).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -161,10 +162,18 @@ class M3Encoder:
 
             tokenizer = HashTokenizer(trunk.vocab_size, pad_id=trunk.pad_id)
         self.tokenizer = tokenizer
-        # ids the sparse head must ignore (pad is masked already)
-        self.special_ids = tuple(sorted({
-            getattr(tokenizer, "cls_id", -1),
-            getattr(tokenizer, "sep_id", -1)} - {-1}))
+        # ids the sparse head must ignore (pad is masked already):
+        # HashTokenizer exposes cls_id/sep_id; an HF wrapper
+        # (tokenizer.load_hf_tokenizer) exposes the underlying tokenizer
+        # as .hf — XLM-R uses bos/eos (<s>/</s>) as its CLS/SEP
+        cand = {getattr(tokenizer, "cls_id", None),
+                getattr(tokenizer, "sep_id", None)}
+        hf = getattr(tokenizer, "hf", None)
+        if hf is not None:
+            cand |= {hf.cls_token_id, hf.sep_token_id,
+                     hf.bos_token_id, hf.eos_token_id}
+        self.special_ids = tuple(sorted(
+            c for c in cand if c is not None and c >= 0))
         if params is None:
             ids = jnp.zeros((1, 16), jnp.int32)
             params = self.module.init(jax.random.PRNGKey(seed), ids,
@@ -225,6 +234,70 @@ class M3Encoder:
     # dense-only view (drop-in for TextEncoder.encode / embed_fn slots)
     def encode(self, texts: List[str]) -> np.ndarray:
         return self.encode_multi(texts).dense
+
+
+def load_m3_encoder_from_dir(path: str, max_length: Optional[int] = None,
+                             dtype: Any = None) -> "M3Encoder":
+    """Build an M3Encoder from a local BGE-M3 checkpoint directory — the
+    one-call real-weight path (RECIPES.md). FlagEmbedding ships the trunk
+    as a standard HF XLM-R checkpoint plus two small head files
+    (``sparse_linear.pt`` / ``colbert_linear.pt``); some re-exports fold
+    the head tensors into the main state dict instead — both layouts are
+    handled. colbert_dim is read from the checkpoint, not guessed."""
+    import json as _json
+
+    from .hf_loader import _load_state_dict, load_bert_params
+    from .tokenizer import load_hf_tokenizer
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = _json.load(f)
+    trunk = EncoderArch(
+        vocab_size=cfg["vocab_size"],
+        hidden=cfg["hidden_size"],
+        layers=cfg["num_hidden_layers"],
+        heads=cfg["num_attention_heads"],
+        intermediate=cfg["intermediate_size"],
+        max_positions=cfg["max_position_embeddings"],
+        type_vocab=cfg.get("type_vocab_size", 2),
+        pad_id=cfg.get("pad_token_id", 0),
+        pos_offset=2 if cfg.get("model_type") in ("roberta", "xlm-roberta")
+        else 0,
+        layer_norm_eps=cfg.get("layer_norm_eps", 1e-12),
+        pooling="cls",
+    )
+    state = dict(_load_state_dict(path))
+    trunk_params = load_bert_params(state, trunk)
+
+    head_state: Dict[str, np.ndarray] = {}
+    for head in ("sparse_linear", "colbert_linear"):
+        if f"{head}.weight" in state:
+            for suffix in ("weight", "bias"):
+                if f"{head}.{suffix}" in state:
+                    head_state[f"{head}.{suffix}"] = np.asarray(
+                        state[f"{head}.{suffix}"], np.float32)
+        else:
+            pt = os.path.join(path, f"{head}.pt")
+            if not os.path.exists(pt):
+                raise FileNotFoundError(
+                    f"{head} weights not found: neither '{head}.weight' in "
+                    f"the state dict nor {pt} — is {path} a BGE-M3 "
+                    f"checkpoint?")
+            import torch
+
+            sub = torch.load(pt, map_location="cpu", weights_only=True)
+            for suffix in ("weight", "bias"):
+                if suffix in sub:
+                    head_state[f"{head}.{suffix}"] = np.asarray(
+                        sub[suffix].float().numpy(), np.float32)
+    colbert_dim = int(head_state["colbert_linear.weight"].shape[0])
+    params = load_m3_head_params(trunk_params, head_state, colbert_dim)
+    kw: Dict[str, Any] = {}
+    if max_length is not None:
+        kw["max_length"] = max_length
+    if dtype is not None:
+        kw["dtype"] = dtype
+    return M3Encoder(arch=M3Arch(trunk=trunk, colbert_dim=colbert_dim),
+                     params=params, tokenizer=load_hf_tokenizer(path), **kw)
 
 
 def load_m3_head_params(trunk_params: Any, state: Dict[str, np.ndarray],
