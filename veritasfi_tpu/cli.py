@@ -201,6 +201,14 @@ def main(argv=None) -> int:
                       help="write the JSON summary here (default: "
                            "<root>/num_recalls_summary.json)")
 
+    p_m3 = add_parser(
+        "m3-eval",
+        help="fused dense+sparse+ColBERT vs dense-only ranking on the "
+             "graded fixture (evals/m3_eval.py; M3_r04.json evidence)")
+    p_m3.add_argument("--seed", type=int, default=0)
+    p_m3.add_argument("--steps", type=int, default=160)
+    p_m3.add_argument("--out", default=None)
+
     p_tr = add_parser(
         "train-reranker",
         help="LoRA fine-tune the cross-encoder reranker (the reference's "
@@ -300,6 +308,15 @@ def main(argv=None) -> int:
         summary = summarize_num_recalls(stats, out_path=out)
         print(json.dumps({k: v for k, v in summary.items()
                           if k != "per_file"} | {"out": out}))
+        return 0
+
+    if args.cmd == "m3-eval":
+        from .evals.m3_eval import main as m3_main
+
+        m3_args = ["--seed", str(args.seed), "--steps", str(args.steps)]
+        if args.out:
+            m3_args += ["--out", args.out]
+        m3_main(m3_args)
         return 0
 
     if args.cmd == "ingest":
