@@ -60,6 +60,12 @@ class RetrievalConfig:
     m3_fusion: bool = False
     m3_weights: tuple = (0.4, 0.2, 0.4)   # dense / sparse / colbert
     m3_doc_max_length: int = 128          # per-chunk token budget on device
+    # Fused-serve M3 pool: the serve program's fusion loop over-emits to
+    # this many candidate rows before the M3 order picks the top
+    # rerank.max_candidates — matches the classic "reorder everything,
+    # then cap" whenever the pool holds every candidate. Grows the
+    # in-program gather/score working set linearly; no extra dispatches.
+    m3_candidate_pool: int = 128
 
 
 @dataclass

@@ -88,9 +88,16 @@ def rank_chunk(
         bundle = bundle_map[bundle_id]
         if bundle_id in selected_indices or current_size + len(bundle) > chunk_topk:
             continue
-        if selected_indices and np.any(
-            sim[idx, selected_indices] > similar_threshold
-        ):
+        # The quirk above indexes the CHUNK-level matrix with BUNDLE ids.
+        # Without M3 reordering a capped list can only hold bundle ids
+        # below its own length (each bundle emits at least one chunk
+        # before any later bundle), so the reference never sees an
+        # out-of-range id. An M3 reorder (beyond-reference) can promote a
+        # late bundle into the cap; such ids have no column here, so they
+        # sit out the similarity veto instead of crashing the lookup —
+        # FusedServePath._rank_chunk_device applies the same rule.
+        in_range = [b for b in selected_indices if b < sim.shape[1]]
+        if in_range and np.any(sim[idx, in_range] > similar_threshold):
             continue
         selected_indices.append(bundle_id)
         current_size += len(bundle)

@@ -11,6 +11,9 @@ device, so one jitted program runs:
   -> ordered dedup-union fusion with bundle gathering + prev/next expansion
      (a lax.while_loop replay of EnsembleRetriever._dense_path/_title_path/
      _bm25_path, reference: src/utils/ensembleRetriever.py:62-233)
+  -> optional candidate-stage M3 fusion (dense+sparse+ColBERT gather+score
+     over the emitted pool, stable reorder, top rerank_cap — the classic
+     path's retrieval.m3_fusion hook without its extra dispatch)
   -> rerank pair assembly from a device-resident pre-tokenized passage
      matrix -> cross-encoder forward (yes-logit / classifier logit)
   -> time scores + candidate similarity matrix
@@ -38,6 +41,7 @@ from ..ingest.corpus import CorpusIndex, normalize_rows
 from ..rerank.fusion import select_content
 from ..utils.profiler import profiler
 from .ensemble import _search_dispatch
+from .m3_scorer import _m3_scores
 
 _F32 = jnp.float32
 PATH_NAMES = ("FAISS", "Title Summary", "BM25")
@@ -269,7 +273,12 @@ def _rank_chunk_device(combined, out_group, valid, sim, *,
         in_sel = jnp.any(sel == g)
         over = size + bsize[i] > chunk_topk
         sims = sim[i, jnp.clip(sel, 0, cap - 1)]
-        simhit = jnp.any((jnp.arange(chunk_topk) < cnt)
+        # group ids >= cap can only appear when an M3 reorder promoted a
+        # late-emitted group into the capped list; they have no column in
+        # the candidate-level matrix, so they sit out the similarity veto
+        # (rerank.fusion.rank_chunk applies the same rule — the host and
+        # device selections must agree bit-for-bit)
+        simhit = jnp.any((jnp.arange(chunk_topk) < cnt) & (sel < cap)
                          & (sims > sim_threshold))
         acc = ok & ~in_sel & ~over & ~simhit
         sel = sel.at[jnp.where(acc, cnt, chunk_topk)].set(g, mode="drop")
@@ -303,7 +312,8 @@ class FusedServePath:
                  rerank_cap: int = 50, chunk_topk: int = 5,
                  sim_threshold: float = 0.9,
                  corpus_dtype: str = "float32",
-                 device_emb=None, device_ts_emb=None) -> None:
+                 device_emb=None, device_ts_emb=None,
+                 m3_scorer=None, m3_pool: Optional[int] = None) -> None:
         if encoder is None and embed_fn is None:
             raise ValueError("need encoder or embed_fn")
         self.corpus = corpus
@@ -328,6 +338,20 @@ class FusedServePath:
         self.rerank_cap = rerank_cap
         self.chunk_topk = chunk_topk
         self.sim_threshold = sim_threshold
+        # Candidate-stage M3 fusion folded INTO the serve program: the
+        # classic path's rerank_chunks hook is a separate gather+score
+        # dispatch (+1 transport round-trip, ~30 ms on this relay —
+        # M3_r04.json); here the same _m3_scores math runs between the
+        # fusion loop and pair assembly, so it costs zero readbacks. The
+        # fusion loop over-emits to ``m3_pool`` rows and the M3 order
+        # picks the top ``rerank_cap`` — identical to the classic
+        # "reorder the full list, then cap" whenever the pool holds every
+        # candidate (the parity tests pin exactly that).
+        self.m3 = m3_scorer
+        self._fuse_cap = rerank_cap
+        if m3_scorer is not None:
+            self._fuse_cap = max(m3_pool if m3_pool is not None
+                                 else 2 * rerank_cap, rerank_cap)
 
         n = corpus.num_chunks
         # content matrix in the configured storage dtype, mirroring the
@@ -496,10 +520,11 @@ class FusedServePath:
         return (enc_ids, enc_mask, q_emb, prefix, prefix_len, budget,
                 bm25_rows, bm25_scores, qtime_days)
 
-    def _body_search(self, pack, enc_params,
+    def _body_search(self, pack, enc_params, m3_corpus, m3_q,
                      *, num_q, enc_len, with_encoder, seq):
         """Stage 1: encoder forward -> tripartite search -> device fusion
-        loop -> rerank pair assembly -> time scores."""
+        loop -> [M3 candidate-stage fusion] -> rerank pair assembly ->
+        time scores."""
         (enc_ids, enc_mask, q_emb_in, prefix, prefix_len, budget, bm25_rows,
          bm25_scores, qtime_days) = self._unpack(
             pack, num_q=num_q, enc_len=enc_len, seq=seq,
@@ -528,7 +553,35 @@ class FusedServePath:
             k=self.k, ts_k=self.ts_k, mt=self._mt, bm25_k=self.bm25_k,
             steps=steps, expand=self.enable_expand and run_dense,
             trigger=self.trigger, accept=self.accept, emc=self.emc,
-            cap=self.rerank_cap)
+            cap=self._fuse_cap)
+
+        m3_top = None
+        if self.m3 is not None:
+            # in-program M3 fusion: gather the pool rows' token
+            # representations, score all three heads, stable-reorder by
+            # the fused score (exactly M3CandidateScorer.rerank_chunks'
+            # argsort), keep the top rerank_cap. Invalid slots sort last
+            # with their relative order preserved, as on host.
+            d_dense, d_ids, d_sparse, d_col, d_mask, d_tok, wts = m3_corpus
+            q_ids, q_dense, q_w, q_col, q_valid = m3_q
+            safe_rows = jnp.maximum(out_row, 0)
+            take = lambda a: jnp.take(a, safe_rows, axis=0)
+            row_valid = out_row >= 0
+            m3_all = _m3_scores(
+                q_dense, q_ids, q_w, q_col, q_valid,
+                take(d_dense), take(d_ids), take(d_sparse), take(d_col),
+                take(d_mask), take(d_tok), row_valid, wts)[:, 0]
+            pool = out_row.shape[0]
+            neg = jnp.where(row_valid, -m3_all, jnp.inf)
+            _, order = jax.lax.sort(
+                (neg, jnp.arange(pool, dtype=jnp.int32)), num_keys=2)
+            order = order[: self.rerank_cap]
+            out_row = out_row[order]
+            out_group = out_group[order]
+            out_score = out_score[order]
+            out_path = out_path[order]
+            m3_top = m3_all[order]
+            n_out = jnp.minimum(n_out, self.rerank_cap)
 
         ids, mask = _assemble_pairs(
             out_row, prefix, prefix_len, self._suffix,
@@ -537,8 +590,9 @@ class FusedServePath:
         safe = jnp.maximum(out_row, 0)
         tscores = jnp.maximum(
             0.0, 1.0 - jnp.abs(qtime_days - self._date_days[safe]) / 365.0)
-        return (out_row, out_group, out_score, out_path, n_out,
-                ids, mask, tscores)
+        out = (out_row, out_group, out_score, out_path, n_out,
+               ids, mask, tscores)
+        return out if m3_top is None else out + (m3_top,)
 
     def _body_rerank(self, rr_params, ids, mask, out_row, out_group,
                      tscores):
@@ -588,29 +642,33 @@ class FusedServePath:
             combined, out_group, valid, sim)
         return logits, sel, sel_cnt
 
-    def _body(self, pack, enc_params, rr_params,
+    def _body(self, pack, enc_params, rr_params, m3_corpus, m3_q,
               *, num_q, enc_len, with_encoder, seq):
         (out_row, out_group, out_score, out_path, n_out, ids, mask,
-         tscores) = self._body_search(
-            pack, enc_params,
+         tscores, *m3_top) = self._body_search(
+            pack, enc_params, m3_corpus, m3_q,
             num_q=num_q, enc_len=enc_len, with_encoder=with_encoder, seq=seq)
         logits, sel, sel_cnt = self._body_rerank(
             rr_params, ids, mask, out_row, out_group, tscores)
         return self._pack_out(out_row, out_group, out_score, out_path,
-                              n_out, logits, tscores, sel, sel_cnt)
+                              n_out, logits, tscores, sel, sel_cnt,
+                              m3_top[0] if m3_top else None)
 
     def _pack_out(self, out_row, out_group, out_score, out_path, n_out,
-                  logits, tscores, sel, sel_cnt):
+                  logits, tscores, sel, sel_cnt, m3_top=None):
         """ONE readback leaf: every per-leaf device_get costs extra relay
         latency (~1.3 ms for the old 9-leaf pytree, measured) — f32
         sections ride as int32 bits (bitcast is free on device)."""
-        return jnp.concatenate([
+        parts = [
             out_row, out_group, out_path, sel,
             jnp.stack([n_out.astype(jnp.int32), sel_cnt.astype(jnp.int32)]),
             jax.lax.bitcast_convert_type(out_score, jnp.int32),
             jax.lax.bitcast_convert_type(logits, jnp.int32),
             jax.lax.bitcast_convert_type(tscores, jnp.int32),
-        ])
+        ]
+        if m3_top is not None:
+            parts.append(jax.lax.bitcast_convert_type(m3_top, jnp.int32))
+        return jnp.concatenate(parts)
 
     def _unpack_out(self, host):
         """Host-side inverse of _pack_out (numpy views, no copies)."""
@@ -625,8 +683,11 @@ class FusedServePath:
         out_score = f[:cap]
         logits = f[cap: 2 * cap]
         tscores = f[2 * cap: 3 * cap]
-        return (out_row, out_group, out_score, out_path, n_out,
-                logits, tscores, sel, sel_cnt)
+        out = (out_row, out_group, out_score, out_path, n_out,
+               logits, tscores, sel, sel_cnt)
+        if self.m3 is not None:
+            out = out + (f[3 * cap: 4 * cap],)
+        return out
 
     # -- host orchestration --------------------------------------------------
     def _encoder_tokens(self, inputs: List[str]):
@@ -666,6 +727,7 @@ class FusedServePath:
         with profiler.span("serve_host_prep"):
             pack, num_q, enc_len, seq = self._prep(
                 inputs, query, query_time)
+            m3_corpus, m3_q = self._m3_args(query)
             with_encoder = self.encoder is not None
             # Pallas custom calls (the int8 fused-MLP rerank) defeat XLA's
             # whole-program scheduling inside the mega-program: run the
@@ -674,22 +736,32 @@ class FusedServePath:
             split = getattr(self.reranker.arch, "mlp_impl", "xla") == "int8"
             if split:
                 (out_row, out_group, out_score, out_path, n_out, rr_ids,
-                 rr_mask, tscores) = self._jit_search(
+                 rr_mask, tscores, *m3_top) = self._jit_search(
                     pack, self.encoder.params if with_encoder
-                    else None, num_q=num_q, enc_len=enc_len,
-                    with_encoder=with_encoder, seq=seq)
+                    else None, m3_corpus, m3_q, num_q=num_q,
+                    enc_len=enc_len, with_encoder=with_encoder, seq=seq)
                 logits, sel, sel_cnt = self._jit_rerank(
                     self.reranker.params, rr_ids, rr_mask, out_row,
                     out_group, tscores)
                 out = (out_row, out_group, out_score, out_path, n_out,
-                       logits, tscores, sel, sel_cnt)
+                       logits, tscores, sel, sel_cnt) + tuple(m3_top)
             else:
                 out = self._jit(
                     pack,
                     self.encoder.params if with_encoder else None,
-                    self.reranker.params, num_q=num_q, enc_len=enc_len,
-                    with_encoder=with_encoder, seq=seq)
+                    self.reranker.params, m3_corpus, m3_q, num_q=num_q,
+                    enc_len=enc_len, with_encoder=with_encoder, seq=seq)
         return out
+
+    def _m3_args(self, query: str) -> Tuple[Tuple, Tuple]:
+        """(corpus token reps, query-side reps) for the in-program M3
+        fusion — empty pytrees when M3 is off. The query encode is a
+        CHAINED dispatch (M3CandidateScorer.encode_query_device): its
+        outputs stay on device and feed the serve program directly, so
+        enabling M3 adds zero transport round-trips."""
+        if self.m3 is None:
+            return (), ()
+        return self.m3.corpus_arrays(), self.m3.encode_query_device(query)
 
     def _prep(self, inputs: List[str], query: str, query_time):
         """Host prep: tokenization + BM25 + the two packed input transfers."""
@@ -784,10 +856,11 @@ class FusedServePath:
         with profiler.span("serve_host_prep"):
             pack, num_q, enc_len, seq = self._prep(
                 inputs, query, query_time)
+            m3_corpus, m3_q = self._m3_args(query)
             with_encoder = self.encoder is not None
             out = self._jit_search(
                 pack, self.encoder.params if with_encoder
-                else None, num_q=num_q, enc_len=enc_len,
+                else None, m3_corpus, m3_q, num_q=num_q, enc_len=enc_len,
                 with_encoder=with_encoder, seq=seq)
         return out, seq
 
@@ -816,7 +889,9 @@ class FusedServePath:
             ts_t = tuple(entries[i][0][7] for i in padded)
             batched[seq] = self._jit_rerank_batched(
                 self.reranker.params, ids_t, mask_t, row_t, group_t, ts_t)
-        small = [out[:5] + (out[7],) for out, _ in entries]
+        with_m3 = self.m3 is not None
+        small = [out[:5] + (out[7],) + ((out[8],) if with_m3 else ())
+                 for out, _ in entries]
         with profiler.span("serve_wave_readback"):
             h_small, h_batched = jax.device_get((small, batched))
         results: List = [None] * len(entries)
@@ -824,10 +899,11 @@ class FusedServePath:
             logits_b, sel_b, cnt_b = h_batched[seq]
             for j, i in enumerate(idxs):
                 (out_row, out_group, out_score, out_path, n_out,
-                 tscores) = h_small[i]
+                 tscores, *m3_top) = h_small[i]
                 results[i] = self._format(
                     (out_row, out_group, out_score, out_path, n_out,
-                     logits_b[j], tscores, sel_b[j], cnt_b[j]))
+                     logits_b[j], tscores, sel_b[j], cnt_b[j])
+                    + tuple(m3_top))
         return results
 
     def serve_wave(self, requests: Sequence[Tuple[str, Sequence[str], object]],
@@ -857,20 +933,26 @@ class FusedServePath:
         if not isinstance(host_out, (tuple, list)):
             host_out = self._unpack_out(host_out)    # packed single leaf
         (out_row, out_group, out_score, out_path, n_out, logits,
-         tscores, sel, sel_cnt) = host_out
+         tscores, sel, sel_cnt, *m3_top) = host_out
+        m3 = m3_top[0] if m3_top else None
         chunks: List[Dict] = []
         for i in range(int(n_out)):
             r = int(out_row[i])
             if r < 0:
                 continue
-            chunks.append({
+            chunk = {
                 "retriever": PATH_NAMES[int(out_path[i])],
                 "score": float(out_score[i]),
                 "page_content": self.corpus.texts[r],
                 "metadata": self.corpus.metadata(r),
                 "bundle_id": int(out_group[i]),
                 "_row": r,
-            })
+            }
+            if m3 is not None:
+                # same annotation M3CandidateScorer.rerank_chunks makes
+                # on the classic path
+                chunk["m3_score"] = float(m3[i])
+            chunks.append(chunk)
         selected = [int(g) for g in sel[: int(sel_cnt)]][::-1]
         diag = {"logits": logits[: int(n_out)],
                 "time_scores": tscores[: int(n_out)],

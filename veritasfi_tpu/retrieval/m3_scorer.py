@@ -29,6 +29,7 @@ Default weights (0.4, 0.2, 0.4) follow FlagEmbedding's
 
 from __future__ import annotations
 
+import threading
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -37,6 +38,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.m3_heads import M3Embeddings, M3Encoder
+
+
+def dedup_sparse_device(ids, w, tok):
+    """Device mirror of ``m3_heads.dedup_sparse_by_id`` for ONE row
+    ([L] each): keep each token id's weight only at its first masked
+    occurrence, at the max over occurrences. Used by the chained
+    query-encode program so the query-side {token_id: weight} dedup
+    never forces a host readback (host dedup would need the sparse
+    head's output back on host first)."""
+    pos = jnp.arange(ids.shape[0], dtype=jnp.int32)
+    eq = (ids[:, None] == ids[None, :]) & tok[:, None] & tok[None, :]
+    first = tok & ~jnp.any(eq & (pos[None, :] < pos[:, None]), axis=-1)
+    wmax = jnp.max(jnp.where(eq, w[None, :], 0.0), axis=-1)
+    return jnp.where(first, wmax, 0.0)
 
 
 @partial(jax.jit, static_argnames=())
@@ -119,15 +134,10 @@ class M3CandidateScorer:
             mask[s: s + b, :L] = e.mask[:, :L]
             tok[s: s + b, :L] = e.token_mask[:, :L]
         # ship once; ColBERT (the big one) stored at ``store_dtype``
-        self.d_dense = jnp.asarray(dense).astype(sd)
-        self.d_ids = jnp.asarray(ids)
-        self.d_sparse = jnp.asarray(sparse).astype(sd)
-        self.d_col = jnp.asarray(col).astype(sd)
-        self.d_mask = jnp.asarray(mask)
-        self.d_tok = jnp.asarray(tok)
-        self.hbm_bytes = int(sum(a.size * a.dtype.itemsize for a in (
-            self.d_dense, self.d_ids, self.d_sparse, self.d_col,
-            self.d_mask, self.d_tok)))
+        self._adopt_arrays(jnp.asarray(dense).astype(sd), jnp.asarray(ids),
+                           jnp.asarray(sparse).astype(sd),
+                           jnp.asarray(col).astype(sd), jnp.asarray(mask),
+                           jnp.asarray(tok))
 
         # corpus arrays are ARGUMENTS, not closures: a jit-captured device
         # array becomes an HLO constant, and multi-MB constants blow the
@@ -146,6 +156,75 @@ class M3CandidateScorer:
 
         self._gather_score = gather_score
         self._q_cache: Dict[str, M3Embeddings] = {}
+        self._q_dev_cache: Dict[str, Tuple] = {}
+        # HF fast tokenizers are not thread-safe and encode_query_device
+        # runs in the serve path's caller threads
+        self._tok_lock = threading.Lock()
+        # chained query-encode program: trunk + heads + device-side dedup,
+        # outputs STAY on device (they feed the fused serve program as
+        # arguments — no readback, no extra transport round-trip)
+        module = encoder.module
+
+        @jax.jit
+        def encode_q(params, ids, mask, special):
+            dense, sparse, col, tok = module.apply(params, ids, mask,
+                                                   special)
+            w = dedup_sparse_device(ids[0], sparse[0], tok[0])
+            valid = tok[0] | mask[0].astype(bool)
+            return ids[0], dense[0], w, col[0], valid
+
+        self._encode_q = encode_q
+
+    def _adopt_arrays(self, d_dense, d_ids, d_sparse, d_col, d_mask,
+                      d_tok) -> None:
+        self.d_dense = d_dense
+        self.d_ids = d_ids
+        self.d_sparse = d_sparse
+        self.d_col = d_col
+        self.d_mask = d_mask
+        self.d_tok = d_tok
+        self.hbm_bytes = int(sum(a.size * a.dtype.itemsize for a in (
+            d_dense, d_ids, d_sparse, d_col, d_mask, d_tok)))
+
+    @classmethod
+    def from_arrays(cls, encoder: M3Encoder, d_dense, d_ids, d_sparse,
+                    d_col, d_mask, d_tok,
+                    weights: Tuple[float, float, float] = (0.4, 0.2, 0.4)
+                    ) -> "M3CandidateScorer":
+        """Build a scorer around pre-computed corpus token representations
+        (shapes as the attributes document) without re-encoding — the
+        checkpoint-restore / benchmarking constructor. ``encoder`` still
+        provides the query-side tokenizer + trunk."""
+        self = cls(encoder, [], doc_max_length=int(d_ids.shape[1]),
+                   weights=weights)
+        self._adopt_arrays(jnp.asarray(d_dense), jnp.asarray(d_ids),
+                           jnp.asarray(d_sparse), jnp.asarray(d_col),
+                           jnp.asarray(d_mask), jnp.asarray(d_tok))
+        return self
+
+    def corpus_arrays(self) -> Tuple:
+        """The device-resident corpus token representations, in the
+        argument order the fused serve program consumes (corpus arrays are
+        ARGUMENTS there too — a jit-captured device array becomes an HLO
+        constant and blows the relay's remote-compile size limit)."""
+        return (self.d_dense, self.d_ids, self.d_sparse, self.d_col,
+                self.d_mask, self.d_tok, self.weights)
+
+    def encode_query_device(self, query: str) -> Tuple:
+        """(q_ids, q_dense, q_w_dedup, q_col, q_valid) as DEVICE arrays —
+        one chained dispatch, zero readbacks. The fused serve path passes
+        these straight into its mega-program."""
+        out = self._q_dev_cache.get(query)
+        if out is None:
+            with self._tok_lock:
+                ids, mask = self.encoder.tokenize_padded([query])
+            special = self.encoder._special_mask(ids)
+            out = self._encode_q(self.encoder.params, jnp.asarray(ids),
+                                 jnp.asarray(mask), jnp.asarray(special))
+            if len(self._q_dev_cache) > 512:
+                self._q_dev_cache.clear()
+            self._q_dev_cache[query] = out
+        return out
 
     # ------------------------------------------------------------------
     def _encode_query(self, query: str) -> M3Embeddings:

@@ -215,7 +215,12 @@ def build_stack(config: Optional[Config] = None,
                 device_emb=(r0.dense.corpus if r0.dense is not None
                             else None),
                 device_ts_emb=(r0.ts_dense.corpus
-                               if r0.ts_dense is not None else None))
+                               if r0.ts_dense is not None else None),
+                # retrieval.m3_fusion rides inside the serve program here
+                # (zero extra readbacks) — the classic path's separate
+                # gather+score dispatch costs ~30 ms of relay round-trip
+                m3_scorer=getattr(r0, "m3_scorer", None),
+                m3_pool=config.retrieval.m3_candidate_pool)
             retrieval_batcher = RetrievalBatcher(serve_path)
             logger.info("fused single-readback serve path enabled "
                         "(cap=%d)", config.rerank.max_candidates)
