@@ -224,13 +224,143 @@ std::vector<std::string> tokenize(const char* text) {
 // ---------------------------------------------------------------------------
 // Index
 // ---------------------------------------------------------------------------
+// Flat-CSR postings (term-major): rows ascend within each term because both
+// build paths emit docs in insertion order. Query scoring accumulates into a
+// dense scratch that SELF-CLEANS: only candidate slots touched by the query's
+// postings are written and reset afterwards, so a 10M-row corpus never pays a
+// 40 MB memset or a full-corpus scan per query (the old partial_sort top-k
+// was O(N log k) over every row; this is O(postings + candidates)).
 struct BM25Handle {
   int num_docs = 0;
   std::unordered_map<std::string, int> vocab;
-  // CSC: per-term doc rows + precomputed contributions
-  std::vector<std::vector<int32_t>> term_rows;
-  std::vector<std::vector<float>> term_scores;
+  std::vector<int64_t> indptr;    // [V+1]
+  std::vector<int32_t> rows;      // [nnz], ascending doc id within each term
+  std::vector<float> contribs;    // [nnz], idf * tf_part (always > 0)
+  // query-time scratch (guarded: one query at a time per handle)
+  std::vector<float> scratch;     // dense [num_docs], all-zero between calls
+  std::vector<int32_t> cands;     // candidate doc ids of the current query
 };
+
+struct Hit {
+  float s;
+  int32_t i;
+};
+
+// "better" = higher score, then lower doc id (FAISS-style deterministic
+// tie-break, matching retrieval/bm25.py's lexsort order).
+inline bool better(const Hit& a, const Hit& b) {
+  if (a.s != b.s) return a.s > b.s;
+  return a.i < b.i;
+}
+
+// Accumulate the query terms' postings into h->scratch, recording each doc
+// the first time it is touched (contributions are strictly positive, so
+// scratch[d] == 0 means "untouched"). Duplicate query terms count once per
+// occurrence, like bm25s and the Python engine.
+void accumulate_ids(BM25Handle* h, const int32_t* qids, int32_t nq) {
+  if ((int)h->scratch.size() < h->num_docs) h->scratch.assign(h->num_docs, 0.f);
+  h->cands.clear();
+  int v = (int)(h->indptr.size() ? h->indptr.size() - 1 : 0);
+  for (int32_t t = 0; t < nq; ++t) {
+    int32_t term = qids[t];
+    if (term < 0 || term >= v) continue;
+    const int32_t* r = h->rows.data() + h->indptr[term];
+    const float* c = h->contribs.data() + h->indptr[term];
+    int64_t n = h->indptr[term + 1] - h->indptr[term];
+    for (int64_t j = 0; j < n; ++j) {
+      float& slot = h->scratch[r[j]];
+      if (slot == 0.f) h->cands.push_back(r[j]);
+      slot += c[j];
+    }
+  }
+}
+
+std::vector<int32_t> query_to_ids(BM25Handle* h, const char* query) {
+  std::vector<int32_t> ids;
+  for (auto& t : tokenize(query)) {
+    auto it = h->vocab.find(t);
+    ids.push_back(it == h->vocab.end() ? -1 : it->second);
+  }
+  return ids;
+}
+
+int32_t topk_from_scratch(BM25Handle* h, int32_t k, int32_t* out_ids,
+                          float* out_scores) {
+  int n = h->num_docs;
+  k = std::min((int)k, n);
+  if (k <= 0) {
+    for (int32_t d : h->cands) h->scratch[d] = 0.f;
+    return 0;
+  }
+  // heap of the current top-k with the WORST element on top
+  std::vector<Hit> heap;
+  heap.reserve(k);
+  auto cmp = [](const Hit& a, const Hit& b) { return better(a, b); };
+  for (int32_t d : h->cands) {
+    Hit hit{h->scratch[d], d};
+    if ((int)heap.size() < k) {
+      heap.push_back(hit);
+      std::push_heap(heap.begin(), heap.end(), cmp);
+    } else if (better(hit, heap.front())) {
+      std::pop_heap(heap.begin(), heap.end(), cmp);
+      heap.back() = hit;
+      std::push_heap(heap.begin(), heap.end(), cmp);
+    }
+  }
+  std::sort(heap.begin(), heap.end(), better);
+  // fewer positive-score docs than k: pad with zero-score docs in ascending
+  // id order (exactly the Python engine's full-corpus lexsort tail)
+  if ((int)heap.size() < k) {
+    for (int32_t d = 0; d < n && (int)heap.size() < k; ++d)
+      if (h->scratch[d] == 0.f) heap.push_back(Hit{0.f, d});
+  }
+  for (int j = 0; j < k; ++j) {
+    out_ids[j] = heap[j].i;
+    out_scores[j] = heap[j].s;
+  }
+  for (int32_t d : h->cands) h->scratch[d] = 0.f;
+  return k;
+}
+
+}  // namespace
+
+namespace {
+
+// Shared index finalization: per-doc (term, tf) pairs arrive through a
+// callback-free two-pass design — callers fill `doc_tf` as flat (term, tf)
+// runs per doc; this computes idf, prefix-sums the CSR layout, and writes
+// postings in doc order (ascending rows per term).
+void finalize_postings(BM25Handle* h, int32_t n_docs, int v,
+                       const std::vector<int64_t>& tf_indptr,
+                       const std::vector<int32_t>& tf_terms,
+                       const std::vector<float>& tf_counts,
+                       const std::vector<float>& doc_len, double avgdl,
+                       double k1, double b, int32_t robertson) {
+  std::vector<int64_t> df(v, 0);
+  int64_t nnz = (int64_t)tf_terms.size();
+  for (int64_t j = 0; j < nnz; ++j) ++df[tf_terms[j]];
+  // idf once per vocabulary term, not per posting (millions of redundant
+  // std::log calls at collection load otherwise)
+  std::vector<float> idf_tab(v);
+  for (int t = 0; t < v; ++t)
+    idf_tab[t] =
+        std::log(1.0f + (n_docs - (float)df[t] + 0.5f) / ((float)df[t] + 0.5f));
+  h->indptr.assign(v + 1, 0);
+  for (int t = 0; t < v; ++t) h->indptr[t + 1] = h->indptr[t] + df[t];
+  h->rows.resize(nnz);
+  h->contribs.resize(nnz);
+  std::vector<int64_t> cursor(h->indptr.begin(), h->indptr.end() - 1);
+  for (int32_t i = 0; i < n_docs; ++i) {
+    float norm = (float)(k1 * (1.0 - b + b * doc_len[i] / avgdl));
+    for (int64_t j = tf_indptr[i]; j < tf_indptr[i + 1]; ++j) {
+      float tf_part = tf_counts[j] / (tf_counts[j] + norm);
+      if (robertson) tf_part *= (float)(k1 + 1.0);
+      int64_t pos = cursor[tf_terms[j]]++;
+      h->rows[pos] = i;
+      h->contribs[pos] = idf_tab[tf_terms[j]] * tf_part;
+    }
+  }
+}
 
 }  // namespace
 
@@ -241,13 +371,17 @@ void* vfi_bm25_build(const char** docs, int32_t n_docs, double k1, double b,
   auto* h = new BM25Handle();
   h->num_docs = n_docs;
 
-  std::vector<std::unordered_map<int, float>> doc_tf(n_docs);
+  std::vector<int64_t> tf_indptr(1, 0);
+  std::vector<int32_t> tf_terms;
+  std::vector<float> tf_counts;
   std::vector<float> doc_len(n_docs);
   double total_len = 0.0;
+  std::unordered_map<int, float> counts;
   for (int i = 0; i < n_docs; ++i) {
     auto toks = tokenize(docs[i]);
     doc_len[i] = (float)toks.size();
     total_len += toks.size();
+    counts.clear();
     for (auto& t : toks) {
       auto it = h->vocab.find(t);
       int col;
@@ -257,33 +391,56 @@ void* vfi_bm25_build(const char** docs, int32_t n_docs, double k1, double b,
       } else {
         col = it->second;
       }
-      doc_tf[i][col] += 1.0f;
+      counts[col] += 1.0f;
     }
+    for (auto& kv : counts) {
+      tf_terms.push_back(kv.first);
+      tf_counts.push_back(kv.second);
+    }
+    tf_indptr.push_back((int64_t)tf_terms.size());
   }
   double avgdl = n_docs ? std::max(total_len / n_docs, 1e-9) : 1.0;
+  finalize_postings(h, n_docs, (int)h->vocab.size(), tf_indptr, tf_terms,
+                    tf_counts, doc_len, avgdl, k1, b, robertson);
+  return h;
+}
 
-  int v = (int)h->vocab.size();
-  std::vector<float> df(v, 0.0f);
-  for (int i = 0; i < n_docs; ++i)
-    for (auto& kv : doc_tf[i]) df[kv.first] += 1.0f;
-
-  h->term_rows.resize(v);
-  h->term_scores.resize(v);
-  // idf once per vocabulary term, not per posting (millions of redundant
-  // std::log calls at collection load otherwise)
-  std::vector<float> idf_tab(v);
-  for (int t = 0; t < v; ++t)
-    idf_tab[t] = std::log(1.0f + (n_docs - df[t] + 0.5f) / (df[t] + 0.5f));
-  for (int i = 0; i < n_docs; ++i) {
-    float norm = (float)(k1 * (1.0 - b + b * doc_len[i] / avgdl));
-    for (auto& kv : doc_tf[i]) {
-      float idf = idf_tab[kv.first];
-      float tf_part = kv.second / (kv.second + norm);
-      if (robertson) tf_part *= (float)(k1 + 1.0);
-      h->term_rows[kv.first].push_back(i);
-      h->term_scores[kv.first].push_back(idf * tf_part);
+// Build from pre-tokenized docs: `tokens[indptr[d]..indptr[d+1])` are doc
+// d's term ids in [0, vocab_size). Used by corpus-scale fixtures (10M docs
+// never materialize strings) and by callers with their own tokenization;
+// the resulting handle shares the EXACT query-time code path with the text
+// build. Doc length = token count, like the tokenize() contract.
+void* vfi_bm25_build_tokens(const int64_t* indptr, const int32_t* tokens,
+                            int32_t n_docs, int32_t vocab_size, double k1,
+                            double b, int32_t robertson) {
+  auto* h = new BM25Handle();
+  h->num_docs = n_docs;
+  std::vector<int64_t> tf_indptr(1, 0);
+  std::vector<int32_t> tf_terms;
+  std::vector<float> tf_counts;
+  tf_terms.reserve(indptr[n_docs]);  // upper bound: every token unique
+  std::vector<float> doc_len(n_docs);
+  std::vector<int32_t> buf;
+  for (int32_t i = 0; i < n_docs; ++i) {
+    int64_t lo = indptr[i], hi = indptr[i + 1];
+    doc_len[i] = (float)(hi - lo);
+    buf.assign(tokens + lo, tokens + hi);
+    std::sort(buf.begin(), buf.end());
+    for (size_t j = 0; j < buf.size();) {
+      size_t run = j + 1;
+      while (run < buf.size() && buf[run] == buf[j]) ++run;
+      if (buf[j] >= 0 && buf[j] < vocab_size) {
+        tf_terms.push_back(buf[j]);
+        tf_counts.push_back((float)(run - j));
+      }
+      j = run;
     }
+    tf_indptr.push_back((int64_t)tf_terms.size());
   }
+  double avgdl =
+      n_docs ? std::max((double)indptr[n_docs] / n_docs, 1e-9) : 1.0;
+  finalize_postings(h, n_docs, vocab_size, tf_indptr, tf_terms, tf_counts,
+                    doc_len, avgdl, k1, b, robertson);
   return h;
 }
 
@@ -293,16 +450,27 @@ int32_t vfi_bm25_num_docs(void* handle) {
   return ((BM25Handle*)handle)->num_docs;
 }
 
-// Dense scores of every doc for the query.
+// Dense scores of every doc for the query (API kept for parity tests and
+// full-distribution callers; top-k never goes through this path anymore).
 void vfi_bm25_scores(void* handle, const char* query, float* out) {
   auto* h = (BM25Handle*)handle;
+  auto ids = query_to_ids(h, query);
   std::fill(out, out + h->num_docs, 0.0f);
-  for (auto& t : tokenize(query)) {
-    auto it = h->vocab.find(t);
-    if (it == h->vocab.end()) continue;
-    const auto& rows = h->term_rows[it->second];
-    const auto& scores = h->term_scores[it->second];
-    for (size_t j = 0; j < rows.size(); ++j) out[rows[j]] += scores[j];
+  accumulate_ids(h, ids.data(), (int32_t)ids.size());
+  for (int32_t d : h->cands) {
+    out[d] = h->scratch[d];
+    h->scratch[d] = 0.f;
+  }
+}
+
+void vfi_bm25_scores_ids(void* handle, const int32_t* qids, int32_t nq,
+                         float* out) {
+  auto* h = (BM25Handle*)handle;
+  std::fill(out, out + h->num_docs, 0.0f);
+  accumulate_ids(h, qids, nq);
+  for (int32_t d : h->cands) {
+    out[d] = h->scratch[d];
+    h->scratch[d] = 0.f;
   }
 }
 
@@ -310,22 +478,16 @@ void vfi_bm25_scores(void* handle, const char* query, float* out) {
 int32_t vfi_bm25_topk(void* handle, const char* query, int32_t k,
                       int32_t* out_ids, float* out_scores) {
   auto* h = (BM25Handle*)handle;
-  std::vector<float> scores(h->num_docs);
-  vfi_bm25_scores(handle, query, scores.data());
-  int n = h->num_docs;
-  k = std::min((int)k, n);
-  std::vector<int32_t> order(n);
-  std::iota(order.begin(), order.end(), 0);
-  std::partial_sort(order.begin(), order.begin() + k, order.end(),
-                    [&](int a, int b) {
-                      if (scores[a] != scores[b]) return scores[a] > scores[b];
-                      return a < b;
-                    });
-  for (int j = 0; j < k; ++j) {
-    out_ids[j] = order[j];
-    out_scores[j] = scores[order[j]];
-  }
-  return k;
+  auto ids = query_to_ids(h, query);
+  accumulate_ids(h, ids.data(), (int32_t)ids.size());
+  return topk_from_scratch(h, k, out_ids, out_scores);
+}
+
+int32_t vfi_bm25_topk_ids(void* handle, const int32_t* qids, int32_t nq,
+                          int32_t k, int32_t* out_ids, float* out_scores) {
+  auto* h = (BM25Handle*)handle;
+  accumulate_ids(h, qids, nq);
+  return topk_from_scratch(h, k, out_ids, out_scores);
 }
 
 }  // extern "C"

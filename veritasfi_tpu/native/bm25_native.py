@@ -82,6 +82,19 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.vfi_bm25_topk.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
+        lib.vfi_bm25_build_tokens.restype = ctypes.c_void_p
+        lib.vfi_bm25_build_tokens.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int32]
+        lib.vfi_bm25_scores_ids.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.vfi_bm25_topk_ids.restype = ctypes.c_int32
+        lib.vfi_bm25_topk_ids.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
         _lib = lib
         return _lib
 
@@ -117,6 +130,40 @@ class NativeBM25:
             arr, len(encoded), k1, b, 1 if variant == "robertson" else 0)
         self.num_docs = len(encoded)
 
+    @classmethod
+    def from_token_ids(cls, doc_indptr: np.ndarray, token_ids: np.ndarray,
+                       vocab_size: int,
+                       doc_ids: Optional[List[str]] = None,
+                       k1: float = 1.5, b: float = 0.75,
+                       variant: str = "lucene") -> "NativeBM25":
+        """Build from pre-tokenized docs: ``token_ids[doc_indptr[d]:
+        doc_indptr[d+1]]`` are doc d's term ids. Query-time code is shared
+        with the text build exactly; queries go through ``invoke_ids`` /
+        ``get_scores_ids`` (the handle has no string vocabulary).
+
+        This is the corpus-scale path — a 10M-doc fixture never
+        materializes 10M strings, and production callers with their own
+        tokenizers (or a persisted token cache) skip re-tokenization."""
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native bm25 library unavailable")
+        self = cls.__new__(cls)
+        self._lib = lib
+        indptr = np.ascontiguousarray(doc_indptr, np.int64)
+        tokens = np.ascontiguousarray(token_ids, np.int32)
+        n_docs = len(indptr) - 1
+        if int(indptr[-1]) != len(tokens):
+            raise ValueError("doc_indptr[-1] must equal len(token_ids)")
+        self.doc_ids = (doc_ids if doc_ids is not None
+                        else [str(i) for i in range(n_docs)])
+        self._handle = lib.vfi_bm25_build_tokens(
+            indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_docs, int(vocab_size), k1, b,
+            1 if variant == "robertson" else 0)
+        self.num_docs = n_docs
+        return self
+
     def __del__(self):
         handle = getattr(self, "_handle", None)
         if handle:
@@ -130,12 +177,36 @@ class NativeBM25:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return out
 
+    def get_scores_ids(self, query_ids) -> np.ndarray:
+        qids = np.ascontiguousarray(query_ids, np.int32)
+        out = np.zeros(self.num_docs, np.float32)
+        self._lib.vfi_bm25_scores_ids(
+            self._handle,
+            qids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(qids),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
+
     def invoke(self, query: str, k: int) -> Tuple[np.ndarray, np.ndarray]:
         k = min(k, self.num_docs)
         ids = np.zeros(k, np.int32)
         scores = np.zeros(k, np.float32)
         got = self._lib.vfi_bm25_topk(
             self._handle, query.encode("utf-8"), k,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return ids[:got].astype(np.int64), scores[:got]
+
+    def invoke_ids(self, query_ids, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k for a pre-tokenized query (term ids; unknown terms < 0
+        are ignored). Same ordering contract as ``invoke``."""
+        qids = np.ascontiguousarray(query_ids, np.int32)
+        k = min(k, self.num_docs)
+        ids = np.zeros(k, np.int32)
+        scores = np.zeros(k, np.float32)
+        got = self._lib.vfi_bm25_topk_ids(
+            self._handle,
+            qids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(qids),
+            k,
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return ids[:got].astype(np.int64), scores[:got]
