@@ -339,18 +339,32 @@ class EnsembleRetriever:
         bundle_cnt = 0
 
         run_dense, run_ts = self._path_flags()
-        search = None
+        raw = None
         if run_dense or run_ts:
             inputs = [input] + list(hyde_chunks)
             if self.encoder is not None and self.mesh is None:
                 with profiler.span("fused_search"):
-                    search = self._search_tokens(inputs)
+                    raw = self._search_tokens(inputs, defer=True)
             else:
                 with profiler.span("embed_queries"):
                     q_emb = normalize_rows(
                         np.asarray(self.embed_fn(inputs), np.float32))
                 with profiler.span("fused_search"):
-                    search = self._search(q_emb)
+                    raw = self._search(q_emb, defer=True)
+
+        # sparse leg OVERLAP: the fused search above is an async dispatch —
+        # the device (and its transport round-trip) is busy until the
+        # readback below, so host-side BM25 scoring here is latency-free
+        # up to the device window (at 10M rows that window is ~30+ ms).
+        bm25_pre = None
+        if self.bm25_k > 0 and self.bm25 is not None:
+            with profiler.span("retrieve_bm25"):
+                bm25_pre = self.bm25.invoke(input, self.bm25_k)
+
+        search = None
+        if raw is not None:
+            with profiler.span("fused_search"):
+                search = self._post_search(*raw)
 
         if run_dense:
             with profiler.span("retrieve_faiss"):
@@ -364,10 +378,10 @@ class EnsembleRetriever:
                     search, seen_ids, chunk_list, bundle_cnt
                 )
 
-        if self.bm25_k > 0 and self.bm25 is not None:
+        if bm25_pre is not None:
             with profiler.span("retrieve_bm25"):
                 bundle_cnt = self._bm25_path(
-                    input, seen_ids, chunk_list, bundle_cnt
+                    input, seen_ids, chunk_list, bundle_cnt, pre=bm25_pre
                 )
 
         profiler.add_metric("retrieved_chunks", len(chunk_list))
@@ -409,13 +423,25 @@ class EnsembleRetriever:
         with profiler.span("fused_search_batch"):
             ts_idx_arr = jnp.asarray(np.asarray(ts_rows, np.int32))
             if self.encoder is not None and self.mesh is None:
-                search = self._search_tokens(all_inputs, ts_rows=ts_idx_arr)
+                raw = self._search_tokens(all_inputs, ts_rows=ts_idx_arr,
+                                          defer=True)
             else:
                 # under a mesh, embedding runs on host; the batched search
                 # itself runs sharded (distributed_fused_search ts_rows)
                 q_emb = normalize_rows(
                     np.asarray(self.embed_fn(all_inputs), np.float32))
-                search = self._search(q_emb, ts_rows=ts_idx_arr)
+                raw = self._search(q_emb, ts_rows=ts_idx_arr, defer=True)
+
+        # sparse-leg overlap: score every request's BM25 on host while the
+        # batched device search runs (see invoke())
+        bm25_pres: List = [None] * len(requests)
+        if self.bm25_k > 0 and self.bm25 is not None:
+            with profiler.span("retrieve_bm25"):
+                for r, (q, _) in enumerate(requests):
+                    bm25_pres[r] = self.bm25.invoke(q, self.bm25_k)
+
+        with profiler.span("fused_search_batch"):
+            search = self._post_search(*raw)
 
         results: List[List[Dict]] = []
         for r, ((start, nq), (q, _)) in enumerate(zip(spans, requests)):
@@ -437,9 +463,9 @@ class EnsembleRetriever:
             if run_ts:
                 bundle_cnt = self._title_path(sub, seen_ids, chunk_list,
                                               bundle_cnt)
-            if self.bm25_k > 0 and self.bm25 is not None:
+            if bm25_pres[r] is not None:
                 bundle_cnt = self._bm25_path(q, seen_ids, chunk_list,
-                                             bundle_cnt)
+                                             bundle_cnt, pre=bm25_pres[r])
             profiler.add_metric("retrieved_chunks", len(chunk_list))
             if self.m3_scorer is not None:
                 chunk_list = self.m3_scorer.rerank_chunks(q, chunk_list)
@@ -483,10 +509,16 @@ class EnsembleRetriever:
         return {"top_s": top_s, "top_i": top_i, "ts_s": ts_s, "ts_i": ts_i,
                 "neighbor_tables": tables}
 
-    def _search(self, q_emb: np.ndarray, ts_rows=None) -> Dict[str, np.ndarray]:
-        """One fused device call for all dense paths of this request."""
+    def _search(self, q_emb: np.ndarray, ts_rows=None, defer: bool = False):
+        """One fused device call for all dense paths of this request.
+
+        ``defer=True`` returns the un-fetched ``(device_out, num_q)`` pair
+        for ``_post_search`` instead of blocking on the readback — the
+        caller can do host work (BM25 scoring) while the device and its
+        transport round-trip are in flight."""
         if self.mesh is not None:
-            return self._search_distributed(q_emb, ts_rows=ts_rows)
+            return self._search_distributed(q_emb, ts_rows=ts_rows,
+                                            defer=defer)
         (corpus_mat, ts_emb, prev_dev, next_dev, k, ts_k,
          run_dense, run_ts) = self._search_args()
         out = _fused_search(
@@ -494,10 +526,12 @@ class EnsembleRetriever:
             k, ts_k, self.expand_max_chunks - 1, self.depth,
             self.enable_expand and run_dense, ts_rows=ts_rows,
             run_dense=run_dense, run_ts=run_ts)
+        if defer:
+            return out, q_emb.shape[0]
         return self._post_search(out, q_emb.shape[0])
 
     def _search_distributed(self, q_emb: np.ndarray,
-                            ts_rows=None) -> Dict[str, np.ndarray]:
+                            ts_rows=None, defer: bool = False):
         from ..parallel.mesh import distributed_fused_search
 
         if not hasattr(self, "_prev_dev"):
@@ -511,12 +545,14 @@ class EnsembleRetriever:
             self._prev_dev, self._next_dev, k, ts_k,
             self.expand_max_chunks - 1, self.depth, self.enable_expand,
             self.mesh, self._valid_n, self.corpus_axis, ts_rows=ts_rows)
+        if defer:
+            return out, q_emb.shape[0]
         return self._post_search(out, q_emb.shape[0])
 
     def _search_tokens(self, inputs: List[str],
-                       ts_rows=None) -> Dict[str, np.ndarray]:
+                       ts_rows=None, defer: bool = False):
         """Fused embed+search: tokenize on host, everything else in one
-        device dispatch."""
+        device dispatch. ``defer``: see ``_search``."""
         enc = self.encoder
         ids, mask = enc.tokenize_padded(inputs)
         (corpus_mat, ts_emb, prev_dev, next_dev, k, ts_k,
@@ -527,6 +563,8 @@ class EnsembleRetriever:
             k, ts_k, self.expand_max_chunks - 1, self.depth,
             self.enable_expand and run_dense, ts_rows=ts_rows,
             run_dense=run_dense, run_ts=run_ts)
+        if defer:
+            return out, len(inputs)
         return self._post_search(out, len(inputs))
 
     # ------------------------------------------------------------------
@@ -642,12 +680,16 @@ class EnsembleRetriever:
         return bundle_cnt
 
     def _bm25_path(
-        self, input: str, seen_ids: set, chunk_list: List[Dict], bundle_cnt: int
+        self, input: str, seen_ids: set, chunk_list: List[Dict],
+        bundle_cnt: int, pre=None,
     ) -> int:
         # top bm25_k directly: asking for all num_chunk rows forced a
         # full-corpus host lexsort per request, of which only the first
-        # bm25_k entries (identical order) were ever read
-        bm25_ids, bm25_scores = self.bm25.invoke(input, self.bm25_k)
+        # bm25_k entries (identical order) were ever read.
+        # ``pre``: an (ids, scores) pair scored earlier by the caller while
+        # the fused device search was in flight (sparse-leg overlap).
+        bm25_ids, bm25_scores = (pre if pre is not None
+                                 else self.bm25.invoke(input, self.bm25_k))
         for idx, score in zip(bm25_ids[: self.bm25_k], bm25_scores[: self.bm25_k]):
             idx = int(idx)
             if idx in seen_ids:
