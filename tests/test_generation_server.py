@@ -289,3 +289,108 @@ def test_prefix_cache_survives_slot_churn(decoder):
     finally:
         server.close()
     assert got == solo_generate(rr, turn2, max_new=16), got
+
+
+def test_crash_recovery_mid_decode(decoder):
+    """A decode step that dies (the relay-side native crash, NOTES.md)
+    must trigger a device-state rebuild and requeue the in-flight request
+    as a continuation: the client's stream resumes with nothing re-emitted
+    and nothing lost (greedy tokens == solo run)."""
+    rr = decoder
+    row = prompts(rr, 1)[0]
+    solo = solo_generate(rr, row, max_new=14)
+    server = GenerationServer(rr.module, rr.params, slots=2, window=128,
+                              chunk=2, max_prompt_len=64,
+                              cache_dtype=jnp.float32)
+    real = server._decode_jit
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected: terminate called")
+        return real(*a, **kw)
+
+    server._decode_jit = flaky
+    try:
+        got = server.generate(row, 14, -1)
+    finally:
+        server.close()
+    assert got == solo, (got, solo)
+    assert server.stats["recoveries"] == 1, server.stats
+
+
+def test_crash_recovery_mid_prefill(decoder):
+    """A crash inside the prefill chain must not drop the request being
+    admitted (it is registered on its slot before any device dispatch)."""
+    rr = decoder
+    row = prompts(rr, 1)[0]
+    solo = solo_generate(rr, row, max_new=10)
+    server = GenerationServer(rr.module, rr.params, slots=2, window=128,
+                              chunk=2, max_prompt_len=64,
+                              cache_dtype=jnp.float32)
+    real = server._prefill_chunk_jit
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected: prefill died")
+        return real(*a, **kw)
+
+    server._prefill_chunk_jit = flaky
+    try:
+        got = server.generate(row, 10, -1)
+    finally:
+        server.close()
+    assert got == solo, (got, solo)
+    assert server.stats["recoveries"] == 1, server.stats
+
+
+def test_crash_recovery_multi_request(decoder):
+    """Both in-flight requests survive a mid-decode crash; each stream
+    resumes (continuation prompts carry the already-emitted tokens)."""
+    rr = decoder
+    rows = prompts(rr, 2)
+    solo = [solo_generate(rr, r, max_new=12) for r in rows]
+    server = GenerationServer(rr.module, rr.params, slots=2, window=128,
+                              chunk=2, max_prompt_len=64,
+                              cache_dtype=jnp.float32)
+    real = server._decode_jit
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected")
+        return real(*a, **kw)
+
+    server._decode_jit = flaky
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(server.generate, r, 12, -1) for r in rows]
+            got = [f.result(120) for f in futs]
+    finally:
+        server.close()
+    assert got == solo, (got, solo)
+    assert server.stats["recoveries"] == 1, server.stats
+
+
+def test_recovery_exhaustion_fails_futures(decoder):
+    """When the device is genuinely gone (every rebuild dies again), the
+    in-flight futures fail with the underlying error instead of hanging."""
+    rr = decoder
+    row = prompts(rr, 1)[0]
+    server = GenerationServer(rr.module, rr.params, slots=1, window=128,
+                              chunk=2, max_prompt_len=64,
+                              cache_dtype=jnp.float32, max_recoveries=2)
+
+    def dead(*a, **kw):
+        raise RuntimeError("device gone")
+
+    server._decode_jit = dead
+    req = server.submit(row, 10, -1)
+    with pytest.raises(RuntimeError, match="device"):
+        req.result.result(timeout=120)
+    assert server.stats["recoveries"] == 3   # 2 allowed + the fatal one
+    server.close()

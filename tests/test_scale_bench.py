@@ -26,6 +26,41 @@ def test_run_single_chip_small():
     assert r["kernel"] == "xla_chunked_fallback"  # CPU suite
 
 
+def test_run_single_chip_tripartite_keys():
+    """The r05 protocol: interleaved dense/tripartite block medians, a
+    BM25-leg decomposition with postings counts, and roofline numbers."""
+    r = scale_bench.run_single_chip(n=4096, dim=64, iters=6, blocks=2,
+                                    bm25=True)
+    assert r["invoke_tripartite_p50_ms"] > 0
+    assert len(r["invoke_tripartite_blocks_ms"]) == 2
+    assert len(r["invoke_dense_blocks_ms"]) == 2
+    leg = r["bm25"]["leg"]
+    assert leg["p50_ms"] >= 0 and len(leg["per_query_ms"]) == 8
+    assert all(p >= 0 for p in leg["postings_touched"])
+    assert r["bm25"]["engine"] == "native_cpp_flat_csr"
+    rf = r["roofline"]
+    assert rf["transport_floor_ms"] >= 0
+    assert rf["achieved_hbm_gbps"] > 0
+    assert rf["pct_of_v5e_hbm_peak"] is None  # CPU suite
+
+
+def test_scale_bm25_fixture_semantics():
+    """Token-id fixture: stable query-term mapping, Zipf df ordering, and
+    invoke contract (descending scores, ids in range)."""
+    bm = scale_bench.build_scale_bm25(2000, avg_len=40)
+    q = "battery margin outlook"
+    ids1, ids2 = bm.query_ids(q), bm.query_ids(q)
+    np.testing.assert_array_equal(ids1, ids2)
+    rows, scores = bm.invoke(q, 10)
+    assert len(rows) == 10 and (rows >= 0).all() and (rows < 2000).all()
+    assert (np.diff(scores) <= 1e-6).all()
+    assert bm.postings_touched(q) > 0
+    # head (common) term ids have larger posting lists than deep-tail ids
+    df_head = bm.native.df(0)
+    df_tail = bm.native.df(60000)
+    assert df_head > df_tail
+
+
 def test_run_sharded_dryrun_small():
     r = scale_bench.run_sharded_dryrun(n=2048, dim=64)
     assert r["ok"] and r["shards"] == 8

@@ -34,6 +34,22 @@ import numpy as np
 DEFAULT_ROWS = 10 * 2 ** 20          # 10,485,760
 GEN_BLOCK = 2 ** 18                  # fp32 gen scratch: 256k x 384 = 402 MB
 
+# v5e peaks for the roofline section (per chip): HBM bandwidth and bf16
+# matmul throughput. Reported only when the backend is a real TPU.
+V5E_HBM_PEAK_GBPS = 819.0
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+# Sparse-leg corpus model: token ids Zipf-distributed (alpha ~ natural
+# language) over an indexable vocabulary with the head ranks cut — the
+# analogue of the stopword filter in tokenize(): the most frequent surface
+# words never reach the index (reference bm25Retriever.py:14-17 filters
+# english stopwords before indexing). Doc lengths ~ Poisson(avg) matches
+# post-stopword chunk lengths of the reference's filing corpus.
+BM25_VOCAB = 65536
+BM25_STOP_RANKS = 64
+BM25_AVG_LEN = 120
+BM25_ALPHA = 1.07
+
 
 class _ConstSeq:
     """O(1)-memory stand-in for the 10M-entry host text/metadata lists
@@ -129,8 +145,118 @@ def build_scale_index(n: int, dim: int, num_titles: Optional[int] = None):
     return index
 
 
+def _zipf_probs(vocab: int = BM25_VOCAB, alpha: float = BM25_ALPHA,
+                stop_ranks: int = BM25_STOP_RANKS) -> np.ndarray:
+    """Term-probability vector of the indexable vocabulary: Zipf ranks
+    ``stop_ranks+1 .. stop_ranks+vocab`` renormalized (head = stopwords,
+    never indexed)."""
+    ranks = np.arange(stop_ranks + 1, stop_ranks + vocab + 1,
+                      dtype=np.float64)
+    p = ranks ** -alpha
+    return p / p.sum()
+
+
+class ScaleBM25:
+    """Query adapter over a token-id NativeBM25 handle.
+
+    The scale fixture has no 10M strings, so the handle carries no string
+    vocabulary; this adapter maps each query word to a stable term id drawn
+    from the SAME Zipf law as the corpus tokens (hash -> uniform -> inverse
+    CDF), i.e. query words have the document-frequency profile of corpus
+    words — the realistic case, slightly biased toward common terms exactly
+    like real queries. ``postings_touched`` exposes the honest cost driver
+    (sum of the query terms' posting-list lengths) for artifacts."""
+
+    def __init__(self, native, probs: np.ndarray, seed: int = 11) -> None:
+        self.native = native
+        self._cdf = np.cumsum(probs)
+        self._seed = seed
+        self._term_cache: dict = {}
+        self.num_docs = native.num_docs
+        self.doc_ids = native.doc_ids
+
+    def _term_id(self, word: str) -> int:
+        tid = self._term_cache.get(word)
+        if tid is None:
+            import zlib
+
+            h = zlib.crc32(word.encode("utf-8")) ^ self._seed
+            u = np.random.default_rng(h).random()
+            tid = int(np.searchsorted(self._cdf, u))
+            self._term_cache[word] = tid
+        return tid
+
+    def query_ids(self, query: str) -> np.ndarray:
+        return np.asarray([self._term_id(w) for w in query.lower().split()],
+                          np.int32)
+
+    def invoke(self, query: str, k: int):
+        return self.native.invoke_ids(self.query_ids(query), k)
+
+    def get_scores(self, query: str) -> np.ndarray:
+        return self.native.get_scores_ids(self.query_ids(query))
+
+    def postings_touched(self, query: str) -> int:
+        return int(sum(max(self.native.df(int(t)), 0)
+                       for t in self.query_ids(query)))
+
+
+def build_scale_bm25(n: int, avg_len: int = BM25_AVG_LEN,
+                     vocab: int = BM25_VOCAB, alpha: float = BM25_ALPHA,
+                     seed: int = 7) -> ScaleBM25:
+    """Native BM25 index over ``n`` synthetic docs at corpus scale.
+
+    Token ids are synthesized directly (the from_token_ids build path —
+    a 10M-doc fixture never materializes strings): doc lengths ~
+    Poisson(avg_len), token ids inverse-CDF draws from the stopword-cut
+    Zipf law. ~1.26B tokens at 10.49M rows; generation is blocked so the
+    only large allocations are the token array itself and the handle's
+    postings."""
+    from ..native.bm25_native import NativeBM25, native_available
+
+    if not native_available():
+        raise RuntimeError("native bm25 library unavailable")
+    probs = _zipf_probs(vocab, alpha)
+    cdf = np.cumsum(probs)
+    rng = np.random.default_rng(seed)
+    lens = np.maximum(rng.poisson(avg_len, n), 8).astype(np.int64)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    total = int(indptr[-1])
+    tokens = np.empty(total, np.int32)
+    B = 1 << 24
+    for s in range(0, total, B):
+        e = min(s + B, total)
+        tokens[s:e] = np.searchsorted(cdf, rng.random(e - s)).astype(np.int32)
+    native = NativeBM25.from_token_ids(indptr, tokens, vocab)
+    del tokens
+    return ScaleBM25(native, probs)
+
+
+def _transport_floor_ms(reps: int = 9) -> float:
+    """Dispatch+readback cost of a trivial jitted program — the per-call
+    relay/transport floor to subtract for device-time-only numbers."""
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+
+    trivial = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    jax.device_get(trivial(x))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(trivial(x))
+        ts.append((time.perf_counter() - t0) * 1000.0)
+    return statistics.median(ts)
+
+
 def run_single_chip(n: int = DEFAULT_ROWS, dim: int = 384, iters: int = 15,
-                    expand: bool = True) -> dict:
+                    expand: bool = True, bm25: bool = True,
+                    blocks: int = 3) -> dict:
+    import statistics
+
     import jax
     import jax.numpy as jnp
 
@@ -143,6 +269,13 @@ def run_single_chip(n: int = DEFAULT_ROWS, dim: int = 384, iters: int = 15,
     index = build_scale_index(n, dim)
     build_s = time.perf_counter() - t_build
 
+    sparse = None
+    bm25_build_s = None
+    if bm25:
+        t0 = time.perf_counter()
+        sparse = build_scale_bm25(n)
+        bm25_build_s = round(time.perf_counter() - t0, 1)
+
     emb = HashEmbedder(dim=dim)
     engine = EnsembleRetriever(index, emb.encode, bm25=None, k=10,
                                enable_expand=expand, depth=2048,
@@ -152,14 +285,71 @@ def run_single_chip(n: int = DEFAULT_ROWS, dim: int = 384, iters: int = 15,
             "table of quarterly revenue by region",
             "cash flow and capex guidance improved"]
     engine.invoke(query, hyde)   # compile
-    lat = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        engine.invoke(query, hyde)
-        lat.append((time.perf_counter() - t0) * 1000.0)
-    lat.sort()
 
-    # raw exact-top-k kernel at this scale (Pallas MIPS on TPU)
+    # Primary protocol: interleaved per-block medians (dense-only block,
+    # tripartite block, repeat) so ambient relay-RTT drift hits both arms
+    # equally — the single-run protocol bit SCALE_r04 once already.
+    per_block = max(iters // blocks, 3)
+    dense_blocks: list = []
+    tri_blocks: list = []
+    dense_raw: list = []
+    for _ in range(blocks):
+        engine.bm25 = None
+        ts = []
+        for _ in range(per_block):
+            t0 = time.perf_counter()
+            engine.invoke(query, hyde)
+            ts.append((time.perf_counter() - t0) * 1000.0)
+        dense_blocks.append(round(statistics.median(ts), 2))
+        dense_raw.extend(ts)
+        if sparse is not None:
+            engine.bm25 = sparse
+            ts = []
+            for _ in range(per_block):
+                t0 = time.perf_counter()
+                engine.invoke(query, hyde)
+                ts.append((time.perf_counter() - t0) * 1000.0)
+            tri_blocks.append(round(statistics.median(ts), 2))
+    engine.bm25 = None
+    lat = sorted(dense_raw)
+
+    # sparse-leg decomposition: the host BM25 call alone, over a query set
+    # spanning the natural df spread (each word's term id is a stable draw
+    # from the corpus token law)
+    bm25_leg = None
+    if sparse is not None:
+        qset = [query,
+                "battery segment margin outlook europe",
+                "store count expansion by city",
+                "warranty provisions and accruals detail",
+                "ipo proceeds use of funds",
+                "gross margin trend versus peers",
+                "q3 deliveries vs guidance shortfall",
+                "research development spend ratio"]
+        for q in qset:
+            sparse.invoke(q, 10)   # warm term cache
+        legs, posts = [], []
+        for q in qset:
+            t0 = time.perf_counter()
+            sparse.invoke(q, 10)
+            legs.append((time.perf_counter() - t0) * 1000.0)
+            posts.append(sparse.postings_touched(q))
+        order = np.argsort(legs)
+        bm25_leg = {
+            "p50_ms": round(float(np.median(legs)), 2),
+            "max_ms": round(max(legs), 2),
+            "per_query_ms": [round(t, 2) for t in legs],
+            "postings_touched": posts,
+            "bench_query_ms": round(legs[0], 2),
+            "bench_query_postings": posts[0],
+            "slowest_query": qset[int(order[-1])],
+            "overlap": ("host BM25 runs while the fused device search is "
+                        "in flight (ensemble.invoke defers the readback), "
+                        "so legs under the device window add ~0 latency"),
+        }
+
+    # raw exact-top-k kernel at this scale (Pallas MIPS on TPU), plus the
+    # transport floor so the artifact carries device-time-only numbers
     q_emb = jnp.asarray(emb.encode([query] + hyde))
     corpus = engine.dense.corpus
 
@@ -173,6 +363,26 @@ def run_single_chip(n: int = DEFAULT_ROWS, dim: int = 384, iters: int = 15,
         topk()
         kt.append((time.perf_counter() - t0) * 1000.0)
     kt.sort()
+
+    floor_ms = round(_transport_floor_ms(), 2)
+    kernel_p50 = kt[len(kt) // 2]
+    sweep_bytes = n * dim * 2            # one bf16 corpus read per batch
+    device_ms = max(kernel_p50 - floor_ms, 1e-3)
+    hbm_gbps = sweep_bytes / 1e9 / (device_ms / 1e3)
+    on_tpu = jax.default_backend() == "tpu"
+    roofline = {
+        "transport_floor_ms": floor_ms,
+        "topk_kernel_wall_p50_ms": round(kernel_p50, 2),
+        "topk_kernel_device_ms": round(device_ms, 2),
+        "sweep_bytes": sweep_bytes,
+        "achieved_hbm_gbps": round(hbm_gbps, 1),
+        "pct_of_v5e_hbm_peak": (round(100.0 * hbm_gbps / V5E_HBM_PEAK_GBPS,
+                                      1) if on_tpu else None),
+        "note": ("device time = wall p50 minus the trivial-program "
+                 "dispatch+readback floor measured in the same run; one "
+                 "top-k sweep reads the corpus once (invoke with expansion "
+                 "adds a second streamed sweep for the depth ranks)"),
+    }
 
     mem = {}
     try:
@@ -199,19 +409,38 @@ def run_single_chip(n: int = DEFAULT_ROWS, dim: int = 384, iters: int = 15,
         "prev_next_int32": 2 * n * 4,
     }
 
-    return {
+    out = {
         "corpus_rows": n, "dim": dim, "dtype": "bfloat16",
         "corpus_bytes": n * dim * 2,
         "device": str(jax.devices()[0]),
         "build_on_device_s": round(build_s, 2),
-        "invoke_p50_ms": round(lat[len(lat) // 2], 2),
+        # primary = interleaved block medians (dense-only arm keeps the
+        # r04-comparable key)
+        "invoke_p50_ms": round(statistics.median(dense_blocks), 2),
         "invoke_p90_ms": round(lat[int(0.9 * len(lat))], 2),
+        "invoke_dense_blocks_ms": dense_blocks,
+        "protocol": f"{blocks} interleaved blocks x {per_block} iters, "
+                    "median of block medians",
         "expansion": expand, "depth": 2048,
-        "topk_kernel_p50_ms": round(kt[len(kt) // 2], 2),
-        "kernel": ("pallas_mips" if jax.default_backend() == "tpu"
-                   else "xla_chunked_fallback"),
+        "topk_kernel_p50_ms": round(kernel_p50, 2),
+        "kernel": ("pallas_mips" if on_tpu else "xla_chunked_fallback"),
+        "roofline": roofline,
         "device_memory": mem,
     }
+    if sparse is not None:
+        out["invoke_tripartite_p50_ms"] = round(
+            statistics.median(tri_blocks), 2)
+        out["invoke_tripartite_blocks_ms"] = tri_blocks
+        out["tripartite_minus_dense_ms"] = round(
+            statistics.median(tri_blocks) - statistics.median(dense_blocks),
+            2)
+        out["bm25"] = {
+            "engine": "native_cpp_flat_csr", "vocab": BM25_VOCAB,
+            "avg_doc_len": BM25_AVG_LEN, "zipf_alpha": BM25_ALPHA,
+            "stop_ranks_cut": BM25_STOP_RANKS,
+            "build_s": bm25_build_s, "leg": bm25_leg,
+        }
+    return out
 
 
 def run_sharded_dryrun(n: int = DEFAULT_ROWS, dim: int = 384,
@@ -257,6 +486,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--rows", type=int, default=DEFAULT_ROWS)
     parser.add_argument("--iters", type=int, default=15)
+    parser.add_argument("--blocks", type=int, default=3)
+    parser.add_argument("--no-bm25", action="store_true",
+                        help="skip the sparse leg (dense+title only, the "
+                             "pre-r05 shape)")
     parser.add_argument("--sharded", action="store_true",
                         help="run the virtual-mesh sharded dryrun instead "
                              "of the single-chip bench")
@@ -265,7 +498,8 @@ def main():
     if args.sharded:
         result = run_sharded_dryrun(args.rows)
     else:
-        result = run_single_chip(args.rows, iters=args.iters)
+        result = run_single_chip(args.rows, iters=args.iters,
+                                 bm25=not args.no_bm25, blocks=args.blocks)
     line = json.dumps(result)
     print(line)
     if args.out:

@@ -450,6 +450,16 @@ int32_t vfi_bm25_num_docs(void* handle) {
   return ((BM25Handle*)handle)->num_docs;
 }
 
+// Posting-list length (document frequency) of a term id; -1 if out of
+// range. Lets benchmarks report how many postings a query actually touches
+// (the honest cost driver of the sparse leg) without a host-side rebuild.
+int64_t vfi_bm25_df(void* handle, int32_t term) {
+  auto* h = (BM25Handle*)handle;
+  int v = (int)(h->indptr.size() ? h->indptr.size() - 1 : 0);
+  if (term < 0 || term >= v) return -1;
+  return h->indptr[term + 1] - h->indptr[term];
+}
+
 // Dense scores of every doc for the query (API kept for parity tests and
 // full-distribution callers; top-k never goes through this path anymore).
 void vfi_bm25_scores(void* handle, const char* query, float* out) {

@@ -95,6 +95,8 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
+        lib.vfi_bm25_df.restype = ctypes.c_int64
+        lib.vfi_bm25_df.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         _lib = lib
         return _lib
 
@@ -195,6 +197,12 @@ class NativeBM25:
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return ids[:got].astype(np.int64), scores[:got]
+
+    def df(self, term_id: int) -> int:
+        """Posting-list length (document frequency) of a term id; -1 when
+        the id is out of range. Benchmarks use this to report how many
+        postings a query touches — the sparse leg's real cost driver."""
+        return int(self._lib.vfi_bm25_df(self._handle, int(term_id)))
 
     def invoke_ids(self, query_ids, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k for a pre-tokenized query (term ids; unknown terms < 0

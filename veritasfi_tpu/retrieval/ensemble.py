@@ -207,6 +207,18 @@ _fused_search = jax.jit(
                      "run_dense", "run_ts"))
 
 
+def _start_host_copy(out) -> None:
+    """Kick off the device->host copy of a deferred search's outputs so the
+    readback round-trip (the ~25-30 ms transport floor on a relay-attached
+    chip) overlaps the caller's host work (BM25 scoring) instead of
+    starting only at the blocking device_get."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        try:
+            leaf.copy_to_host_async()
+        except Exception:   # backend without async copies: device_get pays
+            return
+
+
 class EnsembleRetriever:
     def __init__(
         self,
@@ -527,6 +539,7 @@ class EnsembleRetriever:
             self.enable_expand and run_dense, ts_rows=ts_rows,
             run_dense=run_dense, run_ts=run_ts)
         if defer:
+            _start_host_copy(out)
             return out, q_emb.shape[0]
         return self._post_search(out, q_emb.shape[0])
 
@@ -546,6 +559,7 @@ class EnsembleRetriever:
             self.expand_max_chunks - 1, self.depth, self.enable_expand,
             self.mesh, self._valid_n, self.corpus_axis, ts_rows=ts_rows)
         if defer:
+            _start_host_copy(out)
             return out, q_emb.shape[0]
         return self._post_search(out, q_emb.shape[0])
 
@@ -564,6 +578,7 @@ class EnsembleRetriever:
             self.enable_expand and run_dense, ts_rows=ts_rows,
             run_dense=run_dense, run_ts=run_ts)
         if defer:
+            _start_host_copy(out)
             return out, len(inputs)
         return self._post_search(out, len(inputs))
 

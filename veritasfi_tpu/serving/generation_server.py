@@ -74,7 +74,8 @@ class GenerationServer:
                  chunk: int = 8, max_prompt_len: int = 512,
                  temperature: float = 0.0, top_p: float = 0.8,
                  prefill_chunk: int = 64, prefix_cache: bool = True,
-                 cache_dtype=jnp.bfloat16, seed: int = 0) -> None:
+                 cache_dtype=jnp.bfloat16, seed: int = 0,
+                 max_recoveries: int = 3) -> None:
         self.module = module
         self.params = params
         self.arch = module.arch
@@ -102,20 +103,12 @@ class GenerationServer:
             * self.prefill_chunk)
         self.max_prompt_len = self._prompt_cap
 
-        a = self.arch
-        self._cache = [
-            (jnp.zeros((slots, window, a.kv_heads, a.head_dim), cache_dtype),
-             jnp.zeros((slots, window, a.kv_heads, a.head_dim), cache_dtype),
-             jnp.zeros((slots, window), bool))
-            for _ in range(a.layers)]
-        self._tok = jnp.zeros((slots,), jnp.int32)
-        self._pos = jnp.zeros((slots,), jnp.int32)
-        self._off = jnp.zeros((slots,), jnp.int32)
-        # per-slot sampling params, device-resident ([S] rows updated at
-        # admit; the decode program samples every slot with its own params)
-        self._temp = jnp.zeros((slots,), jnp.float32)
-        self._topp = jnp.full((slots,), top_p, jnp.float32)
-        self._rng = jax.random.PRNGKey(seed)
+        # one jitted allocator builds ALL per-slot device state in a single
+        # dispatch (host-side jnp.zeros costs ~4 ms each on the relay);
+        # reused verbatim by crash recovery to rebuild a lost device state
+        self._alloc_state_jit = jax.jit(self._alloc_state_impl)
+        self._seed = seed
+        self._alloc_device_state(seed)
 
         # host-side slot bookkeeping
         self._slot_req: List[Optional[_Request]] = [None] * slots
@@ -146,7 +139,10 @@ class GenerationServer:
         self._shift_host = np.zeros((slots,), np.int64)   # per-slot shift
         self._hw_host = np.zeros((slots,), np.int64)      # ring high-water
         self.stats = {"decode_chunks": 0, "prefill_chunks": 0,
-                      "prefix_hits": 0, "prefix_reused_tokens": 0}
+                      "prefix_hits": 0, "prefix_reused_tokens": 0,
+                      "recoveries": 0}
+        self.max_recoveries = max_recoveries
+        self._consecutive_recoveries = 0
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -156,6 +152,31 @@ class GenerationServer:
     # ------------------------------------------------------------------
     # device programs
     # ------------------------------------------------------------------
+    def _alloc_state_impl(self):
+        a = self.arch
+        cache = [
+            (jnp.zeros((self.slots, self.window, a.kv_heads, a.head_dim),
+                       self.cache_dtype),
+             jnp.zeros((self.slots, self.window, a.kv_heads, a.head_dim),
+                       self.cache_dtype),
+             jnp.zeros((self.slots, self.window), bool))
+            for _ in range(a.layers)]
+        tok = jnp.zeros((self.slots,), jnp.int32)
+        pos = jnp.zeros((self.slots,), jnp.int32)
+        off = jnp.zeros((self.slots,), jnp.int32)
+        temp = jnp.zeros((self.slots,), jnp.float32)
+        topp = jnp.full((self.slots,), self.top_p, jnp.float32)
+        return cache, tok, pos, off, temp, topp
+
+    def _alloc_device_state(self, seed: int) -> None:
+        cache, tok, pos, off, temp, topp = self._alloc_state_jit()
+        self._cache = [tuple(layer) for layer in cache]
+        self._tok, self._pos, self._off = tok, pos, off
+        # per-slot sampling params, device-resident ([S] rows updated at
+        # admit; the decode program samples every slot with its own params)
+        self._temp, self._topp = temp, topp
+        self._rng = jax.random.PRNGKey(seed)
+
     def _prefill_chunk_impl(self, params, local, ids, mask, offset,
                             positions, last_idx):
         """Advance a batch-1 LOCAL prefill cache by one [1, C] prompt chunk
@@ -354,6 +375,18 @@ class GenerationServer:
                 last_real = padded - 1
                 shift = padded - len(row)
             self._retained[slot] = None
+            # register the tenancy BEFORE any device dispatch: if the relay
+            # crashes mid-prefill, _recover finds the request on its slot
+            # and requeues it (a request registered only after the commit
+            # would be silently dropped by a crash in the prefill chain)
+            req._row = row
+            self._slot_req[slot] = req
+            # resume-aware: a recovery requeue carries its prior emissions
+            # (they are part of the new prompt); counting them keeps
+            # max_new_tokens a TOTAL budget across re-dispatches
+            self._produced[slot] = len(req.emitted)
+            self._active[slot] = True
+            self._eos[slot] = req.eos_id
             # host-chunked prefill, ADAPTIVE chunk width: the bulk of a
             # long prompt replays in big (4c-wide) chunks — a [1, 64]
             # forward underutilizes the MXU, and RAG prompts carry 1000+
@@ -389,11 +422,6 @@ class GenerationServer:
             self._temp_host[slot] = temp
             self._shift_host[slot] = shift
             self._hw_host[slot] = shift + len(row)
-            req._row = row
-            self._slot_req[slot] = req
-            self._produced[slot] = 0
-            self._active[slot] = True
-            self._eos[slot] = req.eos_id
             pending.append((slot, tok0_d))
         if pending:
             tok0s = jax.device_get([t for _, t in pending])
@@ -443,40 +471,98 @@ class GenerationServer:
 
     def _loop(self) -> None:
         while True:
-            self._admit()
-            if self._closed and not self._active.any():
-                return
-            if not self._active.any():
-                try:
-                    req = self._queue.get(timeout=0.05)
-                except queue.Empty:
-                    continue
-                if req is _END:
-                    self._closed = True
-                    continue
-                self._queue.queue.appendleft(req)   # re-admit via _admit
+            try:
+                if not self._tick():
+                    return
+                self._consecutive_recoveries = 0
+            except Exception as e:   # noqa: BLE001 — relay-side native
+                # crashes surface as arbitrary runtime errors at readback
+                if not self._recover(e):
+                    return
+
+    def _tick(self) -> bool:
+        """One scheduler iteration; returns False when the loop should
+        exit (server closed and drained)."""
+        self._admit()
+        if self._closed and not self._active.any():
+            return False
+        if not self._active.any():
+            try:
+                req = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                return True
+            if req is _END:
+                self._closed = True
+                return True
+            self._queue.queue.appendleft(req)   # re-admit via _admit
+            return True
+        with profiler.span("generation_chunk"):
+            self.stats["decode_chunks"] += 1
+            # ring high-water: active slots may advance up to `chunk`
+            # writes this program (conservative — host-side finish
+            # mid-chunk still lets the device run the chunk out)
+            self._hw_host[self._active] += self.chunk
+            active = jnp.asarray(self._active)
+            eos = jnp.asarray(self._eos)
+            (self._cache, self._tok, self._pos, self._off, self._rng,
+             live, toks) = self._decode_jit(
+                self.params, self._cache, self._tok, self._pos,
+                self._off, active, eos, self._temp, self._topp,
+                self._rng, chunk=self.chunk)
+            toks = np.asarray(toks)            # ONE readback per chunk
+        for slot in range(self.slots):
+            if not self._active[slot]:
                 continue
-            with profiler.span("generation_chunk"):
-                self.stats["decode_chunks"] += 1
-                # ring high-water: active slots may advance up to `chunk`
-                # writes this program (conservative — host-side finish
-                # mid-chunk still lets the device run the chunk out)
-                self._hw_host[self._active] += self.chunk
-                active = jnp.asarray(self._active)
-                eos = jnp.asarray(self._eos)
-                (self._cache, self._tok, self._pos, self._off, self._rng,
-                 live, toks) = self._decode_jit(
-                    self.params, self._cache, self._tok, self._pos,
-                    self._off, active, eos, self._temp, self._topp,
-                    self._rng, chunk=self.chunk)
-                toks = np.asarray(toks)            # ONE readback per chunk
-            for slot in range(self.slots):
+            for t in toks[slot]:
+                self._emit(slot, int(t))
                 if not self._active[slot]:
-                    continue
-                for t in toks[slot]:
-                    self._emit(slot, int(t))
-                    if not self._active[slot]:
-                        break
+                    break
+        return True
+
+    def _recover(self, exc: Exception) -> bool:
+        """Rebuild device state after a step died and requeue every
+        in-flight request as a CONTINUATION (prompt = served row + tokens
+        already emitted), so clients' streams resume where they stopped
+        with nothing re-emitted.
+
+        The decode step DONATES the KV cache and a relay-side native crash
+        (seen intermittently on long workloads, NOTES.md) invalidates
+        device buffers wholesale, so per-step retry is unsound — the only
+        safe recovery is a fresh allocation + prefill replay. The retained
+        prefix cache is dropped (its KV is gone); the replay re-pays each
+        in-flight request's prefill once. ``max_recoveries`` consecutive
+        failures fail the in-flight futures with the underlying error and
+        stop the server (the device is genuinely gone)."""
+        self.stats["recoveries"] += 1
+        self._consecutive_recoveries += 1
+        inflight = [self._slot_req[s] for s in range(self.slots)
+                    if self._active[s] and self._slot_req[s] is not None]
+        if self._consecutive_recoveries > self.max_recoveries:
+            err = RuntimeError(
+                f"generation device lost ({self._consecutive_recoveries} "
+                f"consecutive failed recoveries): {exc!r}")
+            for req in inflight:
+                req.tokens.put(_END)
+                if not req.result.done():
+                    req.result.set_exception(err)
+            self._closed = True
+            return False
+        self._slot_req = [None] * self.slots
+        self._active[:] = False
+        self._retained = [None] * self.slots
+        self._shift_host[:] = 0
+        self._hw_host[:] = 0
+        try:
+            self._alloc_device_state(self._seed
+                                     + self.stats["recoveries"])
+        except Exception:   # noqa: BLE001 — allocator died too; next
+            # recovery attempt (or exhaustion) handles it
+            pass
+        # continuation prompts; FRONT of the queue, original order
+        for req in reversed(inflight):
+            req.prompt = list(req._row or req.prompt) + list(req.emitted)
+            self._queue.queue.appendleft(req)
+        return True
 
     # ------------------------------------------------------------------
     # client surface
