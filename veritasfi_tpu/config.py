@@ -127,6 +127,14 @@ class ServingConfig:
     # Requires rerank.max_candidates (the device program's candidate cap);
     # falls back to the classic two-dispatch path when off or unavailable.
     fused_serve: bool = True
+    # Host allocator hygiene (utils/allocator.py): glibc arena retention
+    # grows a long-running server's RSS unboundedly (SOAK_r04 measured
+    # ~0.65 MB/s with Python retention bounded). arena_max caps malloc
+    # arenas at startup (0 = leave the glibc default); malloc_trim_s runs
+    # a periodic trim thread returning freed pages to the kernel
+    # (0 = disabled).
+    malloc_arena_max: int = 2
+    malloc_trim_s: float = 60.0
 
 
 @dataclass

@@ -349,6 +349,10 @@ async def main_async(args) -> dict:
 
     stack = build_test_stack(args.corpus_size,
                              session_timeout_s=args.session_timeout)
+    if getattr(args, "no_alloc_hygiene", False):
+        # A/B control arm: reproduce the pre-r05 allocator behavior
+        stack.config.serving.malloc_arena_max = 0
+        stack.config.serving.malloc_trim_s = 0.0
     app = create_app(stack, bearer_token="")
     runner = web.AppRunner(app)
     await runner.setup()
@@ -362,6 +366,13 @@ async def main_async(args) -> dict:
         else:
             result = await run_stress(args.port, args.concurrency,
                                       args.requests)
+        trimmer = app.get("malloc_trimmer")
+        result["detail"]["allocator_hygiene"] = {
+            "malloc_arena_max": stack.config.serving.malloc_arena_max,
+            "malloc_trim_s": stack.config.serving.malloc_trim_s,
+            "trims": getattr(trimmer, "trims", 0),
+            "trims_released_pages": getattr(trimmer, "released", 0),
+        }
     finally:
         await runner.cleanup()
         stack.close()
@@ -385,6 +396,10 @@ def main(argv: Optional[List[str]] = None) -> None:
                         help="soak: tracemalloc diff mid-run vs end — "
                              "separates real retention from allocator "
                              "fragmentation (adds CPU overhead)")
+    parser.add_argument("--no-alloc-hygiene", action="store_true",
+                        help="disable the glibc arena cap + periodic "
+                             "malloc_trim (the pre-r05 behavior; control "
+                             "arm for the soak A/B)")
     parser.add_argument("--session-timeout", type=int, default=1800,
                         help="server session GC timeout in seconds; set "
                              "short (e.g. 60) to demonstrate the RSS "

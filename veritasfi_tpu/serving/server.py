@@ -138,6 +138,23 @@ def create_app(stack, bearer_token: str = ""):
         yield
         task.cancel()
 
+    async def allocator_hygiene(app):
+        # glibc arena retention mitigation (utils/allocator.py docstring;
+        # SOAK_r04 diagnosis -> SOAK_r05 fix): cap arenas once, trim freed
+        # pages back to the kernel on a period
+        from ..utils.allocator import MallocTrimmer, set_arena_max
+
+        sc = getattr(getattr(stack, "config", None), "serving", None)
+        arena_max = getattr(sc, "malloc_arena_max", 2)
+        trim_s = getattr(sc, "malloc_trim_s", 60.0)
+        if arena_max:
+            set_arena_max(arena_max)
+        trimmer = MallocTrimmer(trim_s).start() if trim_s else None
+        app["malloc_trimmer"] = trimmer
+        yield
+        if trimmer is not None:
+            trimmer.stop()
+
     app = web.Application(middlewares=[auth_middleware])
     app.router.add_post("/v1/chat", handle_chat)
     app.router.add_post("/v1/chat/async", handle_chat_async)
@@ -145,6 +162,7 @@ def create_app(stack, bearer_token: str = ""):
     app.router.add_get("/v1/health", handle_health)
     app.router.add_get("/v1/profiler", handle_profiler)
     app.cleanup_ctx.append(session_gc)
+    app.cleanup_ctx.append(allocator_hygiene)
     return app
 
 
