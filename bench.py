@@ -492,6 +492,73 @@ def main():
     result["detail"]["elapsed_headline_s"] = round(elapsed, 1)
     print(json.dumps(result), flush=True)
 
+    # --- roofline: MXU utilization of the cross-encoder rerank forward ---
+    # (VERDICT r4 #4: replace "speed of light" narrative with numbers).
+    # AFTER the headline print: score_and_sim is a fresh executable in the
+    # default fused mode, and a pre-headline remote compile is the exact
+    # BENCH_r03 rc:124 failure mode. Candidates are the first `cap` corpus
+    # passages — the forward's cost is set by [batch, bucket] shape, not by
+    # which rows retrieval picked.
+    def rerank_forward_flops(arch, batch, seq_len):
+        # per layer: 8BLh^2 (q/k/v/o GEMMs) + 4BL^2h (scores + apply) +
+        # 4BLh*i (both MLP GEMMs); multiply-add = 2 flops
+        h, i = arch.hidden, arch.intermediate
+        per_layer = (8 * batch * seq_len * h * h
+                     + 4 * batch * seq_len * seq_len * h
+                     + 4 * batch * seq_len * h * i)
+        return arch.layers * per_layer
+
+    def transport_floor_ms(reps=9):
+        trivial = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros((8,), jnp.float32)
+        jax.device_get(trivial(x))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(trivial(x))
+            ts.append((time.perf_counter() - t0) * 1000.0)
+        return statistics.median(ts)
+
+    try:
+        _phase("measuring rerank-forward roofline")
+        cap = args.rerank_pairs or 50
+        rows_rf = reranker.encode_pairs_cached(query, index.texts[:cap])
+        emb_rf = index.embeddings[:cap]
+
+        def rf():
+            jax.block_until_ready(reranker.score_and_sim(rows_rf, emb_rf))
+
+        rf()
+        ts = []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            rf()
+            ts.append((time.perf_counter() - t0) * 1000.0)
+        wall = statistics.median(ts)
+        floor = transport_floor_ms()
+        dev_ms = max(wall - floor, 1e-3)
+        # FLOPs the chip actually executes: the padded compile bucket
+        # (score_and_sim pads to the next multiple of 64), not max row len
+        seq_rf = max(len(r) for r in rows_rf)
+        bucket_rf = max(-(-seq_rf // 64) * 64, 64)
+        flops = rerank_forward_flops(rr_arch, len(rows_rf), bucket_rf)
+        tflops = flops / 1e12 / (dev_ms / 1e3)
+        on_tpu = jax.default_backend() == "tpu"
+        result["detail"]["rerank_roofline"] = {
+            "rerank_batch": len(rows_rf),
+            "rerank_seq_bucket": bucket_rf,
+            "forward_wall_p50_ms": round(wall, 2),
+            "transport_floor_ms": round(floor, 2),
+            "forward_device_ms": round(dev_ms, 2),
+            "forward_tflop": round(flops / 1e12, 3),
+            "achieved_tflops": round(tflops, 1),
+            "mxu_utilization_pct_v5e_bf16": (
+                round(100.0 * tflops / 197.0, 1) if on_tpu else None),
+        }
+        print(json.dumps(result), flush=True)
+    except Exception as e:   # roofline must never cost the headline
+        result["detail"]["rerank_roofline"] = {"failed": str(e)}
+
     # Optional 1M-row section, wall-clock gated; on success reprint the
     # augmented result (the driver parses the LAST JSON line in the tail).
     if not args.skip_1m and elapsed < args.budget_s:
