@@ -394,3 +394,28 @@ def test_recovery_exhaustion_fails_futures(decoder):
         req.result.result(timeout=120)
     assert server.stats["recoveries"] == 3   # 2 allowed + the fatal one
     server.close()
+
+
+def test_tp_mesh_matches_single_device(decoder):
+    """Continuous batching UNDER tensor parallelism (VERDICT r4 #5): the
+    server built over a ('model', 8) mesh — params laid out by the training
+    TP rules, slot caches allocated on the mesh — must emit the same greedy
+    tokens as the single-device server, including a queued request that
+    joins mid-flight (slots < requests exercises admit/evict under GSPMD).
+    """
+    from veritasfi_tpu.parallel import make_mesh
+
+    rr = decoder
+    rows = prompts(rr, 3)
+    solo = [solo_generate(rr, r) for r in rows]
+    mesh = make_mesh([("model", 8)])
+    server = GenerationServer(rr.module, rr.params, slots=2, window=128,
+                              chunk=4, max_prompt_len=64,
+                              cache_dtype=jnp.float32, mesh=mesh)
+    try:
+        with ThreadPoolExecutor(3) as ex:
+            futs = [ex.submit(server.generate, r, 12, -1) for r in rows]
+            got = [f.result(180) for f in futs]
+        assert got == solo, (got, solo)
+    finally:
+        server.close()

@@ -24,10 +24,20 @@ from __future__ import annotations
 
 import functools
 import json
+import sys
 import time
 from typing import Optional
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _log(msg: str) -> None:
+    """Phase stamps on stderr (stdout stays JSON-only): when a driver or
+    timeout kills a run, the tail shows WHERE the budget went."""
+    print(f"[scale +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 # 10*2^20: divisible by the Pallas block (1024) and the streaming block
 # (262144), so no padding copy of the multi-GB matrix anywhere.
@@ -266,6 +276,7 @@ def run_single_chip(n: int = DEFAULT_ROWS, dim: int = 384, iters: int = 15,
     from ..utils.profiler import profiler
 
     t_build = time.perf_counter()
+    _log(f"building device corpus ({n} rows)")
     index = build_scale_index(n, dim)
     build_s = time.perf_counter() - t_build
 
@@ -273,6 +284,7 @@ def run_single_chip(n: int = DEFAULT_ROWS, dim: int = 384, iters: int = 15,
     bm25_build_s = None
     if bm25:
         t0 = time.perf_counter()
+        _log("building native BM25 token-id index")
         sparse = build_scale_bm25(n)
         bm25_build_s = round(time.perf_counter() - t0, 1)
 
@@ -284,7 +296,9 @@ def run_single_chip(n: int = DEFAULT_ROWS, dim: int = 384, iters: int = 15,
     hyde = ["revenue grew strongly in the quarter",
             "table of quarterly revenue by region",
             "cash flow and capex guidance improved"]
+    _log("corpus+bm25 built; compiling the engine invoke")
     engine.invoke(query, hyde)   # compile
+    _log("engine compiled; measuring interleaved blocks")
 
     # Primary protocol: interleaved per-block medians (dense-only block,
     # tripartite block, repeat) so ambient relay-RTT drift hits both arms
@@ -348,6 +362,7 @@ def run_single_chip(n: int = DEFAULT_ROWS, dim: int = 384, iters: int = 15,
                         "so legs under the device window add ~0 latency"),
         }
 
+    _log("blocks measured; raw top-k kernel + roofline")
     # raw exact-top-k kernel at this scale (Pallas MIPS on TPU), plus the
     # transport floor so the artifact carries device-time-only numbers
     q_emb = jnp.asarray(emb.encode([query] + hyde))

@@ -75,8 +75,24 @@ class GenerationServer:
                  temperature: float = 0.0, top_p: float = 0.8,
                  prefill_chunk: int = 64, prefix_cache: bool = True,
                  cache_dtype=jnp.bfloat16, seed: int = 0,
-                 max_recoveries: int = 3) -> None:
+                 max_recoveries: int = 3, mesh=None,
+                 model_axis: str = "model") -> None:
+        """``mesh``: optional jax.sharding.Mesh with a ``model_axis`` —
+        tensor-parallel continuous batching. Params are laid out with the
+        training rules (train.reranker_lora.shard_params, same as
+        models.generate.Generator); the persistent slot caches are
+        allocated ON the mesh (kv_heads over the model axis when they
+        divide, replicated otherwise) so every scheduler program — prefill
+        chunks, commit, chunked decode — compiles under GSPMD with XLA's
+        all-reduces after o_proj/down_proj. Greedy output matches the
+        single-device server token-for-token."""
         self.module = module
+        self.mesh = mesh
+        self.model_axis = model_axis
+        if mesh is not None:
+            from ..train.reranker_lora import shard_params
+
+            params = shard_params(params, mesh, model_axis)
         self.params = params
         self.arch = module.arch
         self.slots = slots
@@ -105,8 +121,27 @@ class GenerationServer:
 
         # one jitted allocator builds ALL per-slot device state in a single
         # dispatch (host-side jnp.zeros costs ~4 ms each on the relay);
-        # reused verbatim by crash recovery to rebuild a lost device state
-        self._alloc_state_jit = jax.jit(self._alloc_state_impl)
+        # reused verbatim by crash recovery to rebuild a lost device state.
+        # Under a mesh the persistent buffers must be CREATED on the mesh
+        # (out_shardings) — a no-input jit would otherwise commit them to
+        # the default device and every later program would mix placements.
+        if mesh is None:
+            self._alloc_state_jit = jax.jit(self._alloc_state_impl)
+            self._local_init_jit = jax.jit(self._local_init_impl)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            kv_spec = (PartitionSpec(None, None, model_axis, None)
+                       if self.arch.kv_heads % mesh.shape[model_axis] == 0
+                       else PartitionSpec())
+            kv = NamedSharding(mesh, kv_spec)
+            cache_sh = [(kv, kv, rep) for _ in range(self.arch.layers)]
+            self._alloc_state_jit = jax.jit(
+                self._alloc_state_impl,
+                out_shardings=(cache_sh, rep, rep, rep, rep, rep))
+            self._local_init_jit = jax.jit(self._local_init_impl,
+                                           out_shardings=cache_sh)
         self._seed = seed
         self._alloc_device_state(seed)
 
@@ -119,7 +154,6 @@ class GenerationServer:
 
         self._prefill_chunk_jit = jax.jit(self._prefill_chunk_impl,
                                           donate_argnums=(1,))
-        self._local_init_jit = jax.jit(self._local_init_impl)
         self._local_from_slot_jit = jax.jit(self._local_from_slot_impl)
         # local (argnum 1) is NOT donated: the slot-copy reads it through a
         # dtype cast, so XLA can't alias it anyway (it would only warn)
