@@ -1,0 +1,122 @@
+"""In-program prompt-lookup speculation: exactness is unconditional.
+
+The speculative decode path (generation_server.py::_decode_spec_impl)
+accepts draft tokens only where they equal the model's own greedy chain,
+so its emitted stream must be IDENTICAL to the plain server's for any
+weights — random weights (everything rejected), a trained copy-LM
+(long accepted runs), ring wrap (rejected writes restored over
+still-visible keys), and eos arriving inside an accepted draft."""
+
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from veritasfi_tpu.models.reranker import CrossEncoderReranker
+from veritasfi_tpu.serving.generation_server import GenerationServer
+
+
+@pytest.fixture(scope="module")
+def decoder():
+    return CrossEncoderReranker(preset="tiny-test", dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def copy_lm():
+    from veritasfi_tpu.evals.spec_eval import train_copy_lm
+
+    module, params, diag = train_copy_lm(steps=350, ctx_len=24, batch=32)
+    assert diag["copy_accuracy"] > 0.9, diag
+    return module, params
+
+
+def run_server(module, params, rows, max_new, *, spec_k, window=128,
+               chunk=4, eos=-1, temperature=None):
+    server = GenerationServer(module, params, slots=2, window=window,
+                              chunk=chunk, max_prompt_len=64,
+                              cache_dtype=jnp.float32, prefix_cache=False,
+                              spec_lookup_k=spec_k)
+    try:
+        with ThreadPoolExecutor(len(rows)) as ex:
+            futs = [ex.submit(server.generate, r, max_new, eos,
+                              temperature) for r in rows]
+            out = [f.result(180) for f in futs]
+        return out, dict(server.stats)
+    finally:
+        server.close()
+
+
+def test_random_weights_all_rejected_matches_plain(decoder):
+    """Random weights cannot quote: drafts reject, output must still be
+    the exact plain greedy stream (3 requests through 2 slots)."""
+    rr = decoder
+    rows = [rr._encode_raw(f"question {i} about metric value")
+            for i in range(3)]
+    plain, _ = run_server(rr.module, rr.params, rows, 12, spec_k=0)
+    spec, _ = run_server(rr.module, rr.params, rows, 12, spec_k=4)
+    assert spec == plain, (spec, plain)
+
+
+def test_quoting_accepts_and_matches(copy_lm):
+    """The trained copy-LM quotes its prompt, so drafts accept in runs:
+    emitted-per-verify-step must exceed 1 by a clear margin AND the
+    stream must equal the plain server's token-for-token."""
+    from veritasfi_tpu.evals.spec_eval import SEP, TOK_HI, TOK_LO
+
+    module, params = copy_lm
+    rng = np.random.default_rng(5)
+    rows = [rng.integers(TOK_LO, TOK_HI, size=(24,)).tolist() + [SEP]
+            for _ in range(3)]
+    plain, _ = run_server(module, params, rows, 20, spec_k=0)
+    spec, stats = run_server(module, params, rows, 20, spec_k=4)
+    assert spec == plain, (spec, plain)
+    assert stats["spec_steps"] > 0
+    assert stats["spec_emitted"] / stats["spec_steps"] > 1.5, stats
+
+
+def test_ring_wrap_restores_rejected_writes(decoder):
+    """Generation long enough to wrap a small ring: rejected speculative
+    writes land on slots holding still-visible keys and must be restored
+    bit-exact — any corruption diverges the stream from the plain
+    server's (which wraps the same ring without speculation)."""
+    rr = decoder
+    rows = [rr._encode_raw("alpha beta gamma delta epsilon zeta")[:16]]
+    plain, _ = run_server(rr.module, rr.params, rows, 40, spec_k=0,
+                          window=32)
+    spec, _ = run_server(rr.module, rr.params, rows, 40, spec_k=4,
+                         window=32)
+    assert spec == plain, (spec, plain)
+
+
+def test_eos_inside_accepted_draft(copy_lm):
+    """eos set to a token the model will quote mid-copy: the eos arrives
+    INSIDE an accepted draft run and the stream must stop exactly where
+    the plain server stops."""
+    from veritasfi_tpu.evals.spec_eval import SEP
+
+    module, params = copy_lm
+    rng = np.random.default_rng(9)
+    ctx = rng.integers(8, 500, size=(24,)).tolist()
+    row = ctx + [SEP]
+    eos = ctx[10]        # quoted ~11 tokens into the copy
+    plain, _ = run_server(module, params, [row], 24, spec_k=0, eos=eos)
+    spec, _ = run_server(module, params, [row], 24, spec_k=4, eos=eos)
+    assert spec == plain, (spec, plain)
+    assert len(plain[0]) < 24, "eos never hit; fixture broken"
+
+
+def test_sampling_slot_unspeculated_but_reproducible(decoder):
+    """A temperature>0 request decodes unspeculated inside the spec
+    program; with the same seed the spec server must reproduce the plain
+    server's sampled stream (both consume one rng split per step —
+    sampling slots' streams depend only on the per-step key sequence)."""
+    rr = decoder
+    row = rr._encode_raw("sampled generation request")
+    out_a, _ = run_server(rr.module, rr.params, [row], 10, spec_k=4,
+                          temperature=0.9)
+    out_b, _ = run_server(rr.module, rr.params, [row], 10, spec_k=4,
+                          temperature=0.9)
+    assert out_a == out_b
+    assert len(out_a[0]) == 10

@@ -76,7 +76,8 @@ class GenerationServer:
                  prefill_chunk: int = 64, prefix_cache: bool = True,
                  cache_dtype=jnp.bfloat16, seed: int = 0,
                  max_recoveries: int = 3, mesh=None,
-                 model_axis: str = "model") -> None:
+                 model_axis: str = "model",
+                 spec_lookup_k: int = 0) -> None:
         """``mesh``: optional jax.sharding.Mesh with a ``model_axis`` —
         tensor-parallel continuous batching. Params are laid out with the
         training rules (train.reranker_lora.shard_params, same as
@@ -85,7 +86,25 @@ class GenerationServer:
         divide, replicated otherwise) so every scheduler program — prefill
         chunks, commit, chunked decode — compiles under GSPMD with XLA's
         all-reduces after o_proj/down_proj. Greedy output matches the
-        single-device server token-for-token."""
+        single-device server token-for-token.
+
+        ``spec_lookup_k``: in-program prompt-lookup speculation (0 = off).
+        The r3 speculative path was REMOVED because its host-side draft +
+        separate verify dispatch cost a full relay round-trip per step and
+        lost EVEN at 100% acceptance (SPEC_DECODE_r03.json). This version
+        moves BOTH drafting and verification inside the chunked decode
+        scan: each scan step 2-gram-matches the slot's device-resident
+        prompt tokens, feeds [cur, draft_0..k-1] through ONE [S, k+1]
+        forward (the per-row multi-token cache path), accepts the longest
+        prefix equal to the model's own greedy chain, and restores the
+        rejected ring slots from a pre-step snapshot — so the
+        one-readback-per-chunk economics are untouched and a chunk emits
+        between ``chunk`` and ``chunk*(k+1)`` tokens per slot. Emitted
+        tokens are exactly the plain greedy stream regardless of draft
+        quality (acceptance compares against the model's own argmax
+        chain); sampling slots (temperature>0) decode unspeculated in the
+        same program. Pays only where generations quote the prompt — the
+        RAG answer-with-citations acceptance profile (NOTES r5 #5)."""
         self.module = module
         self.mesh = mesh
         self.model_axis = model_axis
@@ -125,9 +144,12 @@ class GenerationServer:
         # Under a mesh the persistent buffers must be CREATED on the mesh
         # (out_shardings) — a no-input jit would otherwise commit them to
         # the default device and every later program would mix placements.
+        self.spec_k = int(spec_lookup_k)
         if mesh is None:
             self._alloc_state_jit = jax.jit(self._alloc_state_impl)
             self._local_init_jit = jax.jit(self._local_init_impl)
+            if self.spec_k:
+                self._alloc_spec_jit = jax.jit(self._alloc_spec_impl)
         else:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -142,6 +164,9 @@ class GenerationServer:
                 out_shardings=(cache_sh, rep, rep, rep, rep, rep))
             self._local_init_jit = jax.jit(self._local_init_impl,
                                            out_shardings=cache_sh)
+            if self.spec_k:
+                self._alloc_spec_jit = jax.jit(
+                    self._alloc_spec_impl, out_shardings=(rep, rep, rep))
         self._seed = seed
         self._alloc_device_state(seed)
 
@@ -155,6 +180,12 @@ class GenerationServer:
         self._prefill_chunk_jit = jax.jit(self._prefill_chunk_impl,
                                           donate_argnums=(1,))
         self._local_from_slot_jit = jax.jit(self._local_from_slot_impl)
+        if self.spec_k:
+            self._ctx_set_jit = jax.jit(self._ctx_set_impl,
+                                        donate_argnums=(0, 1, 2))
+            self._decode_spec_jit = jax.jit(
+                self._decode_spec_impl, donate_argnums=(1,),
+                static_argnames=("chunk", "k"))
         # local (argnum 1) is NOT donated: the slot-copy reads it through a
         # dtype cast, so XLA can't alias it anyway (it would only warn)
         self._prefill_commit_jit = jax.jit(
@@ -174,7 +205,7 @@ class GenerationServer:
         self._hw_host = np.zeros((slots,), np.int64)      # ring high-water
         self.stats = {"decode_chunks": 0, "prefill_chunks": 0,
                       "prefix_hits": 0, "prefix_reused_tokens": 0,
-                      "recoveries": 0}
+                      "recoveries": 0, "spec_steps": 0, "spec_emitted": 0}
         self.max_recoveries = max_recoveries
         self._consecutive_recoveries = 0
         self._queue: "queue.Queue" = queue.Queue()
@@ -210,6 +241,21 @@ class GenerationServer:
         # admit; the decode program samples every slot with its own params)
         self._temp, self._topp = temp, topp
         self._rng = jax.random.PRNGKey(seed)
+        if self.spec_k:
+            self._ctx, self._ctx_len, self._prev = self._alloc_spec_jit()
+
+    def _alloc_spec_impl(self):
+        """Per-slot speculation state: the served prompt rows (the draft
+        source the in-program 2-gram lookup matches against), their
+        lengths, and the token preceding each slot's pending token."""
+        ctx = jnp.full((self.slots, self._prompt_cap), self.arch.pad_id,
+                       jnp.int32)
+        return ctx, jnp.zeros((self.slots,), jnp.int32), \
+            jnp.zeros((self.slots,), jnp.int32)
+
+    def _ctx_set_impl(self, ctx, ctx_len, prev, slot, row, n, ptok):
+        ctx = jax.lax.dynamic_update_slice(ctx, row[None, :], (slot, 0))
+        return ctx, ctx_len.at[slot].set(n), prev.at[slot].set(ptok)
 
     def _prefill_chunk_impl(self, params, local, ids, mask, offset,
                             positions, last_idx):
@@ -319,6 +365,100 @@ class GenerationServer:
         (cache, tok, pos, off, rng, live), toks = jax.lax.scan(
             step, init, None, length=chunk)
         return cache, tok, pos, off, rng, live, toks.T   # [S, chunk]
+
+    def _decode_spec_impl(self, params, cache, tok, prev, pos, off, active,
+                          eos, temp, topp, rng, ctx, ctx_len, *,
+                          chunk: int, k: int):
+        """``chunk`` verify steps, each advancing every active greedy slot
+        by 1..k+1 tokens (see the class docstring). Emits exactly the plain
+        greedy stream: acceptance compares the draft to the model's OWN
+        argmax chain, so draft quality affects speed only. Rejected ring
+        writes are restored from a pre-step snapshot (a wrapped ring's
+        overwritten slots may hold still-visible keys), and per-step
+        visibility of the k+1 in-flight tokens rides the per-row write
+        causality in the attention cache path — mask bits are persisted
+        only for accepted tokens."""
+        s = tok.shape[0]
+        w = self.window
+        rows = jnp.arange(s)[:, None]
+        js = jnp.arange(k + 1)[None, :]                      # [1, k+1]
+        c_len = ctx.shape[1]
+        pad = jnp.int32(self.arch.pad_id)
+        greedy_row = temp <= 0.0
+
+        def step(carry, _):
+            cache, tok, prev, pos, off, rng, live = carry
+            # ---- draft: continuation after the most recent 2-gram match
+            ii = jnp.arange(c_len - 1)
+            m = ((ctx[:, :-1] == prev[:, None])
+                 & (ctx[:, 1:] == tok[:, None])
+                 & ((ii[None, :] + 1) < ctx_len[:, None]))
+            idx = jnp.max(jnp.where(m, ii[None, :], -1), axis=1)   # [S]
+            gpos = idx[:, None] + 2 + jnp.arange(k)[None, :]       # [S, k]
+            valid_d = (idx[:, None] >= 0) & (gpos < ctx_len[:, None])
+            draft = jnp.where(
+                valid_d,
+                jnp.take_along_axis(ctx, jnp.clip(gpos, 0, c_len - 1),
+                                    axis=1), pad)
+
+            # ---- snapshot the ring rows this step overwrites
+            slots_w = (off[:, None] + js) % w                 # [S, k+1]
+            saved = [(ck[rows, slots_w], cv[rows, slots_w])
+                     for ck, cv, _ in cache]
+
+            # ---- one [S, k+1] forward over [cur, draft]
+            ids = jnp.concatenate([tok[:, None], draft], axis=1)
+            positions = pos[:, None] + js
+            logits, cache = self.module.apply(
+                params, ids, jnp.ones((s, k + 1), jnp.int32),
+                cache=cache, cache_offset=off, positions=positions)
+
+            rng2, key = jax.random.split(rng)
+            out0 = _sample_rows(logits[:, 0, :], key, temp, topp)
+            chain = jnp.argmax(logits[:, 1:, :], axis=-1).astype(jnp.int32)
+            outs = jnp.concatenate([out0[:, None], chain], axis=1)
+
+            # ---- acceptance (greedy slots only), first-eos truncation
+            match = (draft == outs[:, :k]) & greedy_row[:, None] & valid_d
+            acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                          axis=1)                              # [S] in 0..k
+            is_eos = outs == eos[:, None]
+            e = jnp.min(jnp.where(is_eos, jnp.broadcast_to(js, is_eos.shape),
+                                  k + 2), axis=1)              # [S]
+            cnt = jnp.where(live, jnp.minimum(acc + 1, e + 1), 0)
+            adv = jnp.where(live, jnp.minimum(acc + 1, e), 0)
+            keep = (js <= jnp.minimum(acc, e)[:, None]) & live[:, None]
+
+            # ---- restore rejected writes, persist accepted mask bits
+            new_cache = []
+            for (ck, cv, km), (sk, sv) in zip(cache, saved):
+                gk, gv = ck[rows, slots_w], cv[rows, slots_w]
+                k4 = keep[..., None, None]
+                ck = ck.at[rows, slots_w].set(jnp.where(k4, gk, sk))
+                cv = cv.at[rows, slots_w].set(jnp.where(k4, gv, sv))
+                km = km.at[rows, slots_w].set(km[rows, slots_w] | keep)
+                new_cache.append((ck, cv, km))
+
+            last = jnp.maximum(cnt - 1, 0)[:, None]
+            new_tok = jnp.take_along_axis(outs, last, axis=1)[:, 0]
+            tok_before = jnp.take_along_axis(
+                outs, jnp.maximum(last - 1, 0), axis=1)[:, 0]
+            new_prev = jnp.where(last[:, 0] >= 1, tok_before, tok)
+            live2 = live & (e > acc)
+            new_tok = jnp.where(live2, new_tok, pad)
+            new_prev = jnp.where(live2, new_prev, prev)
+            pos2 = pos + adv
+            off2 = off + adv
+            toks_step = jnp.where(js < cnt[:, None], outs, pad)
+            return ((new_cache, new_tok, new_prev, pos2, off2, rng2, live2),
+                    (toks_step, cnt))
+
+        init = (cache, tok, prev, pos, off, rng, active)
+        (cache, tok, prev, pos, off, rng, live), (toks, cnts) = jax.lax.scan(
+            step, init, None, length=chunk)
+        # [chunk, S, k+1] -> [S, chunk, k+1]; [chunk, S] -> [S, chunk]
+        return (cache, tok, prev, pos, off, rng, live,
+                jnp.transpose(toks, (1, 0, 2)), cnts.T)
 
     # ------------------------------------------------------------------
     # host scheduler
@@ -456,6 +596,15 @@ class GenerationServer:
             self._temp_host[slot] = temp
             self._shift_host[slot] = shift
             self._hw_host[slot] = shift + len(row)
+            if self.spec_k:
+                # device-resident draft source: the served prompt row
+                rp = np.full((self._prompt_cap,), self.arch.pad_id,
+                             np.int32)
+                rp[: len(row)] = row
+                self._ctx, self._ctx_len, self._prev = self._ctx_set_jit(
+                    self._ctx, self._ctx_len, self._prev, jnp.int32(slot),
+                    jnp.asarray(rp), jnp.int32(len(row)),
+                    jnp.int32(row[-1] if row else self.arch.pad_id))
             pending.append((slot, tok0_d))
         if pending:
             tok0s = jax.device_get([t for _, t in pending])
@@ -533,11 +682,36 @@ class GenerationServer:
         with profiler.span("generation_chunk"):
             self.stats["decode_chunks"] += 1
             # ring high-water: active slots may advance up to `chunk`
-            # writes this program (conservative — host-side finish
-            # mid-chunk still lets the device run the chunk out)
-            self._hw_host[self._active] += self.chunk
+            # writes this program — chunk*(k+1) when speculating —
+            # (conservative — host-side finish mid-chunk still lets the
+            # device run the chunk out)
             active = jnp.asarray(self._active)
             eos = jnp.asarray(self._eos)
+            if self.spec_k:
+                self._hw_host[self._active] += \
+                    self.chunk * (self.spec_k + 1)
+                (self._cache, self._tok, self._prev, self._pos, self._off,
+                 self._rng, live, toks, cnts) = self._decode_spec_jit(
+                    self.params, self._cache, self._tok, self._prev,
+                    self._pos, self._off, active, eos, self._temp,
+                    self._topp, self._rng, self._ctx, self._ctx_len,
+                    chunk=self.chunk, k=self.spec_k)
+                toks, cnts = np.asarray(toks), np.asarray(cnts)
+                self.stats["spec_steps"] += int(self._active.sum()) \
+                    * self.chunk
+                self.stats["spec_emitted"] += int(cnts.sum())
+                for slot in range(self.slots):
+                    if not self._active[slot]:
+                        continue
+                    for t in range(self.chunk):
+                        for j in range(int(cnts[slot, t])):
+                            self._emit(slot, int(toks[slot, t, j]))
+                            if not self._active[slot]:
+                                break
+                        if not self._active[slot]:
+                            break
+                return True
+            self._hw_host[self._active] += self.chunk
             (self._cache, self._tok, self._pos, self._off, self._rng,
              live, toks) = self._decode_jit(
                 self.params, self._cache, self._tok, self._pos,
