@@ -508,16 +508,10 @@ def main():
                      + 4 * batch * seq_len * h * i)
         return arch.layers * per_layer
 
-    def transport_floor_ms(reps=9):
-        trivial = jax.jit(lambda x: x + 1.0)
-        x = jnp.zeros((8,), jnp.float32)
-        jax.device_get(trivial(x))
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.device_get(trivial(x))
-            ts.append((time.perf_counter() - t0) * 1000.0)
-        return statistics.median(ts)
+    # one floor protocol + one peak constant for every roofline artifact
+    from veritasfi_tpu.evals.scale_bench import (V5E_BF16_PEAK_TFLOPS,
+                                                 _transport_floor_ms as
+                                                 transport_floor_ms)
 
     try:
         _phase("measuring rerank-forward roofline")
@@ -553,7 +547,8 @@ def main():
             "forward_tflop": round(flops / 1e12, 3),
             "achieved_tflops": round(tflops, 1),
             "mxu_utilization_pct_v5e_bf16": (
-                round(100.0 * tflops / 197.0, 1) if on_tpu else None),
+                round(100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 1)
+                if on_tpu else None),
         }
         print(json.dumps(result), flush=True)
     except Exception as e:   # roofline must never cost the headline

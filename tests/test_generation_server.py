@@ -396,6 +396,62 @@ def test_recovery_exhaustion_fails_futures(decoder):
     server.close()
 
 
+def test_double_crash_recovery_no_duplication(decoder):
+    """TWO crashes on one request: each recovery must rebuild the
+    continuation from the ORIGINAL prompt + all emissions — extending the
+    already-extended prompt would duplicate the first recovery's tokens
+    in the model context and diverge the stream after the second
+    recovery."""
+    rr = decoder
+    row = prompts(rr, 1)[0]
+    solo = solo_generate(rr, row, max_new=14)
+    server = GenerationServer(rr.module, rr.params, slots=2, window=128,
+                              chunk=2, max_prompt_len=64,
+                              cache_dtype=jnp.float32)
+    real = server._decode_jit
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] in (2, 5):
+            raise RuntimeError("injected")
+        return real(*a, **kw)
+
+    server._decode_jit = flaky
+    try:
+        got = server.generate(row, 14, -1)
+    finally:
+        server.close()
+    assert got == solo, (got, solo)
+    assert server.stats["recoveries"] == 2, server.stats
+
+
+def test_recovery_exhaustion_drains_queue_and_streams_raise(decoder):
+    """Exhaustion must also fail QUEUED-but-unadmitted requests (their
+    futures would otherwise hang until the client timeout), and stream()
+    consumers must get the device-lost error raised — not a clean end
+    indistinguishable from success."""
+    rr = decoder
+    row = prompts(rr, 1)[0]
+    server = GenerationServer(rr.module, rr.params, slots=1, window=128,
+                              chunk=2, max_prompt_len=64,
+                              cache_dtype=jnp.float32, max_recoveries=1)
+
+    def dead(*a, **kw):
+        raise RuntimeError("device gone")
+
+    server._decode_jit = dead
+    with ThreadPoolExecutor(1) as ex:
+        stream_fut = ex.submit(
+            lambda: list(server.stream(row, 10, -1, timeout=120)))
+        req_q = server.submit(row, 10, -1)   # waits behind the 1 slot
+        with pytest.raises(RuntimeError, match="device"):
+            req_q.result.result(timeout=120)
+        with pytest.raises(RuntimeError, match="device"):
+            stream_fut.result(timeout=120)
+    server.close()
+
+
 def test_tp_mesh_matches_single_device(decoder):
     """Continuous batching UNDER tensor parallelism (VERDICT r4 #5): the
     server built over a ('model', 8) mesh — params laid out by the training

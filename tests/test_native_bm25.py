@@ -165,3 +165,39 @@ def test_token_build_random_parity_vs_scipy():
         ci, cs = idx.invoke_ids(np.asarray(q_ids, np.int32), 25)
         np.testing.assert_array_equal(pi, ci)
         np.testing.assert_allclose(ps, cs, rtol=1e-5, atol=1e-6)
+
+
+def test_concurrent_queries_one_handle(pair):
+    """ctypes calls release the GIL, and the C++ query path reuses
+    per-handle scratch buffers — without the per-handle query lock,
+    concurrent server threads corrupt results PERMANENTLY (the scratch's
+    all-zero-between-calls invariant breaks). 8 threads hammering one
+    handle must each see exactly the single-threaded answers, and the
+    handle must still score correctly afterwards."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _, cc = pair
+    queries = ["quarterly revenue growth", "deliveries in europe and china",
+               "margin improvement conditional", "revenue margin growth"]
+    expect = {q: cc.invoke(q, 4) for q in queries}
+
+    def worker(seed):
+        rng = np.random.default_rng(seed)
+        bad = 0
+        for _ in range(150):
+            q = queries[int(rng.integers(len(queries)))]
+            ids, scores = cc.invoke(q, 4)
+            ei, es = expect[q]
+            if not (np.array_equal(ids, ei)
+                    and np.allclose(scores, es, rtol=1e-5, atol=1e-6)):
+                bad += 1
+        return bad
+
+    with ThreadPoolExecutor(8) as ex:
+        assert sum(ex.map(worker, range(8))) == 0
+    # the handle survives: post-concurrency single-thread results intact
+    for q in queries:
+        ids, scores = cc.invoke(q, 4)
+        np.testing.assert_array_equal(ids, expect[q][0])
+        np.testing.assert_allclose(scores, expect[q][1],
+                                   rtol=1e-5, atol=1e-6)

@@ -76,18 +76,57 @@ def test_quoting_accepts_and_matches(copy_lm):
     assert stats["spec_emitted"] / stats["spec_steps"] > 1.5, stats
 
 
-def test_ring_wrap_restores_rejected_writes(decoder):
-    """Generation long enough to wrap a small ring: rejected speculative
-    writes land on slots holding still-visible keys and must be restored
-    bit-exact — any corruption diverges the stream from the plain
-    server's (which wraps the same ring without speculation)."""
+def test_ring_wrap_falls_back_to_plain(decoder):
+    """Generation long enough to wrap a small ring: the [S, k+1] block
+    forward would overwrite still-visible old keys (and the write-
+    causality mask hides those slots wholesale), so the host wrap-gate
+    must route such chunks through the PLAIN program — the stream must
+    equal the plain server's and the fallback must actually fire."""
     rr = decoder
     rows = [rr._encode_raw("alpha beta gamma delta epsilon zeta")[:16]]
     plain, _ = run_server(rr.module, rr.params, rows, 40, spec_k=0,
                           window=32)
-    spec, _ = run_server(rr.module, rr.params, rows, 40, spec_k=4,
-                         window=32)
+    spec, stats = run_server(rr.module, rr.params, rows, 40, spec_k=4,
+                             window=32)
     assert spec == plain, (spec, plain)
+    assert stats["spec_fallback_chunks"] > 0, stats
+
+
+def test_wrap_gate_reopens_after_slot_churn(copy_lm):
+    """A wrapping tenancy closes the gate (prev rows go stale through the
+    plain-decode chunks); after that slot finishes, a fresh quoting
+    request must speculate again with a refreshed prev — stream equal to
+    plain, and accepted runs on the second request prove the gate
+    reopened with correct (prev, tok) lookup state."""
+    from veritasfi_tpu.evals.spec_eval import SEP, TOK_HI, TOK_LO
+
+    module, params = copy_lm
+    rng = np.random.default_rng(13)
+    quote_row = rng.integers(TOK_LO, TOK_HI, size=(20,)).tolist() + [SEP]
+
+    def run(spec_k):
+        server = GenerationServer(module, params, slots=2, window=64,
+                                  chunk=4, max_prompt_len=32,
+                                  prefill_chunk=16,
+                                  cache_dtype=jnp.float32,
+                                  prefix_cache=False, spec_lookup_k=spec_k)
+        try:
+            # tenancy 1 wraps the 64-ring (hw = 21 + 48 > 64): gate closes
+            first = server.generate(quote_row, 48, -1)
+            spec_before = server.stats["spec_emitted"]
+            # tenancy 2 (fresh hw) must reopen the gate and quote
+            second = server.generate(quote_row, 16, -1)
+            return first, second, dict(server.stats), spec_before
+        finally:
+            server.close()
+
+    p1, p2, _, _ = run(0)
+    s1, s2, stats, spec_before = run(4)
+    assert s1 == p1, (s1, p1)
+    assert s2 == p2, (s2, p2)
+    assert stats["spec_fallback_chunks"] > 0, stats
+    assert stats["spec_emitted"] > spec_before, \
+        "second tenancy never speculated; gate failed to reopen"
 
 
 def test_eos_inside_accepted_draft(copy_lm):

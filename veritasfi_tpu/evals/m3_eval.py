@@ -124,10 +124,38 @@ def run_m3_eval(seed: int = 0, steps: int = 160, n_queries: int = 40,
 def main(argv: Optional[List[str]] = None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--seeds", type=int, default=1,
+                        help="run N independent seeds (fixture + training "
+                             "+ fusion weights all re-drawn) and report "
+                             "per-seed NDCG plus the mean — a single-seed "
+                             "delta on a synthetic fixture is noise-prone")
     parser.add_argument("--steps", type=int, default=160)
+    parser.add_argument("--queries", type=int, default=40)
+    parser.add_argument("--filler", type=int, default=160)
+    parser.add_argument("--candidates", type=int, default=20)
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
-    result = run_m3_eval(seed=args.seed, steps=args.steps)
+    runs = [run_m3_eval(seed=args.seed + i, steps=args.steps,
+                        n_queries=args.queries, n_filler=args.filler,
+                        candidates=args.candidates)
+            for i in range(max(1, args.seeds))]
+    result = runs[0]
+    if len(runs) > 1:
+        per_seed = [{"seed": args.seed + i,
+                     "fused_ndcg": r["value"],
+                     "dense_ndcg": r["detail"]["per_arm"]["dense"]["ndcg"],
+                     "vs_baseline": r["vs_baseline"]}
+                    for i, r in enumerate(runs)]
+        result["value"] = round(float(np.mean([r["value"] for r in runs])), 4)
+        dense_mean = float(np.mean(
+            [r["detail"]["per_arm"]["dense"]["ndcg"] for r in runs]))
+        result["vs_baseline"] = (round(result["value"] / dense_mean, 4)
+                                 if dense_mean else None)
+        result["detail"]["per_seed"] = per_seed
+        result["detail"]["seeds"] = len(runs)
+        result["detail"]["note"] = (
+            "value/vs_baseline are MEANS over independent seeds; "
+            "per_arm shows seed 0 only")
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:

@@ -124,6 +124,12 @@ class NativeBM25:
                     "native BM25 only matches the Python engine on ASCII "
                     "corpora; falling back keeps scores identical")
         self._lib = lib
+        # the C++ query path reuses per-handle scratch/cands buffers
+        # ("one query at a time per handle"); ctypes calls release the
+        # GIL, so concurrent server threads sharing one handle must
+        # serialize here — a race corrupts the scratch's all-zero-between-
+        # calls invariant PERMANENTLY (every later query misscores)
+        self._query_lock = threading.Lock()
         self.doc_ids = doc_ids if doc_ids is not None else [
             str(i) for i in range(len(corpus))]
         encoded = [t.encode("utf-8") for t in corpus]
@@ -151,6 +157,7 @@ class NativeBM25:
             raise RuntimeError("native bm25 library unavailable")
         self = cls.__new__(cls)
         self._lib = lib
+        self._query_lock = threading.Lock()
         indptr = np.ascontiguousarray(doc_indptr, np.int64)
         tokens = np.ascontiguousarray(token_ids, np.int32)
         n_docs = len(indptr) - 1
@@ -174,28 +181,32 @@ class NativeBM25:
 
     def get_scores(self, query: str) -> np.ndarray:
         out = np.zeros(self.num_docs, np.float32)
-        self._lib.vfi_bm25_scores(
-            self._handle, query.encode("utf-8"),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        with self._query_lock:
+            self._lib.vfi_bm25_scores(
+                self._handle, query.encode("utf-8"),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return out
 
     def get_scores_ids(self, query_ids) -> np.ndarray:
         qids = np.ascontiguousarray(query_ids, np.int32)
         out = np.zeros(self.num_docs, np.float32)
-        self._lib.vfi_bm25_scores_ids(
-            self._handle,
-            qids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(qids),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        with self._query_lock:
+            self._lib.vfi_bm25_scores_ids(
+                self._handle,
+                qids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(qids),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return out
 
     def invoke(self, query: str, k: int) -> Tuple[np.ndarray, np.ndarray]:
         k = min(k, self.num_docs)
         ids = np.zeros(k, np.int32)
         scores = np.zeros(k, np.float32)
-        got = self._lib.vfi_bm25_topk(
-            self._handle, query.encode("utf-8"), k,
-            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        with self._query_lock:
+            got = self._lib.vfi_bm25_topk(
+                self._handle, query.encode("utf-8"), k,
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return ids[:got].astype(np.int64), scores[:got]
 
     def df(self, term_id: int) -> int:
@@ -211,10 +222,11 @@ class NativeBM25:
         k = min(k, self.num_docs)
         ids = np.zeros(k, np.int32)
         scores = np.zeros(k, np.float32)
-        got = self._lib.vfi_bm25_topk_ids(
-            self._handle,
-            qids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(qids),
-            k,
-            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        with self._query_lock:
+            got = self._lib.vfi_bm25_topk_ids(
+                self._handle,
+                qids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(qids), k,
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return ids[:got].astype(np.int64), scores[:got]

@@ -62,6 +62,7 @@ class _Request:
     top_p: Optional[float] = None
     emitted: List[int] = field(default_factory=list)
     _row: Optional[List[int]] = None      # truncated prompt actually served
+    _orig: Optional[List[int]] = None     # pre-recovery original prompt
 
 
 _END = object()
@@ -205,7 +206,9 @@ class GenerationServer:
         self._hw_host = np.zeros((slots,), np.int64)      # ring high-water
         self.stats = {"decode_chunks": 0, "prefill_chunks": 0,
                       "prefix_hits": 0, "prefix_reused_tokens": 0,
-                      "recoveries": 0, "spec_steps": 0, "spec_emitted": 0}
+                      "recoveries": 0, "spec_steps": 0, "spec_emitted": 0,
+                      "spec_fallback_chunks": 0}
+        self._prev_stale = False
         self.max_recoveries = max_recoveries
         self._consecutive_recoveries = 0
         self._queue: "queue.Queue" = queue.Queue()
@@ -256,6 +259,25 @@ class GenerationServer:
     def _ctx_set_impl(self, ctx, ctx_len, prev, slot, row, n, ptok):
         ctx = jax.lax.dynamic_update_slice(ctx, row[None, :], (slot, 0))
         return ctx, ctx_len.at[slot].set(n), prev.at[slot].set(ptok)
+
+    def _push_prev(self) -> None:
+        """Refresh the device 'token before the pending token' rows from
+        host emission state. Plain-decode chunks (spec wrap-gate fallback)
+        advance slots without maintaining ``prev``; the spec program's
+        2-gram lookup keys on (prev, tok), so it must be rebuilt before
+        the gate reopens. For an active slot the host mirror is exact:
+        every device-advanced token of a live slot was emitted."""
+        vals = np.full((self.slots,), self.arch.pad_id, np.int32)
+        for s in range(self.slots):
+            req = self._slot_req[s]
+            if not self._active[s] or req is None:
+                continue
+            if len(req.emitted) >= 2:
+                vals[s] = req.emitted[-2]
+            elif req._row:
+                vals[s] = req._row[-1]
+        self._prev = jnp.asarray(vals)
+        self._prev_stale = False
 
     def _prefill_chunk_impl(self, params, local, ids, mask, offset,
                             positions, last_idx):
@@ -373,11 +395,19 @@ class GenerationServer:
         by 1..k+1 tokens (see the class docstring). Emits exactly the plain
         greedy stream: acceptance compares the draft to the model's OWN
         argmax chain, so draft quality affects speed only. Rejected ring
-        writes are restored from a pre-step snapshot (a wrapped ring's
-        overwritten slots may hold still-visible keys), and per-step
+        writes are restored from a pre-step snapshot, and per-step
         visibility of the k+1 in-flight tokens rides the per-row write
         causality in the attention cache path — mask bits are persisted
-        only for accepted tokens."""
+        only for accepted tokens.
+
+        WRAP CONTRACT: the host only dispatches this program when every
+        active slot stays strictly inside virgin ring territory for the
+        whole chunk (hw + chunk*(k+1) <= window). Once a ring has wrapped,
+        the [S, k+1] block forward would OVERWRITE still-visible old keys
+        with in-flight draft writes and the write-causality mask hides
+        those slots wholesale (old key included), so query j would lose
+        attention to keys plain sequential decode still sees — the host
+        falls back to the plain program for such chunks (_tick)."""
         s = tok.shape[0]
         w = self.window
         rows = jnp.arange(s)[:, None]
@@ -451,14 +481,14 @@ class GenerationServer:
             off2 = off + adv
             toks_step = jnp.where(js < cnt[:, None], outs, pad)
             return ((new_cache, new_tok, new_prev, pos2, off2, rng2, live2),
-                    (toks_step, cnt))
+                    (toks_step, cnt, adv))
 
         init = (cache, tok, prev, pos, off, rng, active)
-        (cache, tok, prev, pos, off, rng, live), (toks, cnts) = jax.lax.scan(
-            step, init, None, length=chunk)
+        (cache, tok, prev, pos, off, rng, live), (toks, cnts, advs) = \
+            jax.lax.scan(step, init, None, length=chunk)
         # [chunk, S, k+1] -> [S, chunk, k+1]; [chunk, S] -> [S, chunk]
         return (cache, tok, prev, pos, off, rng, live,
-                jnp.transpose(toks, (1, 0, 2)), cnts.T)
+                jnp.transpose(toks, (1, 0, 2)), cnts.T, advs.T)
 
     # ------------------------------------------------------------------
     # host scheduler
@@ -681,22 +711,36 @@ class GenerationServer:
             return True
         with profiler.span("generation_chunk"):
             self.stats["decode_chunks"] += 1
-            # ring high-water: active slots may advance up to `chunk`
-            # writes this program — chunk*(k+1) when speculating —
+            # ring high-water: plain chunks pre-charge `chunk` writes
             # (conservative — host-side finish mid-chunk still lets the
-            # device run the chunk out)
+            # device run the chunk out); spec chunks post-charge the
+            # device-reported exact advance
             active = jnp.asarray(self._active)
             eos = jnp.asarray(self._eos)
-            if self.spec_k:
-                self._hw_host[self._active] += \
-                    self.chunk * (self.spec_k + 1)
+            # speculate only while EVERY active slot stays in virgin ring
+            # territory for the whole chunk: once wrapped, the [S, k+1]
+            # block forward overwrites still-visible old keys and the
+            # write-causality mask hides those slots wholesale, so the
+            # output would diverge from plain greedy (see
+            # _decode_spec_impl's WRAP CONTRACT) — such chunks run the
+            # plain program instead (falls through below)
+            if self.spec_k and bool(np.all(
+                    self._hw_host[self._active]
+                    + self.chunk * (self.spec_k + 1) <= self.window)):
+                if self._prev_stale:
+                    self._push_prev()
                 (self._cache, self._tok, self._prev, self._pos, self._off,
-                 self._rng, live, toks, cnts) = self._decode_spec_jit(
+                 self._rng, live, toks, cnts, advs) = self._decode_spec_jit(
                     self.params, self._cache, self._tok, self._prev,
                     self._pos, self._off, active, eos, self._temp,
                     self._topp, self._rng, self._ctx, self._ctx_len,
                     chunk=self.chunk, k=self.spec_k)
                 toks, cnts = np.asarray(toks), np.asarray(cnts)
+                # exact ring charge from the device's own per-step advance
+                # (the conservative chunk*(k+1) figure voided prefix-cache
+                # retention ~(k+1)x too early); must land BEFORE the
+                # emission loop — _finish reads hw for retention validity
+                self._hw_host += np.asarray(advs).sum(axis=1)
                 self.stats["spec_steps"] += int(self._active.sum()) \
                     * self.chunk
                 self.stats["spec_emitted"] += int(cnts.sum())
@@ -711,6 +755,13 @@ class GenerationServer:
                         if not self._active[slot]:
                             break
                 return True
+            if self.spec_k:
+                # a wrapped (or near-wrap) slot forces this chunk through
+                # the plain program; the device-side prev rows go stale
+                # and are refreshed from host emission state if the gate
+                # reopens (slots churn, hw resets per tenancy)
+                self._prev_stale = True
+                self.stats["spec_fallback_chunks"] += 1
             self._hw_host[self._active] += self.chunk
             (self._cache, self._tok, self._pos, self._off, self._rng,
              live, toks) = self._decode_jit(
@@ -749,26 +800,47 @@ class GenerationServer:
             err = RuntimeError(
                 f"generation device lost ({self._consecutive_recoveries} "
                 f"consecutive failed recoveries): {exc!r}")
-            for req in inflight:
-                req.tokens.put(_END)
+            # close FIRST so new submits raise instead of enqueueing into
+            # a dead queue, then fail queued-but-unadmitted requests too —
+            # their futures would otherwise hang until the client timeout,
+            # and stream() consumers would see nothing at all
+            self._closed = True
+            queued = []
+            try:
+                while True:
+                    item = self._queue.get_nowait()
+                    if item is not _END:
+                        queued.append(item)
+            except queue.Empty:
+                pass
+            for req in inflight + queued:
+                # stream() raises an Exception instance off the token
+                # queue (a bare _END would be indistinguishable from a
+                # clean finish); generate() gets the future's exception
+                req.tokens.put(err)
                 if not req.result.done():
                     req.result.set_exception(err)
-            self._closed = True
             return False
         self._slot_req = [None] * self.slots
         self._active[:] = False
         self._retained = [None] * self.slots
         self._shift_host[:] = 0
         self._hw_host[:] = 0
+        self._prev_stale = bool(self.spec_k)
         try:
             self._alloc_device_state(self._seed
                                      + self.stats["recoveries"])
         except Exception:   # noqa: BLE001 — allocator died too; next
             # recovery attempt (or exhaustion) handles it
             pass
-        # continuation prompts; FRONT of the queue, original order
+        # continuation prompts; FRONT of the queue, original order.
+        # Rebuild from the ORIGINAL prompt + all emissions every time: a
+        # second recovery that extended the already-extended prompt would
+        # duplicate the first recovery's emissions in the model context
         for req in reversed(inflight):
-            req.prompt = list(req._row or req.prompt) + list(req.emitted)
+            if req._orig is None:
+                req._orig = list(req.prompt)
+            req.prompt = list(req._orig) + list(req.emitted)
             self._queue.queue.appendleft(req)
         return True
 
@@ -798,13 +870,17 @@ class GenerationServer:
                temperature: Optional[float] = None,
                top_p: Optional[float] = None,
                timeout: float = 300.0) -> Iterator[int]:
-        """Yield token ids as decode chunks complete."""
+        """Yield token ids as decode chunks complete. Raises the server's
+        device-lost error if recovery is exhausted mid-stream (a clean
+        _END is reserved for successful completion)."""
         req = self.submit(prompt, max_new_tokens, eos_id,
                           temperature=temperature, top_p=top_p)
         while True:
             tok = req.tokens.get(timeout=timeout)
             if tok is _END:
                 return
+            if isinstance(tok, Exception):
+                raise tok
             yield tok
 
     def generate(self, prompt: List[int], max_new_tokens: int = 256,

@@ -33,11 +33,15 @@ class LocalChatBackend:
                  template: Optional[Dict[str, str]] = None,
                  stream_chunk: int = 8,
                  continuous_batching: bool = False, slots: int = 4,
-                 window: int = 1024, decode_chunk: int = 8) -> None:
+                 window: int = 1024, decode_chunk: int = 8,
+                 spec_lookup_k: int = 0, mesh=None) -> None:
         """``continuous_batching``: serve generations through a
         GenerationServer — concurrent chat() calls share decode steps in
         one device program (slot-based, rolling KV window) instead of
-        serializing whole generations (serving/generation_server.py)."""
+        serializing whole generations (serving/generation_server.py).
+        ``spec_lookup_k``/``mesh`` pass through to the server: in-program
+        prompt-lookup speculation (pays on quote-heavy RAG answers) and
+        tensor-parallel slot caches over a device mesh."""
         # accept either a CrossEncoderReranker-style wrapper (module, params,
         # tokenizer) or a raw module + params + tokenizer
         if hasattr(reranker_or_module, "module"):
@@ -61,7 +65,8 @@ class LocalChatBackend:
 
             self.server = GenerationServer(
                 module, params, slots=slots, window=window,
-                chunk=decode_chunk, max_prompt_len=max_prompt_len)
+                chunk=decode_chunk, max_prompt_len=max_prompt_len,
+                spec_lookup_k=spec_lookup_k, mesh=mesh)
         hf = getattr(tokenizer, "hf", None)
         if eos_id is not None:
             self.eos_id = eos_id
