@@ -135,6 +135,14 @@ class ServingConfig:
     # (0 = disabled).
     malloc_arena_max: int = 2
     malloc_trim_s: float = 60.0
+    # RSS watermark (MB, 0 = off): /v1/health reports status
+    # "rss_over_limit" and the GC loop logs a warning past it. SOAK_r05's
+    # leak_localization measured ~17 KB of LIVE native memory accrued per
+    # request inside the device-client path — python retention is
+    # GC-bounded and the arena-cap/malloc_trim hygiene measurably did
+    # nothing — so long-lived deployments must watch RSS and recycle
+    # workers until the platform client is fixed.
+    rss_limit_mb: int = 0
 
 
 @dataclass

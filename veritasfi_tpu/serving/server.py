@@ -26,6 +26,15 @@ from ..utils.profiler import profiler
 logger = logging.getLogger(__name__)
 
 
+def _rss_mb() -> float:
+    """Resident set size in MB (proc statm; 0.0 where unavailable)."""
+    try:
+        with open("/proc/self/statm") as f:
+            return round(int(f.read().split()[1]) * 4096 / 1e6, 1)
+    except OSError:
+        return 0.0
+
+
 def create_app(stack, bearer_token: str = ""):
     from aiohttp import web
 
@@ -116,21 +125,39 @@ def create_app(stack, bearer_token: str = ""):
         return response
 
     async def handle_health(request):
+        rss = _rss_mb()
+        limit = getattr(getattr(getattr(stack, "config", None), "serving",
+                                None), "rss_limit_mb", 0)
         return web.json_response({
-            "status": "ok",
+            "status": ("rss_over_limit" if limit and rss > limit else "ok"),
             "sessions": len(service.api_chat_manager),
             "retrievers": len(service.retrievers),
+            # SOAK_r05 leak_localization: the serve path accrues ~17 KB of
+            # LIVE native memory per request inside the device-client path
+            # (not python retention, not glibc arena retention — arena cap
+            # + periodic trims measurably did nothing). Until the platform
+            # client is fixed, long-lived deployments must watch RSS and
+            # recycle workers; this surfaces the number health checks need.
+            "rss_mb": rss,
         })
 
     async def handle_profiler(request):
         return web.json_response(profiler.results())
 
     async def session_gc(app):
+        rss_limit = getattr(getattr(getattr(stack, "config", None),
+                                    "serving", None), "rss_limit_mb", 0)
+
         async def loop_gc():
             while True:
                 await asyncio.sleep(60)
                 try:
                     service.cleanup_old_sessions()
+                    if rss_limit and _rss_mb() > rss_limit:
+                        logger.warning(
+                            "RSS %.0f MB exceeds serving.rss_limit_mb=%d "
+                            "— recycle this worker (see SOAK_r05 "
+                            "leak_localization)", _rss_mb(), rss_limit)
                 except Exception:   # a single failure must not end GC forever
                     logger.exception("session GC sweep failed")
 
