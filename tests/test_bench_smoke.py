@@ -10,6 +10,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+# slow tier: excluded from the default run (pytest.ini -m 'not slow');
+# the full matrix runs with `pytest -m ""`
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

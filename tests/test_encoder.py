@@ -6,6 +6,10 @@ from veritasfi_tpu.models.encoder import ENCODER_PRESETS, EncoderArch, TextEncod
 from veritasfi_tpu.models.hash_embedder import HashEmbedder
 from veritasfi_tpu.models.tokenizer import HashTokenizer, basic_tokens
 
+# slow tier: excluded from the default run (pytest.ini -m 'not slow');
+# the full matrix runs with `pytest -m ""`
+pytestmark = pytest.mark.slow
+
 
 def test_hash_tokenizer_deterministic():
     tok = HashTokenizer(1024)

@@ -21,6 +21,10 @@ from veritasfi_tpu.retrieval.bm25 import BM25Index
 from veritasfi_tpu.retrieval.ensemble import EnsembleRetriever
 from veritasfi_tpu.retrieval.fused_serve import FusedServePath
 
+# slow tier: excluded from the default run (pytest.ini -m 'not slow');
+# the full matrix runs with `pytest -m ""`
+pytestmark = pytest.mark.slow
+
 QUERY_TIME = "2024-06-01"
 
 

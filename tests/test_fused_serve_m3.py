@@ -31,6 +31,10 @@ from veritasfi_tpu.retrieval.m3_scorer import (M3CandidateScorer,
 
 from test_fused_serve import QUERY_TIME, synth_corpus
 
+# slow tier: excluded from the default run (pytest.ini -m 'not slow');
+# the full matrix runs with `pytest -m ""`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def m3_enc():

@@ -11,6 +11,10 @@ import pytest
 from veritasfi_tpu.models.generate import Generator, init_cache, left_pad
 from veritasfi_tpu.models.reranker import DECODER_PRESETS, FlaxDecoderLM
 
+# slow tier: excluded from the default run (pytest.ini -m 'not slow');
+# the full matrix runs with `pytest -m ""`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def lm():

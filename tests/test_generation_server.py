@@ -11,6 +11,10 @@ import jax.numpy as jnp
 from veritasfi_tpu.models.reranker import CrossEncoderReranker
 from veritasfi_tpu.serving.generation_server import GenerationServer
 
+# slow tier: excluded from the default run (pytest.ini -m 'not slow');
+# the full matrix runs with `pytest -m ""`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def decoder():

@@ -6,6 +6,12 @@ import jax.numpy as jnp
 
 from veritasfi_tpu.ops.int8_matmul import dynamic_int8_matmul
 
+import pytest
+
+# slow tier: excluded from the default run (pytest.ini -m 'not slow');
+# the full matrix runs with `pytest -m ""`
+pytestmark = pytest.mark.slow
+
 
 def test_dynamic_int8_matmul_accuracy():
     rng = np.random.default_rng(0)

@@ -13,6 +13,10 @@ import pytest
 from veritasfi_tpu.models.m3_heads import (M3Encoder, dedup_sparse_by_id,
                                            load_m3_head_params)
 
+# slow tier: excluded from the default run (pytest.ini -m 'not slow');
+# the full matrix runs with `pytest -m ""`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def enc():

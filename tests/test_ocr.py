@@ -17,6 +17,10 @@ from veritasfi_tpu.ingest.ocr import (OCRModel, _crop_glyph, ocr_page,
                                       segment_glyphs, segment_lines,
                                       train_ocr)
 
+# slow tier: excluded from the default run (pytest.ini -m 'not slow');
+# the full matrix runs with `pytest -m ""`
+pytestmark = pytest.mark.slow
+
 # letters chosen to spell the fixture sentences; digits for the weld
 # tokens ("N," etc.) the thousands-separator tests need
 TINY = "0123456789,.$abcdeinrst"

@@ -5,10 +5,15 @@ actually bite on ranking regressions (round-2 verdict: a hash embedder
 pins hit_rate_cos@0.9 at 0.0, which no regression can move)."""
 
 import numpy as np
+import pytest
 
 from veritasfi_tpu.evals.quality_parity import (build_records,
                                                 run_pipeline,
                                                 train_fixture_encoder)
+
+# slow tier: excluded from the default run (pytest.ini -m 'not slow');
+# the full matrix runs with `pytest -m ""`
+pytestmark = pytest.mark.slow
 
 
 def test_fit_epoch_covers_all_pairs_without_duplicates():

@@ -17,6 +17,10 @@ from veritasfi_tpu.models.hf_loader import (decoder_arch_from_config,
 from veritasfi_tpu.models.reranker import (DECODER_PRESETS, DecoderArch,
                                            FlaxDecoderLM)
 
+# slow tier: excluded from the default run (pytest.ini -m 'not slow');
+# the full matrix runs with `pytest -m ""`
+pytestmark = pytest.mark.slow
+
 QWEN_TINY = DecoderArch(
     vocab_size=512, hidden=32, layers=2, heads=4, kv_heads=2, head_dim=8,
     intermediate=64, rope_theta=1e6, embed_scale=False, rms_plus_one=False,

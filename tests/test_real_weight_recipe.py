@@ -13,6 +13,10 @@ import json
 import numpy as np
 import pytest
 
+# slow tier: excluded from the default run (pytest.ini -m 'not slow');
+# the full matrix runs with `pytest -m ""`
+pytestmark = pytest.mark.slow
+
 transformers = pytest.importorskip("transformers")
 
 

@@ -10,6 +10,10 @@ from veritasfi_tpu.models.reranker import (
     yes_logit_score,
 )
 
+# slow tier: excluded from the default run (pytest.ini -m 'not slow');
+# the full matrix runs with `pytest -m ""`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def rr():

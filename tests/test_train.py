@@ -17,6 +17,10 @@ from veritasfi_tpu.train import (
     group_loss,
 )
 
+# slow tier: excluded from the default run (pytest.ini -m 'not slow');
+# the full matrix runs with `pytest -m ""`
+pytestmark = pytest.mark.slow
+
 TINY = dataclasses.replace(DECODER_PRESETS["tiny-test"], lora_rank=4,
                            lora_alpha=8.0)
 
